@@ -1,0 +1,90 @@
+"""Benchmark: continuous-batching decode throughput on one TPU chip.
+
+Runs the full engine stack (scheduler + paged KV + jitted forward + fused sampling)
+on a TinyLlama-1.1B-geometry model (random weights; throughput is weight-value
+independent) and prints ONE JSON line.
+
+Baseline for vs_baseline: reference static-decode llama2-7b fp16 bs64 128/2048 on
+A100-80G = 1852.06 out tok/s (docs/en/benchmark/a100_fp16.md:54, see BASELINE.md).
+Different model size and silicon — recorded as an honest tracking ratio until the
+W4A16 Llama-3-8B bench lands (BASELINE.json north star).
+"""
+import asyncio
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BATCH = int(os.environ.get('BENCH_BATCH', '64'))
+PROMPT_LEN = int(os.environ.get('BENCH_PROMPT', '128'))
+NEW_TOKENS = int(os.environ.get('BENCH_NEW', '128'))
+BASELINE = 1852.06
+
+
+def build_engine():
+    import numpy as np
+    from lmdeploy_tpu.config import (CacheConfig, DistConfig, EngineConfigBundle,
+                                     MiscConfig, ModelConfig, SchedulerConfig)
+    from lmdeploy_tpu.engine.engine import Engine
+    from lmdeploy_tpu.messages import TpuEngineConfig
+
+    # TinyLlama-1.1B geometry
+    model_cfg = ModelConfig(
+        num_layers=22, num_attention_heads=32, num_key_value_heads=4,
+        hidden_size=2048, intermediate_size=5632, vocab_size=32000,
+        head_dim=64, max_position_embeddings=2048, dtype='bfloat16',
+        eos_token_id=[2])
+    session_len = PROMPT_LEN + NEW_TOKENS + 64
+    bundle = EngineConfigBundle(
+        model=model_cfg,
+        cache=CacheConfig(block_size=64, num_gpu_blocks=0,
+                          cache_max_entry_count=0.7,
+                          max_prefill_token_num=4096),
+        scheduler=SchedulerConfig(max_batch_size=BATCH, max_session_len=session_len,
+                                  max_prefill_token_num=4096, max_prefill_batch=16),
+        dist=DistConfig(),
+        misc=MiscConfig(empty_init=True),
+    )
+
+    return Engine(None, TpuEngineConfig(), configs=bundle)
+
+
+async def run_round(eng, batch, seed):
+    import numpy as np
+    from lmdeploy_tpu.messages import GenerationConfig
+
+    rng = np.random.RandomState(seed)
+    gen = GenerationConfig(max_new_tokens=NEW_TOKENS, ignore_eos=True)
+
+    async def one(i):
+        inst = eng.create_instance()
+        prompt = rng.randint(10, 31000, size=PROMPT_LEN).tolist()
+        out = await inst.async_infer(seed * 10000 + i, prompt, gen)
+        await inst.async_end(seed * 10000 + i)
+        return len(out.token_ids)
+
+    t0 = time.perf_counter()
+    counts = await asyncio.gather(*[one(i) for i in range(batch)])
+    dt = time.perf_counter() - t0
+    return sum(counts), dt
+
+
+async def main():
+    eng = build_engine()
+    # warmup: compile prefill+decode buckets
+    await run_round(eng, min(BATCH, 8), seed=1)
+    total, dt = await run_round(eng, BATCH, seed=2)
+    tok_s = total / dt
+    print(json.dumps({
+        'metric': f'decode_tok_s_tinyllama1.1b_bf16_bs{BATCH}_{PROMPT_LEN}i{NEW_TOKENS}o',
+        'value': round(tok_s, 2),
+        'unit': 'out tok/s (1x TPU v5e chip)',
+        'vs_baseline': round(tok_s / BASELINE, 4),
+    }))
+    eng.close()
+
+
+if __name__ == '__main__':
+    asyncio.run(main())

@@ -1,0 +1,239 @@
+"""Chat-template registry.
+
+Reference analog: ``lmdeploy/model.py`` (MODELS registry, get_chat_template, ~40 templates).
+We keep a compact native registry for the common families and fall back to the HF
+tokenizer's bundled jinja template (``apply_chat_template``), which covers the long tail
+without maintaining 40 hand-written templates.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+MODELS: Dict[str, type] = {}
+
+
+def register_template(name):
+    def wrap(cls):
+        MODELS[name] = cls
+        cls.name = name
+        return cls
+    return wrap
+
+
+@dataclass
+class ChatTemplateConfig:
+    """User override for the chat template (reference: lmdeploy/model.py ChatTemplateConfig)."""
+
+    model_name: Optional[str] = None
+    system: Optional[str] = None
+    meta_instruction: Optional[str] = None
+    user: Optional[str] = None
+    assistant: Optional[str] = None
+    eosys: Optional[str] = None
+    eoh: Optional[str] = None
+    eoa: Optional[str] = None
+    separator: Optional[str] = None
+    stop_words: Optional[List[str]] = None
+    capability: Optional[str] = None
+
+    def chat_template(self, tokenizer=None):
+        if self.model_name and self.model_name in MODELS:
+            tmpl = MODELS[self.model_name]()
+        else:
+            tmpl = HFChatTemplate(tokenizer) if tokenizer is not None else BaseChatTemplate()
+        for attr in ('system', 'meta_instruction', 'user', 'assistant', 'eosys', 'eoh',
+                     'eoa', 'separator', 'stop_words'):
+            v = getattr(self, attr)
+            if v is not None and hasattr(tmpl, attr):
+                setattr(tmpl, attr, v)
+        return tmpl
+
+
+@register_template('base')
+class BaseChatTemplate:
+    """Raw completion: no wrapping."""
+
+    system = ''
+    meta_instruction = None
+    user = ''
+    eoh = ''
+    assistant = ''
+    eoa = ''
+    eosys = ''
+    separator = ''
+    stop_words: Optional[List[str]] = None
+
+    def get_prompt(self, prompt: str, sequence_start: bool = True) -> str:
+        return prompt
+
+    def messages2prompt(self, messages, sequence_start: bool = True, **kwargs) -> str:
+        if isinstance(messages, str):
+            return self.get_prompt(messages, sequence_start)
+        ret = ''
+        if self.meta_instruction and sequence_start and \
+                not any(m['role'] == 'system' for m in messages):
+            ret += f'{self.system}{self.meta_instruction}{self.eosys}'
+        box = {'system': self.system, 'user': self.user, 'assistant': self.assistant}
+        eox = {'system': self.eosys, 'user': self.eoh, 'assistant': self.eoa}
+        for msg in messages:
+            role, content = msg['role'], _flatten_content(msg.get('content') or '')
+            ret += f'{box.get(role, "")}{content}{eox.get(role, "")}'
+        ret += self.assistant
+        return ret
+
+
+def _flatten_content(content) -> str:
+    if isinstance(content, str):
+        return content
+    # OpenAI-style list of content parts
+    parts = []
+    for item in content:
+        if isinstance(item, dict) and item.get('type') == 'text':
+            parts.append(item.get('text', ''))
+    return ''.join(parts)
+
+
+@register_template('llama2')
+class Llama2(BaseChatTemplate):
+    system = '[INST] <<SYS>>\n'
+    meta_instruction = ('You are a helpful, respectful and honest assistant.')
+    eosys = '\n<</SYS>>\n\n'
+    user = '[INST] '
+    eoh = ' [/INST] '
+    assistant = ''
+    eoa = '</s>'
+    separator = ''
+
+    def messages2prompt(self, messages, sequence_start=True, **kwargs):
+        if isinstance(messages, str):
+            return f'{self.user}{messages}{self.eoh}'
+        ret = ''
+        sys_text = ''
+        for msg in messages:
+            role, content = msg['role'], _flatten_content(msg.get('content') or '')
+            if role == 'system':
+                sys_text = f'<<SYS>>\n{content}\n<</SYS>>\n\n'
+            elif role == 'user':
+                ret += f'[INST] {sys_text}{content} [/INST] '
+                sys_text = ''
+            elif role == 'assistant':
+                ret += f'{content}</s>'
+        return ret
+
+
+@register_template('llama3')
+class Llama3(BaseChatTemplate):
+    system = '<|start_header_id|>system<|end_header_id|>\n\n'
+    meta_instruction = None
+    eosys = '<|eot_id|>'
+    user = '<|start_header_id|>user<|end_header_id|>\n\n'
+    eoh = '<|eot_id|>'
+    assistant = '<|start_header_id|>assistant<|end_header_id|>\n\n'
+    eoa = '<|eot_id|>'
+    separator = ''
+    stop_words = ['<|eot_id|>', '<|end_of_text|>']
+
+    def messages2prompt(self, messages, sequence_start=True, **kwargs):
+        prefix = '<|begin_of_text|>' if sequence_start else ''
+        return prefix + super().messages2prompt(messages, sequence_start, **kwargs)
+
+    def get_prompt(self, prompt, sequence_start=True):
+        prefix = '<|begin_of_text|>' if sequence_start else ''
+        return (f'{prefix}{self.user}{prompt}{self.eoh}{self.assistant}')
+
+
+@register_template('chatml')
+@register_template('qwen')
+class ChatML(BaseChatTemplate):
+    """ChatML (qwen/internlm-xcomposer style)."""
+
+    system = '<|im_start|>system\n'
+    meta_instruction = 'You are a helpful assistant.'
+    eosys = '<|im_end|>\n'
+    user = '<|im_start|>user\n'
+    eoh = '<|im_end|>\n'
+    assistant = '<|im_start|>assistant\n'
+    eoa = '<|im_end|>'
+    separator = '\n'
+    stop_words = ['<|im_end|>']
+
+    def get_prompt(self, prompt, sequence_start=True):
+        ret = ''
+        if sequence_start and self.meta_instruction:
+            ret += f'{self.system}{self.meta_instruction}{self.eosys}'
+        return f'{ret}{self.user}{prompt}{self.eoh}{self.assistant}'
+
+
+@register_template('internlm2')
+class InternLM2(ChatML):
+    meta_instruction = ('You are an AI assistant whose name is InternLM (书生·浦语).')
+    stop_words = ['<|im_end|>', '<|action_end|>']
+
+
+@register_template('gemma')
+class Gemma(BaseChatTemplate):
+    system = '<start_of_turn>user\n'
+    user = '<start_of_turn>user\n'
+    eoh = '<end_of_turn>\n'
+    assistant = '<start_of_turn>model\n'
+    eoa = '<end_of_turn>\n'
+    stop_words = ['<end_of_turn>']
+
+
+class HFChatTemplate(BaseChatTemplate):
+    """Fallback: delegate to the HF tokenizer's jinja chat template."""
+
+    name = 'hf'
+
+    def __init__(self, tokenizer):
+        self._tokenizer = tokenizer
+        self.stop_words = None
+
+    def get_prompt(self, prompt: str, sequence_start: bool = True) -> str:
+        return self.messages2prompt([{'role': 'user', 'content': prompt}], sequence_start)
+
+    def messages2prompt(self, messages, sequence_start=True, **kwargs) -> str:
+        if isinstance(messages, str):
+            messages = [{'role': 'user', 'content': messages}]
+        model = getattr(self._tokenizer, 'model', self._tokenizer)
+        try:
+            return model.apply_chat_template(messages, tokenize=False,
+                                             add_generation_prompt=True)
+        except Exception:
+            return BaseChatTemplate.messages2prompt(self, messages, sequence_start)
+
+
+_NAME_HINTS = [
+    ('llama-2', 'llama2'), ('llama2', 'llama2'),
+    ('llama-3', 'llama3'), ('llama3', 'llama3'),
+    ('qwen', 'qwen'),
+    ('internlm2', 'internlm2'), ('internlm3', 'internlm2'),
+    ('gemma', 'gemma'),
+    ('tinyllama', 'chatml'),
+]
+
+
+def best_match_model(model_path: str) -> Optional[str]:
+    """Heuristic template match from the model path (reference: model.py best_match_model)."""
+    name = model_path.lower().rstrip('/').split('/')[-1]
+    for hint, tmpl in _NAME_HINTS:
+        if hint in name:
+            return tmpl
+    return None
+
+
+def get_chat_template(model_path: str, chat_template_config: Optional[ChatTemplateConfig] = None,
+                      tokenizer=None):
+    if chat_template_config is not None:
+        return chat_template_config.chat_template(tokenizer)
+    # Prefer the HF-bundled template when present; fall back to heuristics.
+    model = getattr(tokenizer, 'model', tokenizer) if tokenizer is not None else None
+    if model is not None and getattr(model, 'chat_template', None):
+        return HFChatTemplate(tokenizer)
+    matched = best_match_model(model_path)
+    if matched:
+        return MODELS[matched]()
+    if model is not None:
+        return HFChatTemplate(tokenizer)
+    return BaseChatTemplate()

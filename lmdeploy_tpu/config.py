@@ -1,0 +1,284 @@
+"""Internal engine configuration derived from user configs + HF model configs.
+
+TPU-native analog of the reference's ``lmdeploy/pytorch/config.py`` (ModelConfig ``:383``,
+CacheConfig ``:108``, DistConfig ``:158``, SchedulerConfig).  The DistConfig here describes a
+jax Mesh (axis names + sizes) rather than torch process groups.
+"""
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from .messages import QuantPolicy, TpuEngineConfig
+
+
+def _str_dtype(dtype: str):
+    import jax.numpy as jnp
+    return {
+        'float16': jnp.float16,
+        'bfloat16': jnp.bfloat16,
+        'float32': jnp.float32,
+    }[dtype]
+
+
+@dataclass
+class ModelConfig:
+    """Normalized transformer geometry parsed from a HF config.json.
+
+    Reference analog: ``lmdeploy/pytorch/config.py:383`` (ModelConfig.from_pretrained).
+    """
+
+    num_layers: int
+    num_attention_heads: int
+    num_key_value_heads: int
+    hidden_size: int
+    intermediate_size: int
+    vocab_size: int
+    head_dim: int
+    max_position_embeddings: int = 4096
+    rope_theta: float = 10000.0
+    rope_scaling: Optional[Dict[str, Any]] = None
+    rms_norm_eps: float = 1e-6
+    tie_word_embeddings: bool = False
+    bos_token_id: Optional[int] = 1
+    eos_token_id: List[int] = field(default_factory=lambda: [2])
+    dtype: str = 'bfloat16'
+    hf_arch: str = 'LlamaForCausalLM'
+    model_type: str = 'llama'
+    # MoE geometry (0 experts => dense)
+    num_experts: int = 0
+    num_experts_per_tok: int = 0
+    moe_intermediate_size: int = 0
+    num_shared_experts: int = 0
+    norm_topk_prob: bool = True
+    # attention extras
+    attention_bias: bool = False
+    qk_norm: bool = False
+    sliding_window: Optional[int] = None
+    logit_softcapping: Optional[float] = None
+    # misc
+    hf_config: Optional[Dict[str, Any]] = None
+    quantization_config: Optional[Dict[str, Any]] = None
+
+    @property
+    def kv_dim(self) -> int:
+        return self.num_key_value_heads * self.head_dim
+
+    @classmethod
+    def from_hf_config(cls, cfg: Dict[str, Any], dtype: str = 'auto') -> 'ModelConfig':
+        """Build from a raw HF config dict. Per-arch adjustments live in models/registry."""
+        archs = cfg.get('architectures') or ['LlamaForCausalLM']
+        num_heads = cfg.get('num_attention_heads', 32)
+        hidden = cfg.get('hidden_size', 4096)
+        head_dim = cfg.get('head_dim') or hidden // num_heads
+        eos = cfg.get('eos_token_id', 2)
+        if eos is None:
+            eos = []
+        if isinstance(eos, int):
+            eos = [eos]
+        torch_dtype = cfg.get('torch_dtype', 'bfloat16')
+        if dtype == 'auto':
+            # TPU has no fast fp16 path distinct from bf16; map half-precision to bf16.
+            dtype = 'bfloat16' if torch_dtype in ('float16', 'bfloat16') else 'float32'
+        rope_scaling = cfg.get('rope_scaling')
+        return cls(
+            num_layers=cfg.get('num_hidden_layers', 32),
+            num_attention_heads=num_heads,
+            num_key_value_heads=cfg.get('num_key_value_heads') or num_heads,
+            hidden_size=hidden,
+            intermediate_size=cfg.get('intermediate_size', 11008),
+            vocab_size=cfg.get('vocab_size', 32000),
+            head_dim=head_dim,
+            max_position_embeddings=cfg.get('max_position_embeddings', 4096),
+            rope_theta=cfg.get('rope_theta', 10000.0),
+            rope_scaling=rope_scaling,
+            rms_norm_eps=cfg.get('rms_norm_eps', 1e-6),
+            tie_word_embeddings=cfg.get('tie_word_embeddings', False),
+            bos_token_id=cfg.get('bos_token_id', 1),
+            eos_token_id=eos,
+            dtype=dtype,
+            hf_arch=archs[0],
+            model_type=cfg.get('model_type', 'llama'),
+            num_experts=cfg.get('num_local_experts') or cfg.get('num_experts') or 0,
+            num_experts_per_tok=cfg.get('num_experts_per_tok', 0),
+            moe_intermediate_size=cfg.get('moe_intermediate_size', 0),
+            norm_topk_prob=cfg.get('norm_topk_prob', True),
+            attention_bias=cfg.get('attention_bias', False)
+            or cfg.get('qkv_bias', False),
+            sliding_window=cfg.get('sliding_window'),
+            hf_config=cfg,
+            quantization_config=cfg.get('quantization_config'),
+        )
+
+    @classmethod
+    def from_pretrained(cls, model_path: str, dtype: str = 'auto',
+                        hf_overrides: Optional[Dict[str, Any]] = None) -> 'ModelConfig':
+        cfg_path = os.path.join(model_path, 'config.json')
+        with open(cfg_path) as f:
+            cfg = json.load(f)
+        if hf_overrides:
+            cfg.update(hf_overrides)
+        return cls.from_hf_config(cfg, dtype=dtype)
+
+    def jnp_dtype(self):
+        return _str_dtype(self.dtype)
+
+
+@dataclass
+class CacheConfig:
+    """Paged KV-cache geometry (reference analog: pytorch/config.py:108)."""
+
+    block_size: int = 64
+    num_gpu_blocks: int = 0          # device (HBM) blocks; 0 = derive from free memory
+    num_cpu_blocks: int = 0          # host swap blocks
+    cache_max_entry_count: float = 0.8
+    quant_policy: QuantPolicy = QuantPolicy.NONE
+    max_prefill_token_num: int = 8192
+    enable_prefix_caching: bool = False
+    window_size: Optional[int] = None
+
+    def num_blocks_for(self, num_tokens: int) -> int:
+        return (num_tokens + self.block_size - 1) // self.block_size
+
+
+@dataclass
+class SchedulerConfig:
+    """Continuous-batching scheduler knobs (reference analog: pytorch/config.py:86)."""
+
+    max_batch_size: int = 128
+    max_session_len: int = 4096
+    max_prefill_token_num: int = 8192
+    max_prefill_batch: int = 8
+    prefill_interval: int = 16       # decode steps between forced prefill scheduling
+    eviction_type: str = 'recompute'
+
+
+@dataclass
+class DistConfig:
+    """Mesh geometry.  Axes: ('dp', 'tp') today; ('dp','ep','tp','cp') as they land.
+
+    Reference analog: pytorch/config.py:158 (DistConfig with per-layer-type TP groups).
+    On TPU the same concept is expressed as distinct PartitionSpecs per layer type over
+    one shared device mesh, so "attn_tp vs mlp_tp" is a sharding-rule choice, not a
+    process-group choice.
+    """
+
+    dp: int = 1
+    tp: int = 1
+    ep: int = 1
+    cp: int = 1
+    attn_tp: Optional[int] = None
+    mlp_tp: Optional[int] = None
+
+    def __post_init__(self):
+        if self.attn_tp is None:
+            self.attn_tp = self.tp
+        if self.mlp_tp is None:
+            self.mlp_tp = self.tp
+
+    @property
+    def world_size(self) -> int:
+        return self.dp * self.tp * self.ep * self.cp
+
+    def mesh_shape(self):
+        return {'dp': self.dp, 'ep': self.ep, 'cp': self.cp, 'tp': self.tp}
+
+
+@dataclass
+class MiscConfig:
+    empty_init: bool = False
+    prefill_buckets: Optional[List[int]] = None
+    decode_buckets: Optional[List[int]] = None
+    eager_mode: bool = False
+    model_format: Optional[str] = None
+
+
+@dataclass
+class EngineConfigBundle:
+    """All internal configs for one engine (reference analog: engine/config_builder.py)."""
+
+    model: ModelConfig
+    cache: CacheConfig
+    scheduler: SchedulerConfig
+    dist: DistConfig
+    misc: MiscConfig
+
+    @classmethod
+    def build(cls, model_path: str, engine_config: TpuEngineConfig) -> 'EngineConfigBundle':
+        engine_config.validate()
+        model = ModelConfig.from_pretrained(model_path, dtype=engine_config.dtype,
+                                            hf_overrides=engine_config.hf_overrides)
+        session_len = engine_config.session_len or model.max_position_embeddings
+        cache = CacheConfig(
+            block_size=engine_config.block_size,
+            num_gpu_blocks=engine_config.num_gpu_blocks,
+            num_cpu_blocks=engine_config.num_cpu_blocks,
+            cache_max_entry_count=engine_config.cache_max_entry_count,
+            quant_policy=QuantPolicy(engine_config.quant_policy),
+            max_prefill_token_num=engine_config.max_prefill_token_num,
+            enable_prefix_caching=engine_config.enable_prefix_caching,
+            window_size=model.sliding_window,
+        )
+        sched = SchedulerConfig(
+            max_batch_size=engine_config.max_batch_size or 128,
+            max_session_len=session_len,
+            max_prefill_token_num=engine_config.max_prefill_token_num,
+            max_prefill_batch=engine_config.max_prefill_batch,
+        )
+        dist = DistConfig(dp=engine_config.dp, tp=engine_config.tp,
+                          ep=engine_config.ep, cp=engine_config.cp,
+                          attn_tp=engine_config.attn_tp_size,
+                          mlp_tp=engine_config.mlp_tp_size)
+        misc = MiscConfig(empty_init=engine_config.empty_init,
+                          prefill_buckets=engine_config.prefill_buckets,
+                          decode_buckets=engine_config.decode_buckets,
+                          eager_mode=engine_config.eager_mode,
+                          model_format=engine_config.model_format
+                          or _detect_model_format(model))
+        return cls(model=model, cache=cache, scheduler=sched, dist=dist, misc=misc)
+
+
+def _detect_model_format(model: ModelConfig) -> Optional[str]:
+    qcfg = model.quantization_config
+    if not qcfg:
+        return None
+    method = qcfg.get('quant_method')
+    if method in ('awq', 'gptq'):
+        return method
+    if method in ('fp8',):
+        return 'fp8'
+    if method in ('mxfp4',):
+        return 'mxfp4'
+    if method in ('smooth_quant', 'w8a8'):
+        return 'w8a8'
+    return None
+
+
+def next_power_of_2(n: int) -> int:
+    """Smallest power of two >= n (used for jit bucket schedules, cf. graph_runner.py:42)."""
+    if n <= 1:
+        return 1
+    return 1 << (int(n - 1).bit_length())
+
+
+def make_buckets(max_value: int, minimum: int = 1) -> List[int]:
+    """Power-of-two bucket schedule up to max_value (TPU analog of CUDA-graph capture sizes)."""
+    buckets = []
+    b = minimum
+    while b < max_value:
+        buckets.append(b)
+        b *= 2
+    buckets.append(max_value)
+    return sorted(set(buckets))
+
+
+def bucketize(value: int, buckets: List[int]) -> int:
+    """Smallest bucket >= value."""
+    for b in buckets:
+        if b >= value:
+            return b
+    return buckets[-1]

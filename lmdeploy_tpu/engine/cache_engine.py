@@ -1,0 +1,101 @@
+"""Paged KV-cache allocation in TPU HBM.
+
+Reference analog: ``lmdeploy/pytorch/engine/cache_engine.py`` (CacheEngine ``:205``) and
+the free-memory -> num_blocks derivation in ``engine/executor/base.py:175-245``.
+
+The cache is two arrays ``[num_layers, num_blocks, block_size, kv_heads, head_dim]``
+(K and V), allocated once and donated through every jitted step so XLA updates them
+in place.  Block 0 is the reserved padding block (see paging/block_manager.py).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..config import CacheConfig, ModelConfig
+from ..messages import QuantPolicy
+
+
+class CacheEngine:
+
+    def __init__(self, model_config: ModelConfig, cache_config: CacheConfig,
+                 mesh=None, cache_spec=None):
+        import jax
+        import jax.numpy as jnp
+
+        self.model_config = model_config
+        self.cache_config = cache_config
+        self.mesh = mesh
+
+        if cache_config.num_gpu_blocks <= 0:
+            cache_config.num_gpu_blocks = self._derive_num_blocks()
+        self.num_blocks = cache_config.num_gpu_blocks
+
+        cfg = model_config
+        shape = (cfg.num_layers, self.num_blocks, cache_config.block_size,
+                 cfg.num_key_value_heads, cfg.head_dim)
+        dtype = self._cache_dtype()
+
+        sharding = None
+        if mesh is not None and cache_spec is not None:
+            sharding = jax.NamedSharding(mesh, cache_spec)
+
+        def alloc():
+            z = jnp.zeros(shape, dtype)
+            if sharding is not None:
+                z = jax.device_put(z, sharding)
+            return z
+
+        self.k_cache = alloc()
+        self.v_cache = alloc()
+
+    def _cache_dtype(self):
+        import jax.numpy as jnp
+        policy = self.cache_config.quant_policy
+        if policy == QuantPolicy.KV_INT8:
+            return jnp.int8
+        if policy == QuantPolicy.KV_FP8:
+            return jnp.float8_e4m3fn
+        return self.model_config.jnp_dtype()
+
+    def block_bytes(self) -> int:
+        cfg = self.model_config
+        itemsize = np.dtype('float32').itemsize if cfg.dtype == 'float32' else 2
+        policy = self.cache_config.quant_policy
+        if policy in (QuantPolicy.KV_INT8, QuantPolicy.KV_FP8):
+            itemsize = 1
+        return (2 * cfg.num_layers * self.cache_config.block_size *
+                cfg.num_key_value_heads * cfg.head_dim * itemsize)
+
+    def _derive_num_blocks(self) -> int:
+        """Free-HBM -> block count, after weights are resident (call post weight load)."""
+        import jax
+
+        dev = jax.devices()[0]
+        stats = {}
+        try:
+            stats = dev.memory_stats() or {}
+        except Exception:
+            pass
+        limit = stats.get('bytes_limit', 0)
+        in_use = stats.get('bytes_in_use', 0)
+        if limit <= 0:
+            # CPU backend / no stats: small default for tests
+            free = 256 * 1024 * 1024
+        else:
+            free = (limit - in_use)
+        budget = int(free * self.cache_config.cache_max_entry_count)
+        cfg = self.model_config
+        itemsize = 1 if self.cache_config.quant_policy in (
+            QuantPolicy.KV_INT8, QuantPolicy.KV_FP8) else (
+            4 if cfg.dtype == 'float32' else 2)
+        per_block = (2 * cfg.num_layers * self.cache_config.block_size *
+                     cfg.num_key_value_heads * cfg.head_dim * itemsize)
+        num = max(budget // per_block, 16)
+        return int(num)
+
+    def swap_caches(self, k_cache, v_cache):
+        """Adopt updated (donated-through) cache arrays after a step."""
+        self.k_cache = k_cache
+        self.v_cache = v_cache

@@ -1,0 +1,261 @@
+"""Engine: continuous-batching loop binding scheduler + model agent.
+
+Reference analog: ``lmdeploy/pytorch/engine/engine.py`` (Engine ``:92``,
+``from_pretrained:228``) + ``engine_loop.py`` (main_loop ``:469``).  The asyncio loop
+runs device steps in a worker thread so new requests keep flowing in while the TPU
+computes; JAX's async dispatch plays the role of the reference's prefetch pipeline
+(the host composes step N+1's batch while the device finishes step N).
+"""
+from __future__ import annotations
+
+import asyncio
+import logging
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..config import EngineConfigBundle
+from ..messages import (EngineOutput, RequestMetrics, ResponseType, ScheduleMetrics,
+                        TpuEngineConfig)
+from ..paging.scheduler import Scheduler
+from ..paging.seq import MessageStatus, SamplingParams, SchedulerSequence
+from .model_agent import ModelAgent
+
+logger = logging.getLogger('lmdeploy_tpu')
+
+
+@dataclass
+class _ActiveRequest:
+    seq: SchedulerSequence
+    queue: asyncio.Queue
+    loop: asyncio.AbstractEventLoop
+    emitted: int = 0           # tokens already sent to the client
+    finished: bool = False
+
+
+class Engine:
+    """One engine = one model on one device mesh, continuous batching."""
+
+    def __init__(self, model_path: Optional[str], engine_config: TpuEngineConfig,
+                 mesh=None, configs: Optional[EngineConfigBundle] = None):
+        self.engine_config = engine_config
+        if configs is None:
+            assert model_path is not None, 'model_path or configs required'
+            configs = EngineConfigBundle.build(model_path, engine_config)
+        self.configs = configs
+        self.model_agent = ModelAgent(self.configs, model_path
+                                      if not self.configs.misc.empty_init else None,
+                                      mesh=mesh)
+        # agent derives actual block count from HBM; scheduler uses it
+        self.scheduler = Scheduler(self.configs.scheduler, self.configs.cache,
+                                   num_blocks=self.model_agent.num_blocks)
+        self._requests: Dict[int, _ActiveRequest] = {}
+        self._new_work = asyncio.Event()
+        self._loop_task: Optional[asyncio.Task] = None
+        self._stopped = False
+        self._executor = ThreadPoolExecutor(max_workers=1,
+                                            thread_name_prefix='tpu-step')
+        self._instance_count = 0
+
+    # -- construction ------------------------------------------------------------------
+    @classmethod
+    def from_pretrained(cls, model_path: str,
+                        engine_config: Optional[TpuEngineConfig] = None,
+                        **kwargs) -> 'Engine':
+        engine_config = engine_config or TpuEngineConfig()
+        return cls(model_path, engine_config, **kwargs)
+
+    @property
+    def model_config(self):
+        return self.configs.model
+
+    def create_instance(self, cuda_stream_id: int = 0):
+        from .engine_instance import EngineInstance
+        self._instance_count += 1
+        return EngineInstance(self)
+
+    # -- session API (called from asyncio context) --------------------------------------
+    def add_session(self, session_id: int):
+        if self.scheduler.seq_manager.get_session(session_id) is None:
+            self.scheduler.add_session(session_id)
+
+    def end_session(self, session_id: int):
+        session = self.scheduler.seq_manager.get_session(session_id)
+        if session is None:
+            return
+        for seq in list(session.sequences.values()):
+            self.model_agent.free_slot(seq)
+            req = self._requests.pop(seq.seq_id, None)
+            if req is not None and not req.finished:
+                self._emit(req, ResponseType.FINISH, finish=True)
+        self.scheduler.end_session(session_id)
+
+    async def stop_request(self, seq_id: int):
+        req = self._requests.get(seq_id)
+        if req is None:
+            return
+        req.seq.status = MessageStatus.STOPPED
+        self._finish_request(req, ResponseType.CANCEL)
+
+    def add_message(self, session_id: int, token_ids: List[int],
+                    sampling_params: SamplingParams) -> asyncio.Queue:
+        """Enqueue a generation request; returns the per-request output queue."""
+        self.add_session(session_id)
+        session = self.scheduler.seq_manager.get_session(session_id)
+        max_len = self.configs.scheduler.max_session_len
+        if len(token_ids) + 1 > max_len:
+            raise ValueError(f'prompt length {len(token_ids)} exceeds session_len '
+                             f'{max_len}')
+        # multi-turn: reuse an existing sequence of this session if present
+        seq: Optional[SchedulerSequence] = None
+        if session.sequences:
+            seq = next(iter(session.sequences.values()))
+            seq.update_prompt(token_ids)
+            seq.sampling_params = sampling_params
+            seq.status = MessageStatus.WAITING
+        else:
+            seq = session.add_sequence(token_ids, sampling_params)
+        queue: asyncio.Queue = asyncio.Queue()
+        self._requests[seq.seq_id] = _ActiveRequest(
+            seq=seq, queue=queue, loop=asyncio.get_running_loop())
+        self._ensure_loop()
+        self._new_work.set()
+        return queue
+
+    # -- main loop ---------------------------------------------------------------------
+    def _ensure_loop(self):
+        loop = asyncio.get_running_loop()
+        if (self._loop_task is None or self._loop_task.done()
+                or self._loop_task.get_loop() is not loop):
+            # a previous host loop may have been torn down (sync facade, tests):
+            # rebind the wakeup event and loop task to the current loop
+            self._new_work = asyncio.Event()
+            self._loop_task = loop.create_task(self.async_loop())
+
+    async def async_loop(self):
+        loop = asyncio.get_running_loop()
+        while not self._stopped:
+            if not self.scheduler.has_unfinished():
+                self._new_work.clear()
+                await self._new_work.wait()
+                continue
+            out = self.scheduler.schedule()
+            if out.is_empty:
+                # forward-progress invariant (TurboMind engine.cc:611): if nothing can
+                # run and nothing is running, fail the head-of-line request with OOM
+                # rather than livelocking.
+                if not self.scheduler.running and self.scheduler.waiting:
+                    seq = self.scheduler.waiting[0]
+                    seq.status = MessageStatus.STOPPED
+                    req = self._requests.pop(seq.seq_id, None)
+                    if req is not None:
+                        self._emit(req, ResponseType.OUT_OF_MEMORY, finish=True)
+                    self._cleanup_stopped()
+                await asyncio.sleep(0.001)
+                continue
+            try:
+                if out.is_prefill:
+                    step = await loop.run_in_executor(
+                        self._executor, self.model_agent.prefill, out.prefill_chunks)
+                    tokens = step.tokens_np()
+                    logprobs = step.logprobs_np()
+                    for i, chunk in enumerate(out.prefill_chunks):
+                        tok = int(tokens[i]) if chunk.is_last else None
+                        self.scheduler.on_prefill_done(chunk, tok)
+                        if chunk.is_last:
+                            seq = chunk.seq
+                            if not seq.metrics.first_token_time:
+                                seq.metrics.first_token_time = time.time()
+                            self._post_token(seq, float(logprobs[i]))
+                else:
+                    seqs = out.decode_seqs
+                    step = await loop.run_in_executor(
+                        self._executor, self.model_agent.decode, seqs)
+                    tokens = step.tokens_np()
+                    logprobs = step.logprobs_np()
+                    for i, seq in enumerate(seqs):
+                        self.scheduler.on_decode_done(seq, int(tokens[i]))
+                        self._post_token(seq, float(logprobs[i]))
+            except Exception as e:  # noqa: BLE001
+                logger.exception('engine step failed')
+                self._fail_all(e)
+                raise
+            self._cleanup_stopped()
+
+    # -- token post-processing ----------------------------------------------------------
+    def _post_token(self, seq: SchedulerSequence, logprob: float):
+        req = self._requests.get(seq.seq_id)
+        p = seq.sampling_params
+        last_token = seq.output_ids[-1]
+        finish_reason = None
+        if last_token in p.stop_token_ids and \
+                len(seq.output_ids) >= max(p.min_new_tokens, 1):
+            finish_reason = 'stop'
+        elif len(seq.output_ids) >= p.max_new_tokens:
+            finish_reason = 'length'
+        elif seq.num_token_ids >= self.configs.scheduler.max_session_len:
+            finish_reason = 'length'
+
+        if finish_reason is not None:
+            seq.status = MessageStatus.STOPPED
+            if req is not None:
+                self._finish_request(req, ResponseType.FINISH, finish_reason)
+        elif req is not None:
+            self._emit(req, ResponseType.SUCCESS)
+
+    def _emit(self, req: _ActiveRequest, status: ResponseType, finish: bool = False,
+              strip_stop: bool = False):
+        seq = req.seq
+        ids = seq.output_ids
+        if strip_stop and ids and ids[-1] in seq.sampling_params.stop_token_ids:
+            ids = ids[:-1]
+        out = EngineOutput(status=status, token_ids=list(ids), num_token=len(ids),
+                           req_metrics=RequestMetrics(
+                               arrival_time=seq.metrics.arrival_time,
+                               first_scheduled_time=seq.metrics.first_scheduled_time,
+                               first_token_time=seq.metrics.first_token_time,
+                               finish_time=time.time() if finish else 0.0))
+        req.loop.call_soon_threadsafe(req.queue.put_nowait, out)
+        if finish:
+            req.finished = True
+
+    def _finish_request(self, req: _ActiveRequest, status: ResponseType,
+                        finish_reason: str = 'stop'):
+        seq = req.seq
+        seq.metrics.finish_time = time.time()
+        strip = finish_reason == 'stop' and not seq.sampling_params.ignore_eos
+        self._emit(req, status, finish=True, strip_stop=strip)
+        self._requests.pop(seq.seq_id, None)
+
+    def _cleanup_stopped(self):
+        for seq in self.scheduler.seq_manager.seqs_with_status(MessageStatus.STOPPED):
+            self.model_agent.free_slot(seq)
+        self.scheduler.release_stopped()
+
+    def _fail_all(self, err: Exception):
+        for req in list(self._requests.values()):
+            out = EngineOutput(status=ResponseType.INTERNAL_ENGINE_ERROR,
+                               token_ids=list(req.seq.output_ids),
+                               num_token=len(req.seq.output_ids))
+            req.loop.call_soon_threadsafe(req.queue.put_nowait, out)
+            req.finished = True
+        self._requests.clear()
+
+    # -- introspection / lifecycle -------------------------------------------------------
+    def make_schedule_metrics(self) -> ScheduleMetrics:
+        return self.scheduler.make_metrics()
+
+    def is_alive(self) -> bool:
+        return self._loop_task is not None and not self._loop_task.done() \
+            or not self._stopped
+
+    def close(self):
+        self._stopped = True
+        try:
+            self._new_work.set()
+        except RuntimeError:
+            pass   # host event loop already torn down
+        self._executor.shutdown(wait=False)

@@ -1,0 +1,271 @@
+"""ModelAgent: owns params + KV cache + jitted step functions; runs forward+sampling.
+
+Reference analog: ``lmdeploy/pytorch/engine/model_agent/agent.py`` (BaseModelAgent
+``:262``, ``_async_step:815``) and the CUDA-graph bucketing of
+``backends/cuda/graph_runner.py`` — on TPU the "captured graphs" are jit-compiled
+executables keyed by (batch, chunk, table-width) buckets; padding to the bucket plays
+the role of padding to capture size (``graph_runner.py:42`` next_power_of_2 schedule).
+
+One jitted step serves prefill, chunked prefill and decode (decode = T1 chunk).  KV
+cache and the token-count state are donated through each call, so the update is
+in-place in HBM and host<->device traffic per step is a few KB of batch metadata plus
+the sampled tokens.
+"""
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import EngineConfigBundle, bucketize, make_buckets
+from ..models import build_model
+from ..models.llama import AttnMeta
+from ..nn.layers import make_rope_table
+from ..ops.sampling import SamplingInputs, sample_logits
+from .cache_engine import CacheEngine
+
+logger = logging.getLogger('lmdeploy_tpu')
+
+
+class StepOutput:
+    """Host-side view of one step's results (fetched lazily)."""
+
+    def __init__(self, tokens, logprobs, top_logprobs):
+        self._tokens = tokens
+        self._logprobs = logprobs
+        self._top = top_logprobs
+
+    def tokens_np(self) -> np.ndarray:
+        return np.asarray(self._tokens)
+
+    def logprobs_np(self) -> np.ndarray:
+        return np.asarray(self._logprobs)
+
+    def top_np(self) -> Tuple[np.ndarray, np.ndarray]:
+        vals, ids = self._top
+        return np.asarray(vals), np.asarray(ids)
+
+
+class ModelAgent:
+
+    def __init__(self, configs: EngineConfigBundle, model_path: Optional[str] = None,
+                 mesh=None, init_rng_seed: Optional[int] = 42):
+        import jax
+        import jax.numpy as jnp
+
+        self.configs = configs
+        self.model_config = configs.model
+        self.cache_config = configs.cache
+        self.sched_config = configs.scheduler
+        self.mesh = mesh
+        self.model = build_model(configs.model)
+
+        cfg = configs.model
+        self.max_batch = configs.scheduler.max_batch_size
+        self.max_model_len = configs.scheduler.max_session_len
+        self.max_blocks_per_seq = (self.max_model_len + configs.cache.block_size - 1) \
+            // configs.cache.block_size
+
+        # -- params -------------------------------------------------------------------
+        shardings = None
+        if mesh is not None:
+            from ..parallel.mesh import make_llama_shardings
+            shardings = make_llama_shardings(self.model)
+        if configs.misc.empty_init or model_path is None:
+            params = self.model.init_params(
+                jax.random.PRNGKey(init_rng_seed) if init_rng_seed is not None else None)
+            if mesh is not None and shardings is not None:
+                params = jax.tree_util.tree_map(
+                    lambda x, s: jax.device_put(x, jax.NamedSharding(mesh, s)),
+                    params, shardings)
+            self.params = params
+        else:
+            from ..weight_loader import load_model_params
+            self.params = load_model_params(self.model, model_path, shardings, mesh)
+
+        # -- rope tables --------------------------------------------------------------
+        cos, sin = make_rope_table(cfg.head_dim, self.max_model_len,
+                                   cfg.rope_theta, cfg.rope_scaling)
+        self.rope_cos = jax.device_put(cos)
+        self.rope_sin = jax.device_put(sin)
+
+        # -- KV cache (after params resident, so memory stats see them) ---------------
+        cache_spec = None
+        if mesh is not None:
+            from ..parallel.mesh import cache_sharding
+            cache_spec = cache_sharding()
+        self.cache_engine = CacheEngine(cfg, configs.cache, mesh, cache_spec)
+        self.num_blocks = self.cache_engine.num_blocks
+
+        # -- sampling state -----------------------------------------------------------
+        # one extra garbage row for padding slots
+        counts_shape = (self.max_batch + 1, cfg.vocab_size)
+        self.token_counts = jnp.zeros(counts_shape, jnp.int16)
+        self._free_slots = list(range(self.max_batch - 1, -1, -1))
+
+        # -- bucket schedules ---------------------------------------------------------
+        misc = configs.misc
+        self.batch_buckets = misc.decode_buckets or make_buckets(self.max_batch)
+        max_prefill_tok = configs.cache.max_prefill_token_num
+        self.chunk_buckets = misc.prefill_buckets or make_buckets(max_prefill_tok,
+                                                                  minimum=16)
+        self.table_buckets = make_buckets(self.max_blocks_per_seq)
+        self._step_fns: Dict[Tuple, Any] = {}
+        self._step_counter = 0
+
+    # -- slot management ---------------------------------------------------------------
+    def assign_slot(self, seq) -> int:
+        if seq.batch_slot < 0:
+            seq.batch_slot = self._free_slots.pop()
+        return seq.batch_slot
+
+    def free_slot(self, seq):
+        if seq.batch_slot >= 0:
+            self._free_slots.append(seq.batch_slot)
+            seq.batch_slot = -1
+
+    # -- jitted step -------------------------------------------------------------------
+    def _make_step_fn(self, count_inputs: bool):
+        import jax
+        import jax.numpy as jnp
+
+        model = self.model
+
+        def step(params, rope_cos, rope_sin, k_cache, v_cache, token_counts,
+                 input_ids, positions, block_tables, history_lens, q_lens,
+                 slot_rows, reset_rows, valid_mask, sampling):
+            B, T = input_ids.shape
+            meta = AttnMeta(block_tables=block_tables, history_lens=history_lens,
+                            q_lens=q_lens)
+            logits, k_cache, v_cache = model.forward(
+                params, input_ids, positions, k_cache, v_cache, meta,
+                rope_cos, rope_sin)
+
+            rows = token_counts[slot_rows]                       # [B, V]
+            rows = jnp.where(reset_rows[:, None], 0, rows)
+            if count_inputs:
+                b_idx = jnp.broadcast_to(
+                    jnp.arange(B, dtype=jnp.int32)[:, None], (B, T)).reshape(-1)
+                t_valid = (jnp.arange(T, dtype=jnp.int32)[None, :]
+                           < q_lens[:, None]).reshape(-1)
+                rows = rows.at[b_idx, input_ids.reshape(-1)].add(
+                    t_valid.astype(rows.dtype))
+            tokens, logprob, top = sample_logits(logits, sampling, rows)
+            rows = rows.at[jnp.arange(B), tokens].add(valid_mask.astype(rows.dtype))
+            token_counts = token_counts.at[slot_rows].set(rows)
+            return k_cache, v_cache, token_counts, tokens, logprob, top
+
+        return jax.jit(step, donate_argnums=(3, 4, 5))
+
+    def _get_step_fn(self, count_inputs: bool):
+        key = ('count' if count_inputs else 'plain',)
+        fn = self._step_fns.get(key)
+        if fn is None:
+            fn = self._make_step_fn(count_inputs)
+            self._step_fns[key] = fn
+        return fn
+
+    # -- batch composition -------------------------------------------------------------
+    def _run(self, seqs, chunk_starts, chunk_lens, count_inputs: bool,
+             valid, reset) -> StepOutput:
+        """Compose padded device batch from sequences and run one step.
+
+        seqs: list of SchedulerSequence; chunk_starts/lens: per-seq token windows
+        (decode: start=num_computed over the final token, len=1).
+        """
+        import jax.numpy as jnp
+
+        n = len(seqs)
+        B = bucketize(n, self.batch_buckets)
+        T = bucketize(max(chunk_lens), self.chunk_buckets) if count_inputs else 1
+        max_ctx_blocks = max(
+            (s.num_computed_tokens + l + self.cache_config.block_size - 1)
+            // self.cache_config.block_size
+            for s, l in zip(seqs, chunk_lens))
+        W = bucketize(max_ctx_blocks, self.table_buckets)
+
+        input_ids = np.zeros((B, T), np.int32)
+        positions = np.zeros((B, T), np.int32)
+        block_tables = np.zeros((B, W), np.int32)
+        history_lens = np.zeros(B, np.int32)
+        q_lens = np.zeros(B, np.int32)
+        slot_rows = np.full(B, self.max_batch, np.int32)   # garbage row for padding
+        reset_rows = np.zeros(B, bool)
+        valid_mask = np.zeros(B, bool)
+
+        for i, (seq, start, length) in enumerate(zip(seqs, chunk_starts, chunk_lens)):
+            ids = seq.history_ids[start:start + length]
+            input_ids[i, :length] = ids
+            positions[i, :length] = np.arange(start, start + length)
+            nb = min(len(seq.logical_blocks), W)
+            block_tables[i, :nb] = seq.logical_blocks[:nb]
+            history_lens[i] = start
+            q_lens[i] = length
+            slot_rows[i] = self.assign_slot(seq)
+            reset_rows[i] = reset[i]
+            valid_mask[i] = valid[i]
+
+        sampling = SamplingInputs.from_seqs(seqs, self.model_config.vocab_size)
+        sampling = self._pad_sampling(sampling, n, B)
+        self._step_counter += 1
+
+        fn = self._get_step_fn(count_inputs)
+        (k_cache, v_cache, self.token_counts, tokens, logprob, top) = fn(
+            self.params, self.rope_cos, self.rope_sin,
+            self.cache_engine.k_cache, self.cache_engine.v_cache, self.token_counts,
+            input_ids, positions, block_tables, history_lens, q_lens,
+            slot_rows, reset_rows, valid_mask, sampling)
+        self.cache_engine.swap_caches(k_cache, v_cache)
+        return StepOutput(tokens, logprob, top)
+
+    @staticmethod
+    def _pad_sampling(s: SamplingInputs, n: int, B: int) -> SamplingInputs:
+        if n == B:
+            return s
+        pad = B - n
+
+        def pad1(x, fill):
+            return np.concatenate([x, np.full((pad,) + x.shape[1:], fill, x.dtype)])
+
+        return SamplingInputs(
+            temperature=pad1(s.temperature, 1.0),
+            top_k=pad1(s.top_k, 0),
+            top_p=pad1(s.top_p, 1.0),
+            min_p=pad1(s.min_p, 0.0),
+            repetition_penalty=pad1(s.repetition_penalty, 1.0),
+            frequency_penalty=pad1(s.frequency_penalty, 0.0),
+            presence_penalty=pad1(s.presence_penalty, 0.0),
+            do_sample=pad1(s.do_sample, False),
+            seeds=pad1(s.seeds, 0),
+            bad_words_mask=None if s.bad_words_mask is None
+            else np.concatenate([s.bad_words_mask,
+                                 np.zeros((pad, s.bad_words_mask.shape[1]), bool)]),
+            max_top_logprobs=s.max_top_logprobs)
+
+    # -- public API --------------------------------------------------------------------
+    def prefill(self, chunks) -> StepOutput:
+        """Run one prefill step over scheduler PrefillChunks."""
+        seqs = [c.seq for c in chunks]
+        starts = [c.start for c in chunks]
+        lens = [c.length for c in chunks]
+        valid = [c.is_last for c in chunks]
+        reset = [c.start == 0 for c in chunks]
+        return self._run(seqs, starts, lens, count_inputs=True,
+                         valid=valid, reset=reset)
+
+    def decode(self, seqs) -> StepOutput:
+        """Run one decode step over RUNNING sequences (input = last token)."""
+        starts = [s.num_token_ids - 1 for s in seqs]
+        lens = [1] * len(seqs)
+        valid = [True] * len(seqs)
+        reset = [False] * len(seqs)
+        return self._run(seqs, starts, lens, count_inputs=False,
+                         valid=valid, reset=reset)
+
+    def warmup(self, batch_sizes: Optional[List[int]] = None):
+        """Precompile the decode buckets (analog of graph capture warmup)."""
+        # compilation happens lazily on first use; warmup is a no-op placeholder
+        # until we precompile with AOT lowering in a later milestone.
+        pass

@@ -1,0 +1,54 @@
+"""Model registry: HF architecture name -> model class.
+
+Reference analog: ``lmdeploy/pytorch/models/module_map.py`` + ``patch.py``
+(build_patched_model).  Each entry builds a functional model from a ModelConfig.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from ..config import ModelConfig
+from .llama import LlamaModel
+
+_REGISTRY: Dict[str, Callable[[ModelConfig], object]] = {}
+
+
+def register_model(*hf_archs):
+    def wrap(builder):
+        for arch in hf_archs:
+            _REGISTRY[arch] = builder
+        return builder
+    return wrap
+
+
+def _llama(config: ModelConfig) -> LlamaModel:
+    return LlamaModel(config)
+
+
+def _qwen2(config: ModelConfig) -> LlamaModel:
+    config.attention_bias = True
+    return LlamaModel(config)
+
+
+def _qwen3(config: ModelConfig) -> LlamaModel:
+    config.qk_norm = True
+    return LlamaModel(config)
+
+
+register_model('LlamaForCausalLM')(_llama)
+register_model('MistralForCausalLM')(_llama)
+register_model('Qwen2ForCausalLM')(_qwen2)
+register_model('Qwen3ForCausalLM')(_qwen3)
+
+
+def build_model(config: ModelConfig):
+    builder = _REGISTRY.get(config.hf_arch)
+    if builder is None:
+        raise ValueError(
+            f'unsupported architecture {config.hf_arch!r}; '
+            f'supported: {sorted(_REGISTRY)}')
+    return builder(config)
+
+
+def supported_archs():
+    return sorted(_REGISTRY)

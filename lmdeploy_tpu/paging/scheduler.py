@@ -1,0 +1,220 @@
+"""Continuous-batching scheduler.
+
+Reference analog: ``lmdeploy/pytorch/paging/scheduler.py`` (Scheduler ``:461``,
+``schedule:841``, prefill admission with token budget ``_schedule_prefill:731``, decode
+scheduling with recompute-preemption ``_schedule_decoding:788``).
+
+Policy (same contract as the reference, simplified mechanism):
+  * prefill: FCFS over WAITING, chunked by ``max_prefill_token_num``; admit while KV
+    blocks and batch slots are available.
+  * decode: all RUNNING sequences step together; when a sequence crosses a block
+    boundary and no block is free, preempt the youngest RUNNING sequence
+    (recompute-eviction — drop its blocks, back to WAITING with num_computed=0).
+  * forward progress: the oldest sequence is never preempted for a younger one.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+from ..config import CacheConfig, SchedulerConfig
+from ..messages import ScheduleMetrics
+from .block_manager import BlockManager
+from .block_trie import BlockTrie
+from .seq import MessageStatus, SchedulerSequence, SequenceManager
+
+
+@dataclass
+class PrefillChunk:
+    seq: SchedulerSequence
+    start: int        # first token index computed this step (== num_computed_tokens)
+    length: int       # tokens computed this step
+    is_last: bool     # True when this chunk completes the prompt => sample a token
+
+
+@dataclass
+class SchedulerOutput:
+    is_prefill: bool
+    prefill_chunks: List[PrefillChunk] = field(default_factory=list)
+    decode_seqs: List[SchedulerSequence] = field(default_factory=list)
+
+    @property
+    def is_empty(self) -> bool:
+        return not self.prefill_chunks and not self.decode_seqs
+
+
+class Scheduler:
+
+    def __init__(self, scheduler_config: SchedulerConfig, cache_config: CacheConfig,
+                 num_blocks: Optional[int] = None):
+        self.scheduler_config = scheduler_config
+        self.cache_config = cache_config
+        num_blocks = num_blocks if num_blocks is not None else cache_config.num_gpu_blocks
+        self.block_manager = BlockManager(num_blocks, cache_config.block_size)
+        self.seq_manager = SequenceManager(cache_config.block_size)
+        self.block_trie = BlockTrie(cache_config, self.block_manager) \
+            if cache_config.enable_prefix_caching else None
+        self._step_count = 0
+
+    # -- session CRUD ------------------------------------------------------------------
+    def add_session(self, session_id: int):
+        return self.seq_manager.add_session(session_id)
+
+    def end_session(self, session_id: int):
+        session = self.seq_manager.get_session(session_id)
+        if session is None:
+            return
+        for seq in list(session.sequences.values()):
+            self._release_seq(seq)
+        self.seq_manager.remove_session(session_id)
+
+    def stop_seq(self, seq: SchedulerSequence):
+        """Abort or finish: keep blocks until emitted outputs are drained, then release."""
+        seq.status = MessageStatus.STOPPED
+
+    def _release_seq(self, seq: SchedulerSequence):
+        if self.block_trie is not None:
+            self.block_trie.release_seq(seq)
+        else:
+            self.block_manager.free_seq(seq)
+        seq.status = MessageStatus.ENDED
+        seq.logical_blocks = []
+
+    def release_stopped(self):
+        for seq in self.seq_manager.seqs_with_status(MessageStatus.STOPPED):
+            self._release_seq(seq)
+            seq.session.sequences.pop(seq.seq_id, None)
+
+    # -- state queries -----------------------------------------------------------------
+    @property
+    def waiting(self) -> List[SchedulerSequence]:
+        seqs = self.seq_manager.seqs_with_status(MessageStatus.WAITING)
+        return sorted(seqs, key=lambda s: s.metrics.arrival_time)
+
+    @property
+    def running(self) -> List[SchedulerSequence]:
+        return self.seq_manager.seqs_with_status(MessageStatus.RUNNING)
+
+    def has_unfinished(self) -> bool:
+        return bool(self.waiting or self.running)
+
+    def has_waiting(self) -> bool:
+        return bool(self.waiting)
+
+    def make_metrics(self) -> ScheduleMetrics:
+        return ScheduleMetrics(
+            num_running=len(self.running),
+            num_waiting=len(self.waiting),
+            num_free_blocks=self.block_manager.num_free_blocks,
+            num_total_blocks=self.block_manager.num_blocks,
+        )
+
+    # -- scheduling --------------------------------------------------------------------
+    def schedule(self) -> SchedulerOutput:
+        """Pick the next step: prefill if any WAITING can be admitted, else decode.
+
+        Prefill-priority matches the reference default (new requests reach first token
+        fast; decode throughput is preserved by the token-budget chunking).
+        """
+        self._step_count += 1
+        if self.waiting:
+            out = self._schedule_prefill()
+            if not out.is_empty:
+                return out
+        return self._schedule_decoding()
+
+    def _schedule_prefill(self) -> SchedulerOutput:
+        token_budget = self.scheduler_config.max_prefill_token_num
+        max_batch = self.scheduler_config.max_prefill_batch
+        running_count = len(self.running)
+        chunks: List[PrefillChunk] = []
+        import time as _time
+        for seq in self.waiting:
+            if len(chunks) >= max_batch or token_budget <= 0:
+                break
+            if running_count + len(chunks) >= self.scheduler_config.max_batch_size:
+                break
+            if self.block_trie is not None and seq.num_computed_tokens == 0:
+                self.block_trie.match_prefix(seq)
+            num_new = min(seq.num_uncomputed, token_budget)
+            if num_new <= 0:
+                continue
+            if not self.block_manager.allocate_for_seq(seq, num_new):
+                # Try to free space by preempting the youngest RUNNING seq; never
+                # preempt for a seq younger than the victim (forward progress).
+                if not self._try_preempt_for(seq, num_new):
+                    break
+            is_last = (num_new == seq.num_uncomputed)
+            chunks.append(PrefillChunk(seq=seq, start=seq.num_computed_tokens,
+                                       length=num_new, is_last=is_last))
+            token_budget -= num_new
+            if not seq.metrics.first_scheduled_time:
+                seq.metrics.first_scheduled_time = _time.time()
+        return SchedulerOutput(is_prefill=True, prefill_chunks=chunks)
+
+    def _schedule_decoding(self) -> SchedulerOutput:
+        seqs = sorted(self.running, key=lambda s: s.metrics.arrival_time)
+        scheduled: List[SchedulerSequence] = []
+        for seq in seqs:
+            # each decode step appends 1 token; may need a new block
+            if not self.block_manager.allocate_for_seq(seq, num_new_tokens=1):
+                if not self._try_preempt_for(seq, 1, exclude=scheduled):
+                    # cannot schedule this seq now; preempt it instead of stalling
+                    self._preempt(seq)
+                    continue
+            scheduled.append(seq)
+        return SchedulerOutput(is_prefill=False, decode_seqs=scheduled)
+
+    def _try_preempt_for(self, seq: SchedulerSequence, num_new_tokens: int,
+                         exclude: Optional[List[SchedulerSequence]] = None) -> bool:
+        """Evict youngest RUNNING seqs until ``seq`` can allocate. Recompute-type eviction."""
+        exclude_ids = {id(s) for s in (exclude or [])} | {id(seq)}
+        victims = sorted((s for s in self.running if id(s) not in exclude_ids),
+                         key=lambda s: s.metrics.arrival_time, reverse=True)
+        # feasibility guard: never evict when eviction cannot possibly satisfy the
+        # request (avoid pointless preemption storms)
+        needed = self.block_manager.num_required_blocks(seq, num_new_tokens)
+        reclaimable = self.block_manager.num_free_blocks + \
+            sum(len(v.logical_blocks) for v in victims)
+        if self.block_trie is not None:
+            reclaimable += self.block_trie.num_cached_blocks
+        if needed > reclaimable:
+            return False
+        for victim in victims:
+            self._preempt(victim)
+            if self.block_manager.allocate_for_seq(seq, num_new_tokens):
+                return True
+        # Also try evicting cached (ref-counted) prefix blocks.
+        if self.block_trie is not None:
+            freed = self.block_trie.evict(
+                self.block_manager.num_required_blocks(seq, num_new_tokens))
+            if freed and self.block_manager.allocate_for_seq(seq, num_new_tokens):
+                return True
+        return self.block_manager.allocate_for_seq(seq, num_new_tokens)
+
+    def _preempt(self, seq: SchedulerSequence):
+        if self.block_trie is not None:
+            self.block_trie.release_seq(seq)
+        else:
+            self.block_manager.free_seq(seq)
+        seq.reset_computed()
+        seq.status = MessageStatus.WAITING
+
+    # -- post-step updates --------------------------------------------------------------
+    def on_prefill_done(self, chunk: PrefillChunk, next_token: Optional[int]):
+        seq = chunk.seq
+        seq.num_computed_tokens += chunk.length
+        if chunk.is_last:
+            assert next_token is not None
+            seq.append_token(next_token)
+            seq.num_new_tokens += 1
+            seq.status = MessageStatus.RUNNING
+        if self.block_trie is not None:
+            self.block_trie.cache_seq_blocks(seq)
+
+    def on_decode_done(self, seq: SchedulerSequence, next_token: int):
+        seq.append_token(next_token)
+        seq.num_computed_tokens += 1
+        seq.num_new_tokens += 1
+        if self.block_trie is not None:
+            self.block_trie.cache_seq_blocks(seq)

@@ -1,0 +1,99 @@
+"""Multi-chip dry-run: compile + execute one full engine step over an N-device mesh.
+
+Used by ``__graft_entry__.dryrun_multichip`` (driver validation) and by the sharding
+tests on the 8-device virtual CPU mesh.  Exercises the real production shardings:
+dp on batch, megatron TP on attention/MLP projections, head-sharded KV cache,
+vocab-sharded lm_head, with XLA inserting the collectives.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+def dryrun_step(n_devices: int, dp: Optional[int] = None, tp: Optional[int] = None,
+                verbose: bool = False):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..config import CacheConfig, EngineConfigBundle, MiscConfig, ModelConfig, \
+        SchedulerConfig, DistConfig
+    from ..models.llama import AttnMeta, LlamaModel
+    from ..nn.layers import make_rope_table
+    from ..ops.sampling import SamplingInputs, sample_logits
+    from .mesh import build_mesh, cache_sharding, make_llama_shardings
+
+    if dp is None or tp is None:
+        if n_devices >= 8:
+            dp, tp = 2, n_devices // 2
+        elif n_devices >= 2:
+            dp, tp = 1, n_devices
+        else:
+            dp, tp = 1, 1
+
+    # fixed tiny geometry, valid for any tp in {1,2,4,8}; batch divisible by dp
+    cfg = ModelConfig(
+        num_layers=2, num_attention_heads=16,
+        num_key_value_heads=8, hidden_size=128,
+        intermediate_size=256, vocab_size=512, head_dim=32,
+        max_position_embeddings=128, dtype='float32')
+    model = LlamaModel(cfg)
+    mesh = build_mesh(dp=dp, tp=tp)
+
+    B, T, W, BS, NB = 2 * dp, 8, 4, 16, 32
+    params = model.init_params(jax.random.PRNGKey(0))
+    shardings = make_llama_shardings(model)
+    params = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, shardings)
+    kc = jax.device_put(jnp.zeros((cfg.num_layers, NB, BS, cfg.num_key_value_heads,
+                                   cfg.head_dim), jnp.float32),
+                        NamedSharding(mesh, cache_sharding()))
+    vc = jax.device_put(jnp.zeros_like(kc), NamedSharding(mesh, cache_sharding()))
+    cos, sin = make_rope_table(cfg.head_dim, cfg.max_position_embeddings,
+                               cfg.rope_theta)
+
+    dataspec2 = NamedSharding(mesh, P('dp', None))
+    dataspec1 = NamedSharding(mesh, P('dp'))
+    rng = np.random.RandomState(0)
+    input_ids = jax.device_put(
+        rng.randint(0, cfg.vocab_size, (B, T)).astype(np.int32), dataspec2)
+    positions = jax.device_put(
+        np.broadcast_to(np.arange(T, dtype=np.int32), (B, T)).copy(), dataspec2)
+    tables = jax.device_put(
+        (1 + np.arange(B * W, dtype=np.int32)).reshape(B, W), dataspec2)
+    history = jax.device_put(np.zeros(B, np.int32), dataspec1)
+    q_lens = jax.device_put(np.full(B, T, np.int32), dataspec1)
+    counts = jax.device_put(jnp.zeros((B, cfg.vocab_size), jnp.int16), dataspec2)
+    sampling = SamplingInputs(
+        temperature=jax.device_put(np.ones(B, np.float32), dataspec1),
+        top_k=jax.device_put(np.full(B, 5, np.int32), dataspec1),
+        top_p=jax.device_put(np.full(B, 0.9, np.float32), dataspec1),
+        min_p=jax.device_put(np.zeros(B, np.float32), dataspec1),
+        repetition_penalty=jax.device_put(np.ones(B, np.float32), dataspec1),
+        frequency_penalty=jax.device_put(np.zeros(B, np.float32), dataspec1),
+        presence_penalty=jax.device_put(np.zeros(B, np.float32), dataspec1),
+        do_sample=jax.device_put(np.ones(B, bool), dataspec1),
+        seeds=jax.device_put(np.arange(B, dtype=np.uint32), dataspec1))
+
+    def step(params, kc, vc, counts, input_ids, positions, tables, history, q_lens,
+             sampling):
+        meta = AttnMeta(block_tables=tables, history_lens=history, q_lens=q_lens)
+        logits, kc, vc = model.forward(params, input_ids, positions, kc, vc, meta,
+                                       cos, sin)
+        tokens, lp, _ = sample_logits(logits, sampling, counts)
+        counts = counts.at[jnp.arange(tokens.shape[0]), tokens].add(1)
+        return tokens, kc, vc, counts
+
+    jstep = jax.jit(step, donate_argnums=(1, 2, 3))
+    with mesh:
+        tokens, kc, vc, counts = jstep(params, kc, vc, counts, input_ids, positions,
+                                       tables, history, q_lens, sampling)
+        tokens.block_until_ready()
+    toks = np.asarray(tokens)
+    assert toks.shape == (B,)
+    assert (toks >= 0).all() and (toks < cfg.vocab_size).all()
+    if verbose:
+        print(f'dryrun ok: mesh=(dp={dp}, tp={tp}), tokens={toks.tolist()}')
+    return toks

@@ -1,0 +1,78 @@
+"""Device mesh construction and per-layer-type sharding rules.
+
+Reference analog: ``lmdeploy/pytorch/distributed.py`` (per-layer-type TP process groups)
+and TurboMind's EngineParam-driven sharding (``src/turbomind/models/llama/llama_params.h``).
+On TPU the entire concept collapses into: one ``jax.sharding.Mesh`` with named axes
+``('dp', 'tp')`` (later 'ep'/'cp'), plus PartitionSpec tables per layer type.  XLA's
+GSPMD inserts all collectives (psum after row-parallel matmuls, all-gathers at layout
+changes) and overlaps them with compute — the hand-written NCCL/cuda-ipc layer
+(``src/turbomind/comm/``) has no analog here by design.
+
+TP sharding rules (megatron-style column/row split):
+  * wq/wk/wv, w_gate/w_up: column-parallel — PartitionSpec(None, None, 'tp')
+  * wo, w_down:            row-parallel    — PartitionSpec(None, 'tp', None)
+  * KV cache:              head-sharded    — (None layers, None blocks, None, 'tp', None)
+  * lm_head:               vocab-sharded   — (None, 'tp'); sampling reduces over shards
+  * norms/embed:           replicated
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def build_mesh(dp: int = 1, tp: int = 1, devices=None):
+    import jax
+    from jax.sharding import Mesh
+
+    if devices is None:
+        devices = jax.devices()
+    n = dp * tp
+    assert len(devices) >= n, f'need {n} devices, have {len(devices)}'
+    arr = np.array(devices[:n]).reshape(dp, tp)
+    return Mesh(arr, axis_names=('dp', 'tp'))
+
+
+def make_llama_shardings(model, shard_vocab: bool = True) -> Dict:
+    """PartitionSpec tree matching LlamaModel.param_shapes()."""
+    from jax.sharding import PartitionSpec as P
+
+    col = P(None, None, 'tp')     # [L, in, out] shard out
+    row = P(None, 'tp', None)     # [L, in, out] shard in
+    rep1 = P(None, None)          # [L, dim]
+    vec_col = P(None, 'tp')       # [L, out] bias of column-parallel
+
+    layers = {
+        'attn_norm': rep1,
+        'wq': col, 'wk': col, 'wv': col,
+        'wo': row,
+        'mlp_norm': rep1,
+        'w_gate': col, 'w_up': col,
+        'w_down': row,
+    }
+    cfg = model.config
+    if cfg.attention_bias:
+        layers.update(bq=vec_col, bk=vec_col, bv=vec_col)
+    if cfg.qk_norm:
+        layers.update(q_norm=rep1, k_norm=rep1)
+    shardings = {
+        'embed': P(None, None),
+        'layers': layers,
+        'final_norm': P(None),
+    }
+    if not cfg.tie_word_embeddings:
+        shardings['lm_head'] = P(None, 'tp') if shard_vocab else P(None, None)
+    return shardings
+
+
+def cache_sharding():
+    """[L, num_blocks, block_size, Hkv, D] — shard kv heads over tp."""
+    from jax.sharding import PartitionSpec as P
+    return P(None, None, None, 'tp', None)
+
+
+def data_sharding(batch_axes: int = 2):
+    """Batch inputs sharded over dp on the leading axis."""
+    from jax.sharding import PartitionSpec as P
+    return P(*(['dp'] + [None] * (batch_axes - 1)))

@@ -1,0 +1,271 @@
+"""OpenAI-compatible API server (aiohttp).
+
+Reference analog: ``lmdeploy/serve/openai/api_server.py`` (app assembly ``:379-395``)
+and ``serve/openai/endpoints/`` (chat_completions ``:205``, completions, generate,
+management).  The reference uses FastAPI/uvicorn; this build serves the same wire
+format over aiohttp (the HTTP stack available in the TPU image) — request/response
+schemas stay pydantic, SSE framing is identical, so OpenAI clients work unchanged.
+
+Endpoints: GET /v1/models, /health, /metrics; POST /v1/chat/completions,
+/v1/completions, /generate, /abort_request.
+"""
+from __future__ import annotations
+
+import asyncio
+import json
+from typing import Optional
+
+from ..chat_template import ChatTemplateConfig
+from ..messages import GenerationConfig, TpuEngineConfig
+from .async_engine import AsyncEngine
+from .openai_protocol import (ChatCompletionChoice, ChatCompletionRequest,
+                              ChatCompletionResponse, ChatCompletionStreamChoice,
+                              ChatCompletionStreamResponse, ChatMessage,
+                              CompletionChoice, CompletionRequest, CompletionResponse,
+                              DeltaMessage, ErrorResponse, GenerateRequest, ModelCard,
+                              ModelList, UsageInfo)
+
+
+def _gen_config_from_chat(req: ChatCompletionRequest) -> GenerationConfig:
+    max_new = req.max_completion_tokens or req.max_tokens or 512
+    stop = req.stop if isinstance(req.stop, list) else ([req.stop] if req.stop else None)
+    return GenerationConfig(
+        max_new_tokens=max_new,
+        do_sample=(req.temperature or 0) > 0,
+        temperature=req.temperature if req.temperature is not None else 0.7,
+        top_p=req.top_p or 1.0,
+        top_k=req.top_k or 0,
+        min_p=req.min_p or 0.0,
+        repetition_penalty=req.repetition_penalty or 1.0,
+        presence_penalty=req.presence_penalty or 0.0,
+        frequency_penalty=req.frequency_penalty or 0.0,
+        stop_words=stop,
+        random_seed=req.seed,
+        skip_special_tokens=bool(req.skip_special_tokens),
+        logprobs=req.top_logprobs if req.logprobs else None,
+    )
+
+
+def create_app(engine: AsyncEngine, model_name: str, api_key: Optional[str] = None):
+    from aiohttp import web
+
+    def error_response(msg: str, status: int = 400) -> 'web.Response':
+        body = {'error': ErrorResponse(message=msg).model_dump()}
+        return web.json_response(body, status=status)
+
+    @web.middleware
+    async def auth_middleware(request, handler):
+        if api_key is not None and request.path.startswith('/v1'):
+            auth = request.headers.get('Authorization', '')
+            if auth != f'Bearer {api_key}':
+                return error_response('invalid api key', 401)
+        try:
+            return await handler(request)
+        except ValueError as e:
+            # user-input errors raised by the engine (e.g. prompt > session_len)
+            return error_response(str(e), 400)
+
+    async def parse(request, model_cls):
+        try:
+            return model_cls.model_validate(await request.json()), None
+        except Exception as e:  # noqa: BLE001
+            return None, error_response(f'invalid request: {e}', 400)
+
+    # -- handlers ----------------------------------------------------------------------
+    async def health(request):
+        if engine.engine.is_alive():
+            return web.json_response({'status': 'ok'})
+        return web.json_response({'status': 'dead'}, status=500)
+
+    async def list_models(request):
+        return web.json_response(
+            ModelList(data=[ModelCard(id=model_name)]).model_dump())
+
+    async def metrics(request):
+        m = engine.engine.make_schedule_metrics()
+        lines = [
+            f'lmdeploy_num_running {m.num_running}',
+            f'lmdeploy_num_waiting {m.num_waiting}',
+            f'lmdeploy_cache_usage {m.cache_usage:.4f}',
+            f'lmdeploy_free_blocks {m.num_free_blocks}',
+        ]
+        return web.Response(text='\n'.join(lines) + '\n')
+
+    async def chat_completions(request):
+        req, err = await parse(request, ChatCompletionRequest)
+        if err:
+            return err
+        gen_config = _gen_config_from_chat(req)
+        session_id = engine.next_session_id()
+
+        if req.stream:
+            resp = web.StreamResponse(headers={
+                'Content-Type': 'text/event-stream',
+                'Cache-Control': 'no-cache'})
+            await resp.prepare(request)
+            rid = None
+            first = True
+            try:
+                async for out in engine.generate(req.messages, session_id,
+                                                 gen_config=gen_config):
+                    chunk = ChatCompletionStreamResponse(model=req.model)
+                    rid = rid or chunk.id
+                    chunk.id = rid
+                    delta = DeltaMessage(content=out.response)
+                    if first:
+                        delta.role = 'assistant'
+                        first = False
+                    chunk.choices = [ChatCompletionStreamChoice(
+                        delta=delta, finish_reason=out.finish_reason)]
+                    await resp.write(
+                        f'data: {chunk.model_dump_json()}\n\n'.encode())
+            except (ConnectionResetError, asyncio.CancelledError):
+                await engine.stop_session(session_id)
+                raise
+            await resp.write(b'data: [DONE]\n\n')
+            await resp.write_eof()
+            return resp
+
+        text = ''
+        finish_reason = None
+        input_len = 0
+        gen_len = 0
+        async for out in engine.generate(req.messages, session_id,
+                                         gen_config=gen_config):
+            text += out.response
+            finish_reason = out.finish_reason
+            input_len = out.input_token_len
+            gen_len = out.generate_token_len
+        body = ChatCompletionResponse(
+            model=req.model,
+            choices=[ChatCompletionChoice(
+                message=ChatMessage(role='assistant', content=text),
+                finish_reason=finish_reason)],
+            usage=UsageInfo(prompt_tokens=input_len, completion_tokens=gen_len,
+                            total_tokens=input_len + gen_len))
+        return web.json_response(body.model_dump())
+
+    async def completions(request):
+        req, err = await parse(request, CompletionRequest)
+        if err:
+            return err
+        prompts = req.prompt if isinstance(req.prompt, list) else [req.prompt]
+        gen_config = GenerationConfig(
+            max_new_tokens=req.max_tokens or 16,
+            do_sample=(req.temperature or 0) > 0,
+            temperature=req.temperature if req.temperature is not None else 0.7,
+            top_p=req.top_p or 1.0, top_k=req.top_k or 0,
+            repetition_penalty=req.repetition_penalty or 1.0,
+            presence_penalty=req.presence_penalty or 0.0,
+            frequency_penalty=req.frequency_penalty or 0.0,
+            stop_words=req.stop if isinstance(req.stop, list)
+            else ([req.stop] if req.stop else None),
+            random_seed=req.seed)
+
+        if req.stream:
+            session_id = engine.next_session_id()
+            resp = web.StreamResponse(headers={
+                'Content-Type': 'text/event-stream',
+                'Cache-Control': 'no-cache'})
+            await resp.prepare(request)
+            async for out in engine.generate(prompts[0], session_id,
+                                             gen_config=gen_config,
+                                             do_preprocess=False):
+                body = CompletionResponse(model=req.model, choices=[
+                    CompletionChoice(text=out.response,
+                                     finish_reason=out.finish_reason)])
+                await resp.write(f'data: {body.model_dump_json()}\n\n'.encode())
+            await resp.write(b'data: [DONE]\n\n')
+            await resp.write_eof()
+            return resp
+
+        async def one(i, prompt):
+            session_id = engine.next_session_id()
+            text = ''
+            finish_reason = None
+            input_len = gen_len = 0
+            async for out in engine.generate(prompt, session_id,
+                                             gen_config=gen_config,
+                                             do_preprocess=False):
+                text += out.response
+                finish_reason = out.finish_reason
+                input_len = out.input_token_len
+                gen_len = out.generate_token_len
+            return CompletionChoice(index=i, text=text,
+                                    finish_reason=finish_reason), input_len, gen_len
+
+        results = await asyncio.gather(*[one(i, p) for i, p in enumerate(prompts)])
+        usage = UsageInfo()
+        choices = []
+        for choice, input_len, gen_len in results:
+            choices.append(choice)
+            usage.prompt_tokens += input_len
+            usage.completion_tokens += gen_len
+        usage.total_tokens = usage.prompt_tokens + usage.completion_tokens
+        body = CompletionResponse(model=req.model, choices=choices, usage=usage)
+        return web.json_response(body.model_dump())
+
+    async def generate(request):
+        """Token-level generation API (reference: endpoints/generate.py:65)."""
+        req, err = await parse(request, GenerateRequest)
+        if err:
+            return err
+        gen_config = GenerationConfig(
+            max_new_tokens=req.max_tokens, do_sample=req.do_sample,
+            temperature=req.temperature, top_p=req.top_p, top_k=req.top_k,
+            stop_token_ids=req.stop_token_ids, ignore_eos=req.ignore_eos)
+        session_id = req.session_id or engine.next_session_id()
+        if req.input_ids is not None:
+            from ..messages import ResponseType
+            from ..paging.seq import SamplingParams
+            gen_config.validate()
+            sampling = SamplingParams.from_gen_config(
+                gen_config, engine.engine.model_config.eos_token_id)
+            queue = engine.engine.add_message(session_id, req.input_ids, sampling)
+            token_ids = []
+            while True:
+                out = await queue.get()
+                token_ids = out.token_ids
+                if out.status != ResponseType.SUCCESS:
+                    break
+            engine.engine.end_session(session_id)
+            return web.json_response({'token_ids': token_ids,
+                                      'num_token': len(token_ids)})
+        if req.prompt is None:
+            return error_response('prompt or input_ids required')
+        text = ''
+        async for out in engine.generate(req.prompt, session_id,
+                                         gen_config=gen_config, do_preprocess=False):
+            text += out.response
+        return web.json_response({'text': text})
+
+    async def abort_request(request):
+        data = await request.json()
+        session_id = data.get('session_id')
+        if session_id is not None:
+            await engine.stop_session(int(session_id))
+        return web.json_response({'status': 'ok'})
+
+    app = web.Application(middlewares=[auth_middleware])
+    app.router.add_get('/health', health)
+    app.router.add_get('/v1/models', list_models)
+    app.router.add_get('/metrics', metrics)
+    app.router.add_post('/v1/chat/completions', chat_completions)
+    app.router.add_post('/v1/completions', completions)
+    app.router.add_post('/generate', generate)
+    app.router.add_post('/abort_request', abort_request)
+    return app
+
+
+def serve(model_path: str, model_name: Optional[str] = None,
+          server_name: str = '0.0.0.0', server_port: int = 23333,
+          backend_config: Optional[TpuEngineConfig] = None,
+          chat_template_config: Optional[ChatTemplateConfig] = None,
+          api_key: Optional[str] = None, log_level: str = 'INFO', **kwargs):
+    """Build engine + app and serve (reference: api_server.py serve())."""
+    from aiohttp import web
+
+    engine = AsyncEngine(model_path, backend_config=backend_config,
+                         chat_template_config=chat_template_config, **kwargs)
+    app = create_app(engine, model_name or model_path, api_key)
+    web.run_app(app, host=server_name, port=server_port)

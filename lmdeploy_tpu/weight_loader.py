@@ -1,0 +1,106 @@
+"""Safetensors -> device params loader.
+
+Reference analog: ``lmdeploy/pytorch/weight_loader/model_weight_loader.py`` (shard
+iteration, per-module dispatch, TP-aware loading) and TurboMind's direct-from-HF pipeline
+(``lmdeploy/turbomind/model_loader.py``).
+
+Strategy: allocate the stacked numpy parameter tree once, stream every safetensors shard
+through the model's assign-plan (writing transposed slices into the stacked arrays), then
+``jax.device_put`` each leaf with its NamedSharding — a single host->device transfer per
+parameter, already laid out for ``lax.scan``.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+def _np_dtype(name: str):
+    import ml_dtypes
+    return {'bfloat16': ml_dtypes.bfloat16, 'float16': np.float16,
+            'float32': np.float32}[name]
+
+
+def iter_safetensors(model_path: str):
+    """Yield (name, np_array) over all safetensors shards of a checkpoint."""
+    from safetensors import safe_open
+    files = sorted(glob.glob(os.path.join(model_path, '*.safetensors')))
+    if not files:
+        raise FileNotFoundError(f'no *.safetensors under {model_path}')
+    for path in files:
+        with safe_open(path, framework='np') as f:
+            for name in f.keys():
+                yield name, f.get_tensor(name)
+
+
+def _alloc_tree(shapes: Dict[str, Any], dtype) -> Dict[str, Any]:
+    out = {}
+    for k, v in shapes.items():
+        if isinstance(v, dict):
+            out[k] = _alloc_tree(v, dtype)
+        else:
+            out[k] = np.zeros(v, dtype=dtype)
+    return out
+
+
+def _assign(params_np, path, tensor, col):
+    layer = None
+    if isinstance(path[-1], int):
+        layer = path[-1]
+        path = path[:-1]
+    node = params_np
+    for p in path[:-1]:
+        node = node[p]
+    arr = node[path[-1]]
+    if layer is not None:
+        arr = arr[layer]
+    if col is None:
+        arr[...] = tensor
+    else:
+        arr[..., col] = tensor
+
+
+def load_model_params(model, model_path: str, shardings: Optional[Dict] = None,
+                      mesh=None):
+    """Load HF safetensors into the model's stacked param tree and put on device.
+
+    ``shardings`` is an optional pytree of PartitionSpec matching the param tree;
+    with a mesh, each leaf is placed with jax.NamedSharding (XLA shards the transfer).
+    """
+    import jax
+
+    cfg = model.config
+    np_dtype = _np_dtype(cfg.dtype)
+    shapes = model.param_shapes()
+    params_np = _alloc_tree(shapes, np_dtype)
+    plan = model.make_assign_plan()
+
+    seen = set()
+    for name, tensor in iter_safetensors(model_path):
+        entry = plan.get(name)
+        if entry is None:
+            continue
+        path, transform, col = entry
+        tensor = np.asarray(tensor)
+        if tensor.dtype != np_dtype:
+            tensor = tensor.astype(np_dtype)
+        tensor = transform(tensor)
+        _assign(params_np, path, tensor, col)
+        seen.add(name)
+
+    return put_params(params_np, shardings, mesh)
+
+
+def put_params(params_np, shardings=None, mesh=None):
+    """Transfer a numpy param tree to device(s), honoring shardings when given."""
+    import jax
+
+    if mesh is not None and shardings is not None:
+        def put(leaf, spec):
+            return jax.device_put(leaf, jax.NamedSharding(mesh, spec))
+        return jax.tree_util.tree_map(put, params_np, shardings)
+    return jax.tree_util.tree_map(jax.device_put, params_np)

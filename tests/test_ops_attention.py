@@ -1,0 +1,114 @@
+"""Paged-attention jnp reference vs naive dense attention."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lmdeploy_tpu.ops.attention import (compute_slot_mapping, fill_kv_cache,
+                                        paged_attention)
+
+
+def naive_attention(q, k, v, history_len, q_len, scale):
+    """Dense causal attention for one sequence. q: [T,Hq,D], k/v: [S,Hkv,D]."""
+    T, Hq, D = q.shape
+    S, Hkv, _ = k.shape
+    G = Hq // Hkv
+    k = np.repeat(k, G, axis=1)   # [S,Hq,D]
+    v = np.repeat(v, G, axis=1)
+    out = np.zeros_like(q, dtype=np.float32)
+    for t in range(q_len):
+        pos = history_len + t
+        for h in range(Hq):
+            scores = (q[t, h].astype(np.float32) @
+                      k[:pos + 1, h].astype(np.float32).T) * scale
+            probs = np.exp(scores - scores.max())
+            probs /= probs.sum()
+            out[t, h] = probs @ v[:pos + 1, h].astype(np.float32)
+    return out
+
+
+def setup_cache(rng, B, max_ctx, block_size, Hkv, D, num_blocks=None):
+    num_blocks = num_blocks or (B * (max_ctx // block_size) + 8)
+    k_cache = jnp.zeros((num_blocks, block_size, Hkv, D), jnp.float32)
+    v_cache = jnp.zeros((num_blocks, block_size, Hkv, D), jnp.float32)
+    W = max_ctx // block_size
+    # assign disjoint blocks per row, skipping block 0
+    tables = np.arange(1, 1 + B * W, dtype=np.int32).reshape(B, W)
+    return k_cache, v_cache, jnp.asarray(tables)
+
+
+@pytest.mark.parametrize('history,qlen', [(0, 12), (16, 8), (30, 1)])
+def test_paged_matches_naive(history, qlen):
+    rng = np.random.RandomState(0)
+    B, T, Hq, Hkv, D = 2, 16, 4, 2, 8
+    block_size = 16
+    max_ctx = 64
+    scale = D ** -0.5
+
+    k_cache, v_cache, tables = setup_cache(rng, B, max_ctx, block_size, Hkv, D)
+    history_lens = jnp.full((B,), history, jnp.int32)
+    q_lens = jnp.full((B,), qlen, jnp.int32)
+
+    # place history KV into the cache
+    full_k = rng.randn(B, history + T, Hkv, D).astype(np.float32)
+    full_v = rng.randn(B, history + T, Hkv, D).astype(np.float32)
+    if history > 0:
+        hist_slots = compute_slot_mapping(tables, jnp.zeros((B,), jnp.int32),
+                                          jnp.full((B,), history, jnp.int32),
+                                          history, block_size)
+        k_cache, v_cache = fill_kv_cache(
+            k_cache, v_cache,
+            jnp.asarray(full_k[:, :history].reshape(B * history, Hkv, D)),
+            jnp.asarray(full_v[:, :history].reshape(B * history, Hkv, D)), hist_slots)
+
+    # fill the chunk's own KV then attend
+    chunk_k = full_k[:, history:history + T]
+    chunk_v = full_v[:, history:history + T]
+    slots = compute_slot_mapping(tables, history_lens, q_lens, T, block_size)
+    k_cache, v_cache = fill_kv_cache(k_cache, v_cache,
+                                     jnp.asarray(chunk_k.reshape(B * T, Hkv, D)),
+                                     jnp.asarray(chunk_v.reshape(B * T, Hkv, D)), slots)
+
+    q = rng.randn(B, T, Hq, D).astype(np.float32)
+    out = paged_attention(jnp.asarray(q), k_cache, v_cache, tables,
+                          history_lens, q_lens, scale)
+    out = np.asarray(out)
+
+    for b in range(B):
+        expect = naive_attention(q[b], full_k[b, :history + qlen],
+                                 full_v[b, :history + qlen], history, qlen, scale)
+        np.testing.assert_allclose(out[b, :qlen], expect[:qlen], rtol=2e-4, atol=2e-4)
+
+
+def test_fill_kv_cache_padding_block():
+    """Padded tokens scatter into reserved block 0 and leave real blocks intact."""
+    B, T, Hkv, D, block_size = 1, 8, 2, 4, 16
+    k_cache = jnp.zeros((4, block_size, Hkv, D), jnp.float32)
+    v_cache = jnp.zeros_like(k_cache)
+    tables = jnp.asarray([[1]], dtype=jnp.int32)
+    q_lens = jnp.asarray([3], jnp.int32)   # 3 valid of 8
+    slots = compute_slot_mapping(tables, jnp.zeros((1,), jnp.int32), q_lens,
+                                 T, block_size)
+    k_new = jnp.ones((T, Hkv, D), jnp.float32)
+    k_cache, v_cache = fill_kv_cache(k_cache, v_cache, k_new, k_new, slots)
+    # valid tokens landed in block 1
+    assert np.asarray(k_cache)[1, :3].sum() == 3 * Hkv * D
+    assert np.asarray(k_cache)[1, 3:].sum() == 0
+    # other real blocks untouched
+    assert np.asarray(k_cache)[2:].sum() == 0
+
+
+def test_sliding_window_mask():
+    rng = np.random.RandomState(1)
+    B, T, Hq, Hkv, D = 1, 1, 2, 2, 8
+    block_size, W = 16, 2
+    k_cache = jnp.asarray(rng.randn(4, block_size, Hkv, D).astype(np.float32))
+    v_cache = jnp.asarray(rng.randn(4, block_size, Hkv, D).astype(np.float32))
+    tables = jnp.asarray([[1, 2]], jnp.int32)
+    history = jnp.asarray([20], jnp.int32)
+    q_lens = jnp.asarray([1], jnp.int32)
+    q = jnp.asarray(rng.randn(B, T, Hq, D).astype(np.float32))
+    full = paged_attention(q, k_cache, v_cache, tables, history, q_lens, 0.35)
+    windowed = paged_attention(q, k_cache, v_cache, tables, history, q_lens, 0.35,
+                               window_size=4)
+    assert not np.allclose(np.asarray(full), np.asarray(windowed))
