@@ -39,7 +39,7 @@ def build_engine():
     session_len = PROMPT_LEN + NEW_TOKENS + 64
     bundle = EngineConfigBundle(
         model=model_cfg,
-        cache=CacheConfig(block_size=64, num_gpu_blocks=0,
+        cache=CacheConfig(block_size=128, num_gpu_blocks=0,
                           cache_max_entry_count=0.7,
                           max_prefill_token_num=4096),
         scheduler=SchedulerConfig(max_batch_size=BATCH, max_session_len=session_len,

@@ -20,21 +20,25 @@ from ..messages import QuantPolicy
 class CacheEngine:
 
     def __init__(self, model_config: ModelConfig, cache_config: CacheConfig,
-                 mesh=None, cache_spec=None):
+                 mesh=None, cache_spec=None, reserved_bytes: int = 0):
         import jax
         import jax.numpy as jnp
 
         self.model_config = model_config
         self.cache_config = cache_config
         self.mesh = mesh
+        self.reserved_bytes = reserved_bytes
 
         if cache_config.num_gpu_blocks <= 0:
             cache_config.num_gpu_blocks = self._derive_num_blocks()
         self.num_blocks = cache_config.num_gpu_blocks
 
         cfg = model_config
-        shape = (cfg.num_layers, self.num_blocks, cache_config.block_size,
-                 cfg.num_key_value_heads, cfg.head_dim)
+        # head-major, slot-major pages [BS, D]: token rows are contiguous for both
+        # the fill scatter and the decode kernel's page DMAs (see
+        # ops/attention.py fill_kv_cache docstring)
+        shape = (cfg.num_layers, cfg.num_key_value_heads, self.num_blocks,
+                 cache_config.block_size, cfg.head_dim)
         dtype = self._cache_dtype()
 
         sharding = None
@@ -78,13 +82,21 @@ class CacheEngine:
             stats = dev.memory_stats() or {}
         except Exception:
             pass
+        import os
         limit = stats.get('bytes_limit', 0)
         in_use = stats.get('bytes_in_use', 0)
-        if limit <= 0:
-            # CPU backend / no stats: small default for tests
+        if limit > 0:
+            free = limit - in_use
+        elif jax.default_backend() == 'cpu':
+            # CPU backend: small default for tests
             free = 256 * 1024 * 1024
         else:
-            free = (limit - in_use)
+            # TPU backends without memory_stats (e.g. the axon tunnel): assume the
+            # chip HBM size, subtract resident weights + jit/activation headroom.
+            hbm = int(os.environ.get('LMDEPLOY_TPU_HBM_BYTES', 16 * 1024**3))
+            headroom = int(os.environ.get('LMDEPLOY_TPU_HEADROOM_BYTES',
+                                          int(1.5 * 1024**3)))
+            free = hbm - self.reserved_bytes - headroom
         budget = int(free * self.cache_config.cache_max_entry_count)
         cfg = self.model_config
         itemsize = 1 if self.cache_config.quant_policy in (

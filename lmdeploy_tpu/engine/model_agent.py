@@ -96,7 +96,9 @@ class ModelAgent:
         if mesh is not None:
             from ..parallel.mesh import cache_sharding
             cache_spec = cache_sharding()
-        self.cache_engine = CacheEngine(cfg, configs.cache, mesh, cache_spec)
+        params_bytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(self.params))
+        self.cache_engine = CacheEngine(cfg, configs.cache, mesh, cache_spec,
+                                        reserved_bytes=params_bytes)
         self.num_blocks = self.cache_engine.num_blocks
 
         # -- sampling state -----------------------------------------------------------
@@ -127,7 +129,7 @@ class ModelAgent:
             seq.batch_slot = -1
 
     # -- jitted step -------------------------------------------------------------------
-    def _make_step_fn(self, count_inputs: bool):
+    def _make_step_fn(self, count_inputs: bool, fresh_prefill: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -141,7 +143,7 @@ class ModelAgent:
                             q_lens=q_lens)
             logits, k_cache, v_cache = model.forward(
                 params, input_ids, positions, k_cache, v_cache, meta,
-                rope_cos, rope_sin)
+                rope_cos, rope_sin, fresh_prefill=fresh_prefill)
 
             rows = token_counts[slot_rows]                       # [B, V]
             rows = jnp.where(reset_rows[:, None], 0, rows)
@@ -159,11 +161,11 @@ class ModelAgent:
 
         return jax.jit(step, donate_argnums=(3, 4, 5))
 
-    def _get_step_fn(self, count_inputs: bool):
-        key = ('count' if count_inputs else 'plain',)
+    def _get_step_fn(self, count_inputs: bool, fresh_prefill: bool = False):
+        key = (count_inputs, fresh_prefill)
         fn = self._step_fns.get(key)
         if fn is None:
-            fn = self._make_step_fn(count_inputs)
+            fn = self._make_step_fn(count_inputs, fresh_prefill)
             self._step_fns[key] = fn
         return fn
 
@@ -211,7 +213,8 @@ class ModelAgent:
         sampling = self._pad_sampling(sampling, n, B)
         self._step_counter += 1
 
-        fn = self._get_step_fn(count_inputs)
+        fresh = count_inputs and all(s == 0 for s in chunk_starts)
+        fn = self._get_step_fn(count_inputs, fresh)
         (k_cache, v_cache, self.token_counts, tokens, logprob, top) = fn(
             self.params, self.rope_cos, self.rope_sin,
             self.cache_engine.k_cache, self.cache_engine.v_cache, self.token_counts,

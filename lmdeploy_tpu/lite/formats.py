@@ -1,0 +1,78 @@
+"""Quantized-checkpoint wire formats: AWQ / GPTQ pack & unpack (numpy, load-time).
+
+Reference analog: ``lmdeploy/turbomind/weight_format.py`` + ``lmdeploy/pytorch/nn/
+linear/awq.py`` weight preprocessing.  These functions convert between the HF
+community formats and this framework's kernel layout (nibbles packed along K,
+see ops/pallas/quant_matmul.py).
+
+AWQ (autoawq) format:  qweight i32[K, N/8], qzeros i32[K/gs, N/8], scales f16[K/gs, N]
+  - 8 nibbles per int32 word along the OUTPUT dim, interleaved order: nibble at
+    shift 4*i holds output column ``8*w + AWQ_ORDER[i]``.
+GPTQ format:           qweight i32[K/8, N], qzeros i32[K/gs, N/8], scales f16[K/gs, N]
+  - 8 nibbles per word along the INPUT dim, sequential order; stored zero points
+    are ``z - 1`` (the classic GPTQ off-by-one).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+AWQ_ORDER = [0, 2, 4, 6, 1, 3, 5, 7]
+
+
+def unpack_awq_qweight(qw: np.ndarray) -> np.ndarray:
+    """i32[K, N/8] -> u8[K, N] (values 0..15)."""
+    qw = qw.astype(np.uint32)
+    K, N8 = qw.shape
+    out = np.empty((K, N8 * 8), np.uint8)
+    for i in range(8):
+        out[:, AWQ_ORDER[i]::8] = ((qw >> (4 * i)) & 0xF).astype(np.uint8)
+    return out
+
+
+def pack_awq_qweight(q: np.ndarray) -> np.ndarray:
+    """u8[K, N] -> i32[K, N/8] in AWQ interleaved order."""
+    K, N = q.shape
+    out = np.zeros((K, N // 8), np.uint32)
+    for i in range(8):
+        out |= q[:, AWQ_ORDER[i]::8].astype(np.uint32) << (4 * i)
+    return out.astype(np.int32)
+
+
+def unpack_awq_qzeros(qz: np.ndarray) -> np.ndarray:
+    """i32[G, N/8] -> f32[G, N] zero points."""
+    return unpack_awq_qweight(qz).astype(np.float32)
+
+
+def unpack_gptq_qweight(qw: np.ndarray) -> np.ndarray:
+    """i32[K/8, N] -> u8[K, N] (sequential nibble order along K)."""
+    qw = qw.astype(np.uint32)
+    K8, N = qw.shape
+    out = np.empty((K8 * 8, N), np.uint8)
+    for i in range(8):
+        out[i::8] = ((qw >> (4 * i)) & 0xF).astype(np.uint8)
+    return out
+
+
+def unpack_gptq_qzeros(qz: np.ndarray) -> np.ndarray:
+    """i32[G, N/8] -> f32[G, N]; GPTQ stores z-1, compensate (+1)."""
+    qz = qz.astype(np.uint32)
+    G, N8 = qz.shape
+    out = np.empty((G, N8 * 8), np.uint8)
+    for i in range(8):
+        out[:, i::8] = ((qz >> (4 * i)) & 0xF).astype(np.uint8)
+    return out.astype(np.float32) + 1.0
+
+
+def to_kernel_packed(q: np.ndarray) -> np.ndarray:
+    """u8[K, N] int4 values -> kernel layout u8[K/2, N] (even row lo, odd row hi)."""
+    lo = q[0::2]
+    hi = q[1::2]
+    return (lo | (hi << 4)).astype(np.uint8)
+
+
+def awq_qweight_to_kernel(qw: np.ndarray) -> np.ndarray:
+    return to_kernel_packed(unpack_awq_qweight(qw))
+
+
+def gptq_qweight_to_kernel(qw: np.ndarray) -> np.ndarray:
+    return to_kernel_packed(unpack_gptq_qweight(qw))

@@ -98,7 +98,8 @@ class TpuEngineConfig:
     session_len: Optional[int] = None        # max total sequence length
     max_batch_size: Optional[int] = None
     cache_max_entry_count: float = 0.8       # fraction of free HBM for KV cache
-    block_size: int = 64                     # paged-KV block granularity (tokens)
+    block_size: int = 128                    # paged-KV block granularity (tokens);
+                                             # 128 = one TPU lane tile, zero padding
     num_cpu_blocks: int = 0                  # host-offload swap pool
     num_gpu_blocks: int = 0                  # 0 = derive from free HBM
     quant_policy: int = 0                    # QuantPolicy for online KV quant

@@ -48,15 +48,44 @@ jax.tree_util.register_dataclass(
 
 
 class LlamaModel:
-    """Weights container + forward for the dense llama family."""
+    """Weights container + forward for the dense llama family.
+
+    When the checkpoint carries a quantization_config (awq/gptq -> w4a16,
+    smooth_quant -> w8a8), the seven decoder linears become quantized weight
+    leaves dispatched by nn/linear.py; embed/lm_head stay dense (matching the
+    reference's quantized-model layout).
+    """
+
+    QUANT_LINEARS = ('wq', 'wk', 'wv', 'wo', 'w_gate', 'w_up', 'w_down')
 
     def __init__(self, config: ModelConfig):
         self.config = config
         cfg = config
         self.q_out = cfg.num_attention_heads * cfg.head_dim
         self.kv_out = cfg.num_key_value_heads * cfg.head_dim
+        self.quant_method = None
+        self.group_size = 128
+        qcfg = cfg.quantization_config or {}
+        method = qcfg.get('quant_method')
+        if method in ('awq', 'gptq'):
+            self.quant_method = 'w4a16'
+            self.group_size = qcfg.get('group_size') or qcfg.get('q_group_size', 128)
+        elif method in ('smooth_quant', 'w8a8'):
+            self.quant_method = 'w8a8'
 
     # -- parameter allocation ----------------------------------------------------------
+    def _linear_shape(self, L: int, K: int, N: int):
+        import jax
+        if self.quant_method == 'w4a16':
+            gs = self.group_size
+            return {'packed': jax.ShapeDtypeStruct((L, K // 2, N), jnp.uint8),
+                    'scales': jax.ShapeDtypeStruct((L, K // gs, N), jnp.float32),
+                    'zeros': jax.ShapeDtypeStruct((L, K // gs, N), jnp.float32)}
+        if self.quant_method == 'w8a8':
+            return {'w8': jax.ShapeDtypeStruct((L, K, N), jnp.int8),
+                    'scale': jax.ShapeDtypeStruct((L, N), jnp.float32)}
+        return (L, K, N)
+
     def param_shapes(self) -> Dict[str, Any]:
         cfg = self.config
         L, H, I, V = (cfg.num_layers, cfg.hidden_size, cfg.intermediate_size,
@@ -64,14 +93,14 @@ class LlamaModel:
         D = cfg.head_dim
         layers = {
             'attn_norm': (L, H),
-            'wq': (L, H, self.q_out),
-            'wk': (L, H, self.kv_out),
-            'wv': (L, H, self.kv_out),
-            'wo': (L, self.q_out, H),
+            'wq': self._linear_shape(L, H, self.q_out),
+            'wk': self._linear_shape(L, H, self.kv_out),
+            'wv': self._linear_shape(L, H, self.kv_out),
+            'wo': self._linear_shape(L, self.q_out, H),
             'mlp_norm': (L, H),
-            'w_gate': (L, H, I),
-            'w_up': (L, H, I),
-            'w_down': (L, I, H),
+            'w_gate': self._linear_shape(L, H, I),
+            'w_up': self._linear_shape(L, H, I),
+            'w_down': self._linear_shape(L, I, H),
         }
         if cfg.attention_bias:
             layers['bq'] = (L, self.q_out)
@@ -91,26 +120,38 @@ class LlamaModel:
 
     def init_params(self, rng: Optional[jax.Array] = None, scale: float = 0.02):
         """Random/zero init (benchmarks, tests; real weights come from the loader)."""
+        import jax as _jax
         dtype = self.config.jnp_dtype()
 
         def make(path, shape):
             name = path[-1]
+            if isinstance(shape, _jax.ShapeDtypeStruct):
+                if rng is None or shape.dtype in (jnp.uint8, jnp.int8):
+                    base = jnp.zeros(shape.shape, shape.dtype)
+                    if rng is not None and shape.dtype == jnp.uint8:
+                        key = _jax.random.fold_in(rng, len(name))
+                        base = _jax.random.randint(key, shape.shape, 0, 255,
+                                                   jnp.int32).astype(jnp.uint8)
+                    return base
+                return jnp.full(shape.shape, 0.01, shape.dtype)   # scales/zeros
             if rng is None:
                 return jnp.zeros(shape, dtype)
             if 'norm' in name:
                 return jnp.ones(shape, dtype)
             import zlib
-            key = jax.random.fold_in(rng, zlib.crc32('/'.join(path).encode()))
-            return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+            key = _jax.random.fold_in(rng, zlib.crc32('/'.join(map(str, path)).encode()))
+            return (_jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
 
-        shapes = self.param_shapes()
-        out: Dict[str, Any] = {}
-        for k, v in shapes.items():
-            if isinstance(v, dict):
-                out[k] = {k2: make((k, k2), s) for k2, s in v.items()}
-            else:
-                out[k] = make((k,), v)
-        return out
+        def walk(tree, path):
+            out = {}
+            for k, v in tree.items():
+                if isinstance(v, dict):
+                    out[k] = walk(v, path + (k,))
+                else:
+                    out[k] = make(path + (k,), v)
+            return out
+
+        return walk(self.param_shapes(), ())
 
     # -- HF weight mapping -------------------------------------------------------------
     def make_assign_plan(self):
@@ -133,23 +174,53 @@ class LlamaModel:
         }
         if not cfg.tie_word_embeddings:
             plan['lm_head.weight'] = (('lm_head',), T, None)
+
+        hf_linears = [
+            ('self_attn.q_proj', 'wq'), ('self_attn.k_proj', 'wk'),
+            ('self_attn.v_proj', 'wv'), ('self_attn.o_proj', 'wo'),
+            ('mlp.gate_proj', 'w_gate'), ('mlp.up_proj', 'w_up'),
+            ('mlp.down_proj', 'w_down'),
+        ]
         per_layer = [
             ('model.layers.{}.input_layernorm.weight', ('layers', 'attn_norm'), ident, None),
             ('model.layers.{}.post_attention_layernorm.weight', ('layers', 'mlp_norm'),
              ident, None),
-            ('model.layers.{}.self_attn.q_proj.weight', ('layers', 'wq'), T, None),
-            ('model.layers.{}.self_attn.k_proj.weight', ('layers', 'wk'), T, None),
-            ('model.layers.{}.self_attn.v_proj.weight', ('layers', 'wv'), T, None),
-            ('model.layers.{}.self_attn.o_proj.weight', ('layers', 'wo'), T, None),
-            ('model.layers.{}.mlp.gate_proj.weight', ('layers', 'w_gate'), T, None),
-            ('model.layers.{}.mlp.up_proj.weight', ('layers', 'w_up'), T, None),
-            ('model.layers.{}.mlp.down_proj.weight', ('layers', 'w_down'), T, None),
             ('model.layers.{}.self_attn.q_proj.bias', ('layers', 'bq'), ident, None),
             ('model.layers.{}.self_attn.k_proj.bias', ('layers', 'bk'), ident, None),
             ('model.layers.{}.self_attn.v_proj.bias', ('layers', 'bv'), ident, None),
             ('model.layers.{}.self_attn.q_norm.weight', ('layers', 'q_norm'), ident, None),
             ('model.layers.{}.self_attn.k_norm.weight', ('layers', 'k_norm'), ident, None),
         ]
+        if self.quant_method == 'w4a16':
+            from ..lite import formats
+            fmt = (cfg.quantization_config or {}).get('quant_method', 'awq')
+            if fmt == 'gptq':
+                unpack_w = formats.gptq_qweight_to_kernel
+                unpack_z = formats.unpack_gptq_qzeros
+            else:
+                unpack_w = formats.awq_qweight_to_kernel
+                unpack_z = formats.unpack_awq_qzeros
+            for hf, name in hf_linears:
+                per_layer += [
+                    (f'model.layers.{{}}.{hf}.qweight', ('layers', name, 'packed'),
+                     unpack_w, None),
+                    (f'model.layers.{{}}.{hf}.scales', ('layers', name, 'scales'),
+                     lambda x: x.astype('float32'), None),
+                    (f'model.layers.{{}}.{hf}.qzeros', ('layers', name, 'zeros'),
+                     unpack_z, None),
+                ]
+        elif self.quant_method == 'w8a8':
+            for hf, name in hf_linears:
+                per_layer += [
+                    (f'model.layers.{{}}.{hf}.weight', ('layers', name, 'w8'),
+                     lambda x: np.ascontiguousarray(x.T).astype(np.int8), None),
+                    (f'model.layers.{{}}.{hf}.scale', ('layers', name, 'scale'),
+                     lambda x: x.reshape(-1).astype('float32'), None),
+                ]
+        else:
+            for hf, name in hf_linears:
+                per_layer.append((f'model.layers.{{}}.{hf}.weight',
+                                  ('layers', name), T, None))
         for key_fmt, path, transform, col in per_layer:
             for layer in range(cfg.num_layers):
                 plan[key_fmt.format(layer)] = (path + (layer,), transform, col)
@@ -160,13 +231,14 @@ class LlamaModel:
                 k_cache: jax.Array, v_cache: jax.Array, meta: AttnMeta,
                 rope_cos: jax.Array, rope_sin: jax.Array,
                 return_all_logits: bool = False,
+                fresh_prefill: bool = False,
                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """One forward step.
 
         Args:
           input_ids: [B, T] (T==1 for decode)
           positions: [B, T] absolute positions (padding rows clamped in-range)
-          k_cache/v_cache: [L, NB, BS, Hkv, D]
+          k_cache/v_cache: [L, Hkv, NB, BS, D] (head-major paged layout)
           rope_cos/rope_sin: full tables [max_len, D/2]
         Returns (logits, k_cache, v_cache); logits is [B, V] at each row's last valid
         token, or [B, T, V] when return_all_logits.
@@ -175,7 +247,7 @@ class LlamaModel:
         B, T = input_ids.shape
         D = cfg.head_dim
         scale = 1.0 / math.sqrt(D)
-        block_size = k_cache.shape[2]
+        block_size = k_cache.shape[-2]
 
         hidden = params['embed'][input_ids].astype(cfg.jnp_dtype())   # [B,T,H]
         cos = rope_cos[positions]     # [B,T,D/2] f32
@@ -187,14 +259,18 @@ class LlamaModel:
         has_bias = 'bq' in lp
         has_qknorm = 'q_norm' in lp
 
-        def proj(x, w, b=None):
-            y = jnp.dot(x, w, preferred_element_type=jnp.float32)
-            if b is not None:
-                y = y + b.astype(jnp.float32)
-            return y.astype(x.dtype)
+        from ..nn.linear import linear as proj_linear
 
-        def layer_fn(h, xs):
-            w, k_c, v_c = xs
+        def proj(x, w, b=None):
+            return proj_linear(x, w, b)
+
+        # The FULL caches ride in the scan carry; each layer scatters its new KV into
+        # its own region (layer-offset slots) and the attention kernels index the
+        # region directly.  This keeps the cache update truly in-place — slicing a
+        # layer's cache out and re-inserting it would make XLA allocate a second
+        # full-cache buffer for the scan outputs.
+        def layer_fn(carry, w):
+            h, k_cache, v_cache, layer = carry
             x = rms_norm(h, w['attn_norm'], cfg.rms_norm_eps)
             q = proj(x, w['wq'], w.get('bq') if has_bias else None)
             k = proj(x, w['wk'], w.get('bk') if has_bias else None)
@@ -206,21 +282,24 @@ class LlamaModel:
                 q = rms_norm(q, w['q_norm'], cfg.rms_norm_eps)
                 k = rms_norm(k, w['k_norm'], cfg.rms_norm_eps)
             q, k = apply_rope(q, k, cos, sin)
-            k_c, v_c = fill_kv_cache(k_c, v_c, k.reshape(B * T, -1, D),
-                                     v.reshape(B * T, -1, D), slot_mapping)
-            attn = paged_attention(q, k_c, v_c, meta.block_tables, meta.history_lens,
-                                   meta.q_lens, scale,
-                                   window_size=cfg.sliding_window)
+            k_cache, v_cache = fill_kv_cache(k_cache, v_cache,
+                                             k.reshape(B * T, -1, D),
+                                             v.reshape(B * T, -1, D),
+                                             slot_mapping, layer)
+            attn = paged_attention(q, k_cache, v_cache, meta.block_tables,
+                                   meta.history_lens, meta.q_lens, scale, layer,
+                                   window_size=cfg.sliding_window,
+                                   chunk_kv=(k, v), fresh_prefill=fresh_prefill)
             attn = attn.reshape(B, T, self.q_out)
             h = h + proj(attn, w['wo'])
             x = rms_norm(h, w['mlp_norm'], cfg.rms_norm_eps)
-            act = jax.nn.silu(jnp.dot(x, w['w_gate'], preferred_element_type=jnp.float32))
-            act = act * jnp.dot(x, w['w_up'], preferred_element_type=jnp.float32)
+            act = jax.nn.silu(proj(x, w['w_gate']).astype(jnp.float32))
+            act = act * proj(x, w['w_up']).astype(jnp.float32)
             h = h + proj(act.astype(h.dtype), w['w_down'])
-            return h, (k_c, v_c)
+            return (h, k_cache, v_cache, layer + 1), None
 
-        hidden, (k_cache, v_cache) = jax.lax.scan(layer_fn, hidden,
-                                                  (lp, k_cache, v_cache))
+        (hidden, k_cache, v_cache, _), _ = jax.lax.scan(
+            layer_fn, (hidden, k_cache, v_cache, jnp.int32(0)), lp)
         hidden = rms_norm(hidden, params['final_norm'], cfg.rms_norm_eps)
 
         lm_head = params.get('lm_head')

@@ -1,0 +1,79 @@
+"""Linear-layer dispatch: dense bf16 vs quantized (W4A16 / W8A8) weights.
+
+Reference analog: ``lmdeploy/pytorch/nn/linear/`` (default / awq / w8a8 /
+blocked_fp8 variants behind one build_linear API) and TurboMind's LlamaLinear
+(``src/turbomind/models/llama/LlamaLinear.h:12`` — quantized GEMM dispatcher).
+
+A weight leaf is either a plain jax.Array [K, N] (dense) or a dict:
+  {'packed': u8[K/2, N], 'scales': f32[K/gs, N], 'zeros': f32[K/gs, N]}  (w4a16)
+  {'w8': i8[K, N], 'scale': f32[N]}                                      (w8a8)
+Dispatch is static (pytree structure), so one jitted step handles either.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+# token count above which a quantized matmul switches from the bandwidth-optimized
+# Pallas kernel to dequant + dense XLA matmul (compute-bound regime)
+_DENSE_SWITCH = 256
+_W4_GROUP = 128
+
+
+def is_quantized(w: Any) -> bool:
+    return isinstance(w, dict)
+
+
+def linear(x: jax.Array, w: Any, bias: Optional[jax.Array] = None) -> jax.Array:
+    """y = x @ w (+ bias). x: [..., K]; returns [..., N] in x.dtype."""
+    if not is_quantized(w):
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        if bias is not None:
+            y = y + bias.astype(jnp.float32)
+        return y.astype(x.dtype)
+
+    if 'packed' in w:
+        y = _w4a16(x, w)
+    elif 'w8' in w:
+        y = _w8a8(x, w)
+    else:
+        raise ValueError(f'unknown quantized weight leaf: {list(w)}')
+    if bias is not None:
+        y = (y.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+    return y
+
+
+def _w4a16(x: jax.Array, w: dict) -> jax.Array:
+    from ..ops.attention import _on_tpu
+    from ..ops.pallas.quant_matmul import w4a16_matmul, w4a16_matmul_reference
+
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    x2d = x.reshape(-1, K)
+    n_tok = x2d.shape[0]
+    gs = (K // w['scales'].shape[-2])
+    if _on_tpu() and n_tok <= _DENSE_SWITCH:
+        y = w4a16_matmul(x2d, w['packed'], w['scales'], w['zeros'], group_size=gs)
+    else:
+        # compute-bound regime (prefill): dequant once, dense MXU matmul
+        y = w4a16_matmul_reference(x2d, w['packed'], w['scales'], w['zeros'], gs)
+    return y.reshape(*lead, -1).astype(x.dtype)
+
+
+def _w8a8(x: jax.Array, w: dict) -> jax.Array:
+    """SmoothQuant W8A8: dynamic per-token activation quant + int8 MXU matmul.
+
+    XLA lowers int8xint8->int32 dot natively on TPU; no Pallas needed
+    (reference analog: kernels/cuda/w8a8_triton_kernels.py).
+    """
+    lead = x.shape[:-1]
+    x2d = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x2d), axis=-1, keepdims=True)
+    a_scale = jnp.maximum(absmax / 127.0, 1e-8)
+    xq = jnp.clip(jnp.round(x2d / a_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(xq, w['w8'], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * a_scale * w['scale'][None, :]
+    return y.reshape(*lead, -1).astype(x.dtype)

@@ -26,29 +26,48 @@ NEG_INF = float('-inf')
 
 
 def fill_kv_cache(k_cache: jax.Array, v_cache: jax.Array, k_new: jax.Array,
-                  v_new: jax.Array, slot_mapping: jax.Array,
+                  v_new: jax.Array, slot_mapping: jax.Array, layer: jax.Array,
                   ) -> Tuple[jax.Array, jax.Array]:
-    """Scatter new K/V rows into the paged cache.
+    """Scatter new K/V rows into layer ``layer`` of the full paged cache.
+
+    The FULL cache flows through the layer loop as a scan carry and is updated with a
+    layer-offset scatter — never sliced per layer.  (Slicing + re-inserting a layer's
+    cache would make XLA materialize per-layer copies; the scatter is a true in-place
+    update on the donated buffer.)
 
     Args:
-      k_cache/v_cache: [num_blocks, block_size, Hkv, D]
+      k_cache/v_cache: [L, Hkv, num_blocks, block_size, D] — kv-head-major,
+                       slot-major pages so one token's K vector is a contiguous
+                       [D] row (scatter windows and page DMAs are both row-runs).
       k_new/v_new:     [num_tokens, Hkv, D]
       slot_mapping:    [num_tokens] flat slot = block_id * block_size + offset.
-                       Padded tokens must map to slot 0 ... of the reserved padding
-                       block (block 0), so scatters of padding are harmless.
+                       Padded tokens must map into the reserved padding block
+                       (block 0), so scatters of padding are harmless.
+      layer:           scalar int32 — which layer's region to write.
+
+    The scatter runs on a flat 2-D [rows, D] bitcast view with [1, D] update
+    windows — the canonical layout-neutral form.  (Scattering into a >=3-D view or
+    into lane-dim columns makes XLA's layout assignment pick a scatter-friendly
+    layout that conflicts with the attention kernel's, and it then keeps TWO copies
+    of the multi-GB cache per step.)
     """
-    nb, bs, h, d = k_cache.shape
-    k_flat = k_cache.reshape(nb * bs, h, d)
-    v_flat = v_cache.reshape(nb * bs, h, d)
-    k_flat = k_flat.at[slot_mapping].set(k_new.astype(k_cache.dtype))
-    v_flat = v_flat.at[slot_mapping].set(v_new.astype(v_cache.dtype))
-    return k_flat.reshape(nb, bs, h, d), v_flat.reshape(nb, bs, h, d)
+    L, h, nb, bs, d = k_cache.shape
+    k_flat = k_cache.reshape(L * h * nb * bs, d)
+    v_flat = v_cache.reshape(L * h * nb * bs, d)
+    rows = ((layer * h + jnp.arange(h, dtype=jnp.int32))[:, None] * (nb * bs)
+            + slot_mapping[None, :])                               # [Hkv, N]
+    n = slot_mapping.shape[0]
+    k_upd = jnp.swapaxes(k_new, 0, 1).reshape(h * n, d).astype(k_cache.dtype)
+    v_upd = jnp.swapaxes(v_new, 0, 1).reshape(h * n, d).astype(v_cache.dtype)
+    k_flat = k_flat.at[rows.reshape(-1)].set(k_upd)
+    v_flat = v_flat.at[rows.reshape(-1)].set(v_upd)
+    return k_flat.reshape(L, h, nb, bs, d), v_flat.reshape(L, h, nb, bs, d)
 
 
-def paged_attention(
+def paged_attention_reference(
     q: jax.Array,                 # [B, T, Hq, D]
-    k_cache: jax.Array,           # [num_blocks, block_size, Hkv, D]
-    v_cache: jax.Array,           # [num_blocks, block_size, Hkv, D]
+    k_cache: jax.Array,           # [Hkv, num_blocks, D, block_size]
+    v_cache: jax.Array,           # [Hkv, num_blocks, D, block_size]
     block_tables: jax.Array,      # [B, W] physical block ids (padded with 0)
     history_lens: jax.Array,      # [B] tokens already in cache before this chunk
     q_lens: jax.Array,            # [B] valid query tokens in this chunk (<= T)
@@ -57,23 +76,24 @@ def paged_attention(
     window_size: Optional[int] = None,
 ) -> jax.Array:
     """Attention of chunk queries against the paged cache (which already contains the
-    chunk's own K/V — call fill_kv_cache first).
+    chunk's own K/V — call fill_kv_cache first).  Pure-XLA reference path.
+    k_cache/v_cache here are one layer's [Hkv, NB, BS, D].
 
     Query i of row b has absolute position ``history_lens[b] + i`` and attends to all
     cache positions ``j <= pos`` (causal), optionally windowed.  Returns [B, T, Hq, D].
     """
     B, T, Hq, D = q.shape
-    _, block_size, Hkv, _ = k_cache.shape
+    Hkv, _, block_size, _ = k_cache.shape
     W = block_tables.shape[1]
     S = W * block_size
     G = Hq // Hkv
 
-    # gather KV: [B, W, bs, Hkv, D] -> [B, S, Hkv, D]
-    k = k_cache[block_tables].reshape(B, S, Hkv, D)
-    v = v_cache[block_tables].reshape(B, S, Hkv, D)
+    # gather KV: [Hkv, B, W, bs, D] -> [Hkv, B, S, D]
+    k = k_cache[:, block_tables].reshape(Hkv, B, S, D)
+    v = v_cache[:, block_tables].reshape(Hkv, B, S, D)
 
     qg = q.reshape(B, T, Hkv, G, D)
-    scores = jnp.einsum('bthgd,bshd->bhgts', qg.astype(jnp.float32),
+    scores = jnp.einsum('bthgd,hbsd->bhgts', qg.astype(jnp.float32),
                         k.astype(jnp.float32)) * scale            # [B,Hkv,G,T,S]
     if logit_softcap is not None and logit_softcap > 0:
         scores = jnp.tanh(scores / logit_softcap) * logit_softcap
@@ -86,8 +106,72 @@ def paged_attention(
     scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
 
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum('bhgts,bshd->bthgd', probs, v.astype(jnp.float32))
+    out = jnp.einsum('bhgts,hbsd->bthgd', probs, v.astype(jnp.float32))
     return out.reshape(B, T, Hq, D).astype(q.dtype)
+
+
+def paged_attention(q, k_cache, v_cache, block_tables, history_lens, q_lens, scale,
+                    layer, logit_softcap=None, window_size=None,
+                    chunk_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
+                    fresh_prefill: bool = False):
+    """Dispatch over the attention specializations.  ``k_cache/v_cache`` are the FULL
+    [L, Hkv, NB, BS, D] caches; ``layer`` selects the region.
+
+    * T==1 (decode) on TPU -> Pallas paged-decode kernel (ops/pallas/paged_decode.py)
+    * T>1 with no history (fresh prefill) on TPU -> dense flash attention over the
+      chunk's own K/V (``chunk_kv``), touching the cache not at all
+    * otherwise (chunked continuation, prefix-cache hits, CPU tests) -> XLA reference
+      over a dynamic layer slice
+    """
+    T = q.shape[1]
+    if _on_tpu() and window_size is None:
+        if T == 1:
+            from .pallas.paged_decode import paged_decode_attention
+            out = paged_decode_attention(
+                q[:, 0], k_cache, v_cache, block_tables,
+                history_lens + 1,     # kv length includes the token just filled
+                layer, scale, logit_softcap=logit_softcap)
+            return out[:, None]
+        if fresh_prefill and chunk_kv is not None and logit_softcap is None \
+                and T >= 128:
+            return _flash_prefill(q, chunk_kv[0], chunk_kv[1], scale)
+    k_l = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
+    v_l = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
+    return paged_attention_reference(q, k_l, v_l, block_tables, history_lens,
+                                     q_lens, scale, logit_softcap, window_size)
+
+
+def _flash_prefill(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
+                   ) -> jax.Array:
+    """Dense causal flash attention for fresh prefill chunks (history == 0).
+
+    Padding queries (i >= q_len) only see causal keys, so garbage rows stay finite and
+    are discarded by the last-token gather.  GQA handled by repeating KV heads
+    (prefill is MXU-bound; the repeat is noise next to the matmuls).
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (BlockSizes,
+                                                                 flash_attention)
+    B, T, Hq, D = q.shape
+    Hkv = k.shape[2]
+    G = Hq // Hkv
+    qt = jnp.swapaxes(q, 1, 2)                       # [B, Hq, T, D]
+    kt = jnp.repeat(jnp.swapaxes(k, 1, 2), G, axis=1)
+    vt = jnp.repeat(jnp.swapaxes(v, 1, 2), G, axis=1)
+    blk = min(512, T)
+    sizes = BlockSizes(block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+                       block_q_major_dkv=blk, block_k_major_dkv=blk,
+                       block_k_dkv=blk, block_q_dkv=blk,
+                       block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk)
+    out = flash_attention(qt, kt, vt, causal=True, sm_scale=scale, block_sizes=sizes)
+    return jnp.swapaxes(out, 1, 2)
+
+
+def _on_tpu() -> bool:
+    import jax
+    try:
+        return jax.default_backend() in ('tpu', 'axon')
+    except Exception:
+        return False
 
 
 def compute_slot_mapping(block_tables: jax.Array, history_lens: jax.Array,

@@ -1,0 +1,169 @@
+"""Paged-attention decode kernel (T=1) in Pallas.
+
+Reference analog: TurboMind's split-K flash decoding (``src/turbomind/kernels/
+attention/decoding.cu``, block iteration ``block_iterator.h``) and the Triton
+``_fwd_grouped_split_kernel`` (``lmdeploy/pytorch/kernels/cuda/pagedattention.py:48``).
+
+TPU design (not a translation):
+  * Cache layout is kv-head-major ``[Hkv, NB, BS, D]`` so one page for one kv head is
+    a contiguous ``[BS, D]`` region — a single efficient DMA.
+  * Grid = (B, Hkv).  Block tables + kv lengths arrive via scalar prefetch (SMEM) so
+    page DMAs can be issued ahead of compute; K and V pages are double-buffered in
+    VMEM (the TPU analog of cp.async pipelines in ``mainloop_sm80.h``).
+  * GQA without materialization: the q block for one kv head is its [G, D] group;
+    scores [G, chunk] hit the MXU; online-softmax state (m, l, acc) lives in VMEM f32.
+  * Each (b, h) program is independent — the split-K reduction of the CUDA kernel is
+    unnecessary because pages stream through VMEM at full HBM bandwidth and the op is
+    bandwidth-bound at decode arithmetic intensity.
+
+The dequant hook (KV int8/fp8, reference ``kernels/attention/quantization.h``) lands
+in this kernel: pages are dequantized in VMEM right after DMA, before the matmul.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _decode_kernel(
+    # scalar prefetch
+    lengths_ref,        # [B] i32 (SMEM)
+    tables_ref,         # [B, W] i32 (SMEM)
+    layer_ref,          # [1] i32 (SMEM) — which layer's cache region to read
+    # inputs
+    q_ref,              # [G, D] VMEM (this (b, h) program's query group)
+    k_pages_ref,        # [L, Hkv, NB, BS, D] HBM (full cache, manual DMA)
+    v_pages_ref,        # [L, Hkv, NB, BS, D] HBM
+    # output
+    out_ref,            # [G, D] VMEM
+    # scratch
+    k_buf, v_buf,       # [2, PAGES_PER_BLK, BS, D] VMEM
+    sems,               # DMA sems [2, 2]
+    acc_ref,            # [G, D] f32 VMEM
+    *, block_size: int, pages_per_blk: int, scale: float,
+    logit_softcap: Optional[float],
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    layer = layer_ref[0]
+    length = lengths_ref[b]
+    chunk = block_size * pages_per_blk
+    num_chunks = pl.cdiv(length, chunk)
+    W = tables_ref.shape[1]
+    G, D = q_ref.shape
+
+    def start_copy(chunk_idx, slot):
+        for p in range(pages_per_blk):
+            page_pos = chunk_idx * pages_per_blk + p
+            page_idx = tables_ref[b, jnp.minimum(page_pos, W - 1)]
+            pltpu.make_async_copy(
+                k_pages_ref.at[layer, h, page_idx], k_buf.at[slot, p],
+                sems.at[slot, 0]).start()
+            pltpu.make_async_copy(
+                v_pages_ref.at[layer, h, page_idx], v_buf.at[slot, p],
+                sems.at[slot, 1]).start()
+
+    def wait_copy(slot):
+        # one wait sized to the whole slot covers all pages_per_blk page DMAs
+        pltpu.make_async_copy(k_buf.at[slot], k_buf.at[slot], sems.at[slot, 0]).wait()
+        pltpu.make_async_copy(v_buf.at[slot], v_buf.at[slot], sems.at[slot, 1]).wait()
+
+    @pl.when(num_chunks > 0)
+    def _():
+        start_copy(0, 0)
+
+    q = q_ref[...].astype(jnp.float32) * scale          # [G, D]
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def body(c, carry):
+        m_prev, l_prev = carry                          # [G, 1] each
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < num_chunks)
+        def _():
+            start_copy(c + 1, 1 - slot)
+
+        wait_copy(slot)
+        k = k_buf[slot].reshape(chunk, D).astype(jnp.float32)     # [chunk, D]
+        v = v_buf[slot].reshape(chunk, D).astype(jnp.float32)
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)   # [G, chunk]
+        if logit_softcap is not None:
+            s = jnp.tanh(s / logit_softcap) * logit_softcap
+        pos = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (G, chunk), 1)
+        s = jnp.where(pos < length, s, MASK_VALUE)
+
+        m_cur = jnp.max(s, axis=1, keepdims=True)                 # [G, 1]
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)                                    # [G, chunk]
+        alpha = jnp.exp(m_prev - m_new)                           # [G, 1]
+        l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return m_new, l_new
+
+    init = (jnp.full((G, 1), MASK_VALUE, jnp.float32),
+            jnp.zeros((G, 1), jnp.float32))
+    _, l = jax.lax.fori_loop(0, num_chunks, body, init)
+
+    out_ref[...] = (acc_ref[...] / jnp.where(l == 0.0, 1.0, l)).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('scale', 'logit_softcap',
+                                             'pages_per_blk'))
+def paged_decode_attention(
+    q: jax.Array,              # [B, Hq, D]
+    k_cache: jax.Array,        # [L, Hkv, NB, BS, D] (full cache)
+    v_cache: jax.Array,        # [L, Hkv, NB, BS, D]
+    block_tables: jax.Array,   # [B, W] i32
+    kv_lens: jax.Array,        # [B] i32 — valid kv length per row (0 = inactive)
+    layer,                     # scalar i32 — layer region to read
+    scale: float,
+    logit_softcap: Optional[float] = None,
+    pages_per_blk: int = 2,
+) -> jax.Array:
+    B, Hq, D = q.shape
+    _, Hkv, NB, BS, _ = k_cache.shape
+    G = Hq // Hkv
+    W = block_tables.shape[1]
+    pages_per_blk = min(pages_per_blk, W)
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    # [B, Hq, D] -> [B, Hkv, G, D]: q heads h*G..h*G+G-1 share kv head h (head-major
+    # grouping, matching the column-parallel weight layout)
+    q_grouped = q.reshape(B, Hkv, G, D)
+
+    kernel = functools.partial(
+        _decode_kernel, block_size=BS, pages_per_blk=pages_per_blk, scale=scale,
+        logit_softcap=logit_softcap)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B, Hkv),
+            in_specs=[
+                pl.BlockSpec((None, None, G, D), lambda b, h, *_: (b, h, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((None, None, G, D), lambda b, h, *_: (b, h, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, pages_per_blk, BS, D), k_cache.dtype),
+                pltpu.VMEM((2, pages_per_blk, BS, D), v_cache.dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.VMEM((G, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
+    )(kv_lens, block_tables, layer_arr, q_grouped, k_cache, v_cache)
+
+    return out.reshape(B, Hq, D)

@@ -140,10 +140,13 @@ class SchedulerSequence:
         self.output_ids = []
 
     def reset_computed(self):
-        """Preemption by recompute: cache dropped, must re-prefill everything."""
+        """Preemption by recompute: cache dropped, must re-prefill everything.
+
+        ``batch_slot`` (the device sampling-state row) is kept — it is owned until the
+        sequence finishes; re-prefill resets the row contents via the reset flag.
+        """
         self.num_computed_tokens = 0
         self.logical_blocks = []
-        self.batch_slot = -1
 
 
 class SchedulerSession:

@@ -47,7 +47,7 @@ def dryrun_step(n_devices: int, dp: Optional[int] = None, tp: Optional[int] = No
     shardings = make_llama_shardings(model)
     params = jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, shardings)
-    kc = jax.device_put(jnp.zeros((cfg.num_layers, NB, BS, cfg.num_key_value_heads,
+    kc = jax.device_put(jnp.zeros((cfg.num_layers, cfg.num_key_value_heads, NB, BS,
                                    cfg.head_dim), jnp.float32),
                         NamedSharding(mesh, cache_sharding()))
     vc = jax.device_put(jnp.zeros_like(kc), NamedSharding(mesh, cache_sharding()))

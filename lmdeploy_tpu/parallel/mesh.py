@@ -35,7 +35,12 @@ def build_mesh(dp: int = 1, tp: int = 1, devices=None):
 
 
 def make_llama_shardings(model, shard_vocab: bool = True) -> Dict:
-    """PartitionSpec tree matching LlamaModel.param_shapes()."""
+    """PartitionSpec tree matching LlamaModel.param_shapes().
+
+    Quantized linears shard every member leaf (packed/scales/zeros or w8/scale)
+    the same way as the dense weight would be: column-parallel on the output dim,
+    row-parallel on the (packed) input dim.
+    """
     from jax.sharding import PartitionSpec as P
 
     col = P(None, None, 'tp')     # [L, in, out] shard out
@@ -43,13 +48,26 @@ def make_llama_shardings(model, shard_vocab: bool = True) -> Dict:
     rep1 = P(None, None)          # [L, dim]
     vec_col = P(None, 'tp')       # [L, out] bias of column-parallel
 
+    def linear_spec(kind):
+        shape = model.param_shapes()['layers']
+        base = col if kind == 'col' else row
+        if model.quant_method == 'w4a16':
+            if kind == 'col':
+                return {'packed': col, 'scales': col, 'zeros': col}
+            return {'packed': row, 'scales': row, 'zeros': row}
+        if model.quant_method == 'w8a8':
+            if kind == 'col':
+                return {'w8': col, 'scale': vec_col}
+            return {'w8': row, 'scale': P(None, None)}
+        return base
+
     layers = {
         'attn_norm': rep1,
-        'wq': col, 'wk': col, 'wv': col,
-        'wo': row,
+        'wq': linear_spec('col'), 'wk': linear_spec('col'), 'wv': linear_spec('col'),
+        'wo': linear_spec('row'),
         'mlp_norm': rep1,
-        'w_gate': col, 'w_up': col,
-        'w_down': row,
+        'w_gate': linear_spec('col'), 'w_up': linear_spec('col'),
+        'w_down': linear_spec('row'),
     }
     cfg = model.config
     if cfg.attention_bias:
@@ -67,9 +85,9 @@ def make_llama_shardings(model, shard_vocab: bool = True) -> Dict:
 
 
 def cache_sharding():
-    """[L, num_blocks, block_size, Hkv, D] — shard kv heads over tp."""
+    """[L, Hkv, num_blocks, block_size, D] — shard kv heads over tp."""
     from jax.sharding import PartitionSpec as P
-    return P(None, None, None, 'tp', None)
+    return P(None, 'tp', None, None, None)
 
 
 def data_sharding(batch_axes: int = 2):

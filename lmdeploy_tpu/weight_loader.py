@@ -42,6 +42,9 @@ def _alloc_tree(shapes: Dict[str, Any], dtype) -> Dict[str, Any]:
     for k, v in shapes.items():
         if isinstance(v, dict):
             out[k] = _alloc_tree(v, dtype)
+        elif hasattr(v, 'shape') and hasattr(v, 'dtype'):   # jax.ShapeDtypeStruct
+            out[k] = np.zeros(v.shape, dtype=np.dtype(str(v.dtype))
+                              if 'bfloat16' not in str(v.dtype) else dtype)
         else:
             out[k] = np.zeros(v, dtype=dtype)
     return out
@@ -64,6 +67,24 @@ def _assign(params_np, path, tensor, col):
         arr[..., col] = tensor
 
 
+def load_params_np(model, model_path: str):
+    """Stream HF safetensors shards into the model's stacked numpy param tree."""
+    cfg = model.config
+    np_dtype = _np_dtype(cfg.dtype)
+    shapes = model.param_shapes()
+    params_np = _alloc_tree(shapes, np_dtype)
+    plan = model.make_assign_plan()
+
+    for name, tensor in iter_safetensors(model_path):
+        entry = plan.get(name)
+        if entry is None:
+            continue
+        path, transform, col = entry
+        tensor = transform(np.asarray(tensor))
+        _assign(params_np, path, tensor, col)
+    return params_np
+
+
 def load_model_params(model, model_path: str, shardings: Optional[Dict] = None,
                       mesh=None):
     """Load HF safetensors into the model's stacked param tree and put on device.
@@ -71,28 +92,7 @@ def load_model_params(model, model_path: str, shardings: Optional[Dict] = None,
     ``shardings`` is an optional pytree of PartitionSpec matching the param tree;
     with a mesh, each leaf is placed with jax.NamedSharding (XLA shards the transfer).
     """
-    import jax
-
-    cfg = model.config
-    np_dtype = _np_dtype(cfg.dtype)
-    shapes = model.param_shapes()
-    params_np = _alloc_tree(shapes, np_dtype)
-    plan = model.make_assign_plan()
-
-    seen = set()
-    for name, tensor in iter_safetensors(model_path):
-        entry = plan.get(name)
-        if entry is None:
-            continue
-        path, transform, col = entry
-        tensor = np.asarray(tensor)
-        if tensor.dtype != np_dtype:
-            tensor = tensor.astype(np_dtype)
-        tensor = transform(tensor)
-        _assign(params_np, path, tensor, col)
-        seen.add(name)
-
-    return put_params(params_np, shardings, mesh)
+    return put_params(load_params_np(model, model_path), shardings, mesh)
 
 
 def put_params(params_np, shardings=None, mesh=None):

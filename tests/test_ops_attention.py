@@ -29,8 +29,8 @@ def naive_attention(q, k, v, history_len, q_len, scale):
 
 def setup_cache(rng, B, max_ctx, block_size, Hkv, D, num_blocks=None):
     num_blocks = num_blocks or (B * (max_ctx // block_size) + 8)
-    k_cache = jnp.zeros((num_blocks, block_size, Hkv, D), jnp.float32)
-    v_cache = jnp.zeros((num_blocks, block_size, Hkv, D), jnp.float32)
+    k_cache = jnp.zeros((1, Hkv, num_blocks, block_size, D), jnp.float32)
+    v_cache = jnp.zeros((1, Hkv, num_blocks, block_size, D), jnp.float32)
     W = max_ctx // block_size
     # assign disjoint blocks per row, skipping block 0
     tables = np.arange(1, 1 + B * W, dtype=np.int32).reshape(B, W)
@@ -59,7 +59,8 @@ def test_paged_matches_naive(history, qlen):
         k_cache, v_cache = fill_kv_cache(
             k_cache, v_cache,
             jnp.asarray(full_k[:, :history].reshape(B * history, Hkv, D)),
-            jnp.asarray(full_v[:, :history].reshape(B * history, Hkv, D)), hist_slots)
+            jnp.asarray(full_v[:, :history].reshape(B * history, Hkv, D)), hist_slots,
+            jnp.int32(0))
 
     # fill the chunk's own KV then attend
     chunk_k = full_k[:, history:history + T]
@@ -67,11 +68,12 @@ def test_paged_matches_naive(history, qlen):
     slots = compute_slot_mapping(tables, history_lens, q_lens, T, block_size)
     k_cache, v_cache = fill_kv_cache(k_cache, v_cache,
                                      jnp.asarray(chunk_k.reshape(B * T, Hkv, D)),
-                                     jnp.asarray(chunk_v.reshape(B * T, Hkv, D)), slots)
+                                     jnp.asarray(chunk_v.reshape(B * T, Hkv, D)), slots,
+                                     jnp.int32(0))
 
     q = rng.randn(B, T, Hq, D).astype(np.float32)
     out = paged_attention(jnp.asarray(q), k_cache, v_cache, tables,
-                          history_lens, q_lens, scale)
+                          history_lens, q_lens, scale, jnp.int32(0))
     out = np.asarray(out)
 
     for b in range(B):
@@ -83,32 +85,34 @@ def test_paged_matches_naive(history, qlen):
 def test_fill_kv_cache_padding_block():
     """Padded tokens scatter into reserved block 0 and leave real blocks intact."""
     B, T, Hkv, D, block_size = 1, 8, 2, 4, 16
-    k_cache = jnp.zeros((4, block_size, Hkv, D), jnp.float32)
+    k_cache = jnp.zeros((1, Hkv, 4, block_size, D), jnp.float32)
     v_cache = jnp.zeros_like(k_cache)
     tables = jnp.asarray([[1]], dtype=jnp.int32)
     q_lens = jnp.asarray([3], jnp.int32)   # 3 valid of 8
     slots = compute_slot_mapping(tables, jnp.zeros((1,), jnp.int32), q_lens,
                                  T, block_size)
     k_new = jnp.ones((T, Hkv, D), jnp.float32)
-    k_cache, v_cache = fill_kv_cache(k_cache, v_cache, k_new, k_new, slots)
-    # valid tokens landed in block 1
-    assert np.asarray(k_cache)[1, :3].sum() == 3 * Hkv * D
-    assert np.asarray(k_cache)[1, 3:].sum() == 0
+    k_cache, v_cache = fill_kv_cache(k_cache, v_cache, k_new, k_new, slots,
+                                     jnp.int32(0))
+    # valid tokens landed in block 1 (pages are [block_size, D])
+    assert np.asarray(k_cache)[0, :, 1, :3].sum() == 3 * Hkv * D
+    assert np.asarray(k_cache)[0, :, 1, 3:].sum() == 0
     # other real blocks untouched
-    assert np.asarray(k_cache)[2:].sum() == 0
+    assert np.asarray(k_cache)[0, :, 2:].sum() == 0
 
 
 def test_sliding_window_mask():
     rng = np.random.RandomState(1)
     B, T, Hq, Hkv, D = 1, 1, 2, 2, 8
     block_size, W = 16, 2
-    k_cache = jnp.asarray(rng.randn(4, block_size, Hkv, D).astype(np.float32))
-    v_cache = jnp.asarray(rng.randn(4, block_size, Hkv, D).astype(np.float32))
+    k_cache = jnp.asarray(rng.randn(1, Hkv, 4, block_size, D).astype(np.float32))
+    v_cache = jnp.asarray(rng.randn(1, Hkv, 4, block_size, D).astype(np.float32))
     tables = jnp.asarray([[1, 2]], jnp.int32)
     history = jnp.asarray([20], jnp.int32)
     q_lens = jnp.asarray([1], jnp.int32)
     q = jnp.asarray(rng.randn(B, T, Hq, D).astype(np.float32))
-    full = paged_attention(q, k_cache, v_cache, tables, history, q_lens, 0.35)
+    full = paged_attention(q, k_cache, v_cache, tables, history, q_lens, 0.35,
+                           jnp.int32(0))
     windowed = paged_attention(q, k_cache, v_cache, tables, history, q_lens, 0.35,
-                               window_size=4)
+                               jnp.int32(0), window_size=4)
     assert not np.allclose(np.asarray(full), np.asarray(windowed))
