@@ -73,8 +73,12 @@ async def run_round(eng, batch, seed):
 
 async def main():
     eng = build_engine()
-    # warmup: compile prefill+decode buckets
-    await run_round(eng, min(BATCH, 8), seed=1)
+    # warmup: compile the same (batch, chunk, k) buckets the measured round uses
+    global NEW_TOKENS
+    real_new = NEW_TOKENS
+    NEW_TOKENS = 15              # hits decode-run buckets k=8,4,2,1
+    await run_round(eng, BATCH, seed=1)
+    NEW_TOKENS = real_new
     total, dt = await run_round(eng, BATCH, seed=2)
     tok_s = total / dt
     print(json.dumps({

@@ -34,11 +34,15 @@ class CacheEngine:
         self.num_blocks = cache_config.num_gpu_blocks
 
         cfg = model_config
-        # head-major, slot-major pages [BS, D]: token rows are contiguous for both
-        # the fill scatter and the decode kernel's page DMAs (see
-        # ops/attention.py fill_kv_cache docstring)
+        # head-major, slot-major pages [BS, Dp]: token rows are contiguous for both
+        # the fill scatter and the decode kernel's page DMAs.  head_dim is padded up
+        # to a full 128-lane tile: XLA pads the HBM buffer to the tile anyway, and
+        # Mosaic requires lane-dim DMA slices in 128 units — explicit padding makes
+        # the padding visible instead of fighting it (zeros there contribute nothing
+        # to the attention contractions).
+        self.padded_head_dim = ((cfg.head_dim + 127) // 128) * 128
         shape = (cfg.num_layers, cfg.num_key_value_heads, self.num_blocks,
-                 cache_config.block_size, cfg.head_dim)
+                 cache_config.block_size, self.padded_head_dim)
         dtype = self._cache_dtype()
 
         sharding = None
@@ -69,8 +73,9 @@ class CacheEngine:
         policy = self.cache_config.quant_policy
         if policy in (QuantPolicy.KV_INT8, QuantPolicy.KV_FP8):
             itemsize = 1
+        padded_d = ((cfg.head_dim + 127) // 128) * 128
         return (2 * cfg.num_layers * self.cache_config.block_size *
-                cfg.num_key_value_heads * cfg.head_dim * itemsize)
+                cfg.num_key_value_heads * padded_d * itemsize)
 
     def _derive_num_blocks(self) -> int:
         """Free-HBM -> block count, after weights are resident (call post weight load)."""
@@ -102,8 +107,9 @@ class CacheEngine:
         itemsize = 1 if self.cache_config.quant_policy in (
             QuantPolicy.KV_INT8, QuantPolicy.KV_FP8) else (
             4 if cfg.dtype == 'float32' else 2)
+        padded_d = ((cfg.head_dim + 127) // 128) * 128
         per_block = (2 * cfg.num_layers * self.cache_config.block_size *
-                     cfg.num_key_value_heads * cfg.head_dim * itemsize)
+                     cfg.num_key_value_heads * padded_d * itemsize)
         num = max(budget // per_block, 16)
         return int(num)
 

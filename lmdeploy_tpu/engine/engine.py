@@ -52,6 +52,8 @@ class Engine:
         # agent derives actual block count from HBM; scheduler uses it
         self.scheduler = Scheduler(self.configs.scheduler, self.configs.cache,
                                    num_blocks=self.model_agent.num_blocks)
+        from ..metrics import MetricsAggregator
+        self.metrics = MetricsAggregator()
         self._requests: Dict[int, _ActiveRequest] = {}
         self._new_work = asyncio.Event()
         self._loop_task: Optional[asyncio.Task] = None
@@ -170,20 +172,81 @@ class Engine:
                             if not seq.metrics.first_token_time:
                                 seq.metrics.first_token_time = time.time()
                             self._post_token(seq, float(logprobs[i]))
+                    # newly RUNNING sequences enter the device decode state
+                    new_running = [c.seq for c in out.prefill_chunks
+                                   if c.is_last
+                                   and c.seq.status == MessageStatus.RUNNING]
+                    if new_running:
+                        self.model_agent.insert_decode_rows(new_running)
+                        for s in new_running:
+                            s._synced_blocks = len(s.logical_blocks)
                 else:
-                    seqs = out.decode_seqs
-                    step = await loop.run_in_executor(
-                        self._executor, self.model_agent.decode, seqs)
-                    tokens = step.tokens_np()
-                    logprobs = step.logprobs_np()
-                    for i, seq in enumerate(seqs):
-                        self.scheduler.on_decode_done(seq, int(tokens[i]))
-                        self._post_token(seq, float(logprobs[i]))
+                    await self._decode_run(out.decode_seqs, loop)
             except Exception as e:  # noqa: BLE001
                 logger.exception('engine step failed')
                 self._fail_all(e)
                 raise
             self._cleanup_stopped()
+
+    async def _decode_run(self, seqs, loop):
+        """Multi-step device decode run (see engine/decode_state.py).
+
+        The host syncs once per ``decode_run_steps`` tokens: capacity for k more
+        tokens is reserved up front, changed block-table rows are pushed to the
+        device state, k chained steps run on device with token feedback, and one
+        [k, B] fetch drains the results.
+        """
+        agent = self.model_agent
+        k = agent.decode_run_steps
+        # shorten runs when new requests wait (TTFT) or outputs are nearly done;
+        # round k DOWN to a power of two so each (k, B) pair is a stable
+        # executable (a fresh compile costs far more than a short run)
+        if self.scheduler.has_waiting():
+            k = 1
+        remaining = min((s.sampling_params.max_new_tokens - s.num_output_tokens)
+                        for s in seqs)
+        k = max(1, min(k, remaining))
+        while k & (k - 1):
+            k &= k - 1
+
+        # capacity for k tokens per row (may preempt; preempted seqs leave the run)
+        survivors = []
+        for seq in seqs:
+            if seq.status != MessageStatus.RUNNING:
+                continue
+            if self.scheduler.extend_decode_capacity(seq, k, exclude=survivors):
+                survivors.append(seq)
+        # deactivate rows of anything preempted/stopped but still holding a slot
+        inactive_slots = [
+            s.batch_slot for s in self.scheduler.seq_manager.all_sequences()
+            if s.batch_slot >= 0 and s.status != MessageStatus.RUNNING]
+        if inactive_slots:
+            agent.deactivate_rows(inactive_slots)
+        if not survivors:
+            return
+        changed = [s for s in survivors
+                   if getattr(s, '_synced_blocks', -1) != len(s.logical_blocks)]
+        if changed:
+            agent.update_tables(changed)
+            for s in changed:
+                s._synced_blocks = len(s.logical_blocks)
+
+        num_rows = max(s.batch_slot for s in survivors) + 1
+        step = await loop.run_in_executor(self._executor, agent.decode_run,
+                                          num_rows, k)
+        tokens = step.tokens_np()          # [k, B]
+        logprobs = step.logprobs_np()
+        for i in range(tokens.shape[0]):
+            for seq in survivors:
+                if seq.status != MessageStatus.RUNNING:
+                    continue
+                slot = seq.batch_slot
+                self.scheduler.on_decode_done(seq, int(tokens[i, slot]))
+                self._post_token(seq, float(logprobs[i, slot]))
+        stopped_slots = [s.batch_slot for s in survivors
+                         if s.status == MessageStatus.STOPPED and s.batch_slot >= 0]
+        if stopped_slots:
+            agent.deactivate_rows(stopped_slots)
 
     # -- token post-processing ----------------------------------------------------------
     def _post_token(self, seq: SchedulerSequence, logprob: float):
@@ -224,11 +287,20 @@ class Engine:
 
     def _finish_request(self, req: _ActiveRequest, status: ResponseType,
                         finish_reason: str = 'stop'):
+        from ..metrics import RequestStats
         seq = req.seq
         seq.metrics.finish_time = time.time()
         strip = finish_reason == 'stop' and not seq.sampling_params.ignore_eos
         self._emit(req, status, finish=True, strip_stop=strip)
         self._requests.pop(seq.seq_id, None)
+        self.metrics.on_request_finished(RequestStats(
+            arrival_time=seq.metrics.arrival_time,
+            first_scheduled_time=seq.metrics.first_scheduled_time,
+            first_token_time=seq.metrics.first_token_time,
+            finish_time=seq.metrics.finish_time,
+            prompt_tokens=seq.num_prompt_tokens,
+            generation_tokens=len(seq.output_ids),
+            finish_reason=finish_reason))
 
     def _cleanup_stopped(self):
         for seq in self.scheduler.seq_manager.seqs_with_status(MessageStatus.STOPPED):

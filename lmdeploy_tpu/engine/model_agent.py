@@ -105,7 +105,7 @@ class ModelAgent:
         # one extra garbage row for padding slots
         counts_shape = (self.max_batch + 1, cfg.vocab_size)
         self.token_counts = jnp.zeros(counts_shape, jnp.int16)
-        self._free_slots = list(range(self.max_batch - 1, -1, -1))
+        self._free_slots = list(range(self.max_batch))   # lowest-first (min holes)
 
         # -- bucket schedules ---------------------------------------------------------
         misc = configs.misc
@@ -117,15 +117,29 @@ class ModelAgent:
         self._step_fns: Dict[Tuple, Any] = {}
         self._step_counter = 0
 
+        # -- device-resident decode state (multi-step decode runs) --------------------
+        # block tables are tiny (int32 per block); keep them at FULL width so the
+        # decode-run executable never recompiles as contexts grow
+        from .decode_state import make_initial_state
+        self.state_table_width = self.max_blocks_per_seq
+        self.decode_state = make_initial_state(self.max_batch,
+                                               self.state_table_width,
+                                               cfg.vocab_size)
+        # decode state and the prefill path share one token-counts buffer
+        self.decode_state.token_counts = self.token_counts
+        self.decode_run_steps = 8         # host sync once per this many tokens
+
     # -- slot management ---------------------------------------------------------------
     def assign_slot(self, seq) -> int:
+        import heapq
         if seq.batch_slot < 0:
-            seq.batch_slot = self._free_slots.pop()
+            seq.batch_slot = heapq.heappop(self._free_slots)
         return seq.batch_slot
 
     def free_slot(self, seq):
+        import heapq
         if seq.batch_slot >= 0:
-            self._free_slots.append(seq.batch_slot)
+            heapq.heappush(self._free_slots, seq.batch_slot)
             seq.batch_slot = -1
 
     # -- jitted step -------------------------------------------------------------------
@@ -221,6 +235,12 @@ class ModelAgent:
             input_ids, positions, block_tables, history_lens, q_lens,
             slot_rows, reset_rows, valid_mask, sampling)
         self.cache_engine.swap_caches(k_cache, v_cache)
+        # the prefill path donated the shared token-counts buffer; re-point the
+        # decode state at the fresh one
+        if self.decode_state is not None:
+            import dataclasses
+            self.decode_state = dataclasses.replace(self.decode_state,
+                                                    token_counts=self.token_counts)
         return StepOutput(tokens, logprob, top)
 
     @staticmethod
@@ -266,6 +286,197 @@ class ModelAgent:
         reset = [False] * len(seqs)
         return self._run(seqs, starts, lens, count_inputs=False,
                          valid=valid, reset=reset)
+
+    # -- device-resident decode runs -----------------------------------------------------
+    def _get_insert_fn(self):
+        import jax
+
+        fn = self._step_fns.get('insert')
+        if fn is None:
+            def insert(state, row_idx, rows):
+                import dataclasses
+                upd = {}
+                for name, values in rows.items():
+                    leaf = getattr(state, name)
+                    upd[name] = leaf.at[row_idx].set(values)
+                return dataclasses.replace(state, **upd)
+
+            fn = jax.jit(insert, donate_argnums=(0,))
+            self._step_fns['insert'] = fn
+        return fn
+
+    def _apply_insert(self, idx, rows):
+        # the insert donates the whole state, including the token-counts buffer
+        # shared with the prefill path — re-point both references afterwards
+        self.decode_state = self._get_insert_fn()(self.decode_state, idx, rows)
+        self.token_counts = self.decode_state.token_counts
+
+    def insert_decode_rows(self, seqs):
+        """Write these RUNNING seqs' rows into the device decode state."""
+        from .decode_state import host_rows_from_seqs
+        if not seqs:
+            return
+        self.ensure_table_width(max(len(s.logical_blocks) for s in seqs))
+        rows = host_rows_from_seqs(seqs, self.state_table_width)
+        idx = np.asarray([self.assign_slot(s) for s in seqs], np.int32)
+        self._apply_insert(idx, rows)
+
+    def deactivate_rows(self, slots):
+        if not slots:
+            return
+        idx = np.asarray(slots, np.int32)
+        self._apply_insert(idx, {'active': np.zeros(len(slots), bool)})
+
+    def update_tables(self, seqs):
+        """Refresh table rows after block allocation (pre-run capacity)."""
+        if not seqs:
+            return
+        self.ensure_table_width(max(len(s.logical_blocks) for s in seqs))
+        W = self.state_table_width
+        tables = np.zeros((len(seqs), W), np.int32)
+        idx = np.zeros(len(seqs), np.int32)
+        for i, s in enumerate(seqs):
+            nb = min(len(s.logical_blocks), W)
+            tables[i, :nb] = s.logical_blocks[:nb]
+            idx[i] = s.batch_slot
+        self._apply_insert(idx, {'tables': tables})
+
+    def ensure_table_width(self, needed: int):
+        """Grow the state's block-table width to the next bucket (state rebuild)."""
+        import dataclasses
+        import jax.numpy as jnp
+        if needed <= self.state_table_width:
+            return
+        new_w = bucketize(needed, self.table_buckets)
+        old = np.asarray(self.decode_state.tables)
+        grown = np.zeros((old.shape[0], new_w), np.int32)
+        grown[:, :old.shape[1]] = old
+        self.decode_state = dataclasses.replace(self.decode_state,
+                                                tables=jnp.asarray(grown))
+        self.state_table_width = new_w
+        self._step_fns = {k: v for k, v in self._step_fns.items()
+                          if not (isinstance(k, tuple) and k and k[0] == 'run')}
+
+    def _get_run_fn(self, k: int, B: int):
+        import dataclasses
+        import jax
+        import jax.numpy as jnp
+
+        key = ('run', k, B)
+        fn = self._step_fns.get(key)
+        if fn is not None:
+            return fn
+        model = self.model
+        GOLDEN = np.uint32(0x9E3779B9)
+
+        from .decode_state import DecodeState
+        row_fields = [f.name for f in dataclasses.fields(DecodeState)
+                      if f.name != 'token_counts']
+
+        def run(params, rope_cos, rope_sin, k_cache, v_cache, state):
+            sub = {n: getattr(state, n)[:B] for n in row_fields}
+            full_counts = state.token_counts      # [Bmax+1, V] (shared w/ prefill)
+
+            def step_fn(carry, _):
+                kc, vc, st, counts_full = carry
+                counts = counts_full[:B]
+                act = st['active']
+                q_lens = act.astype(jnp.int32)
+                meta = AttnMeta(block_tables=st['tables'],
+                                history_lens=st['position'], q_lens=q_lens)
+                logits, kc, vc = model.forward(
+                    params, st['token'][:, None],
+                    jnp.clip(st['position'], 0, self.max_model_len - 1)[:, None],
+                    kc, vc, meta, rope_cos, rope_sin)
+                seeds = st['seed'] + (st['step_no'].astype(jnp.uint32) + 1) * GOLDEN
+                si = SamplingInputs(
+                    temperature=st['temperature'], top_k=st['top_k'],
+                    top_p=st['top_p'], min_p=st['min_p'],
+                    repetition_penalty=st['repetition_penalty'],
+                    frequency_penalty=st['frequency_penalty'],
+                    presence_penalty=st['presence_penalty'],
+                    do_sample=st['do_sample'], seeds=seeds)
+                tokens, lp, _ = sample_logits(logits, si, counts)
+                new_token = jnp.where(act, tokens, st['token'])
+                counts_full = counts_full.at[jnp.arange(B), tokens].add(
+                    act.astype(counts_full.dtype))
+                st = dict(st, token=new_token, position=st['position'] + q_lens,
+                          step_no=st['step_no'] + q_lens)
+                return (kc, vc, st, counts_full), (new_token, lp)
+
+            (k_cache, v_cache, sub, full_counts), (toks, lps) = jax.lax.scan(
+                step_fn, (k_cache, v_cache, sub, full_counts), None, length=k)
+            state = dataclasses.replace(
+                state, token_counts=full_counts,
+                **{n: getattr(state, n).at[:B].set(sub[n]) for n in row_fields})
+            return k_cache, v_cache, state, toks, lps
+
+        fn = jax.jit(run, donate_argnums=(3, 4, 5))
+        self._step_fns[key] = fn
+        return fn
+
+    def decode_run(self, num_rows: int, k: Optional[int] = None) -> StepOutput:
+        """Dispatch k device-side decode steps over rows [0, num_rows).
+
+        Returns tokens [k, B] (fetch once).  Capacity (blocks + table rows) for k
+        more tokens per row must already be ensured by the caller.
+        """
+        k = k or self.decode_run_steps
+        B = bucketize(num_rows, self.batch_buckets)
+        fn = self._get_run_fn(k, B)
+        (k_cache, v_cache, self.decode_state, toks, lps) = fn(
+            self.params, self.rope_cos, self.rope_sin,
+            self.cache_engine.k_cache, self.cache_engine.v_cache,
+            self.decode_state)
+        self.cache_engine.swap_caches(k_cache, v_cache)
+        self.token_counts = self.decode_state.token_counts
+        return StepOutput(toks, lps, (None, None))
+
+    # -- logits / ppl export -------------------------------------------------------------
+    def _get_logits_fn(self):
+        import jax
+
+        fn = self._step_fns.get('logits')
+        if fn is None:
+            model = self.model
+
+            def logits_fn(params, rope_cos, rope_sin, k_cache, v_cache,
+                          input_ids, positions, block_tables, history_lens, q_lens):
+                meta = AttnMeta(block_tables=block_tables,
+                                history_lens=history_lens, q_lens=q_lens)
+                logits, k_cache, v_cache = model.forward(
+                    params, input_ids, positions, k_cache, v_cache, meta,
+                    rope_cos, rope_sin, return_all_logits=True)
+                return logits, k_cache, v_cache
+
+            fn = jax.jit(logits_fn, donate_argnums=(3, 4))
+            self._step_fns['logits'] = fn
+        return fn
+
+    def compute_logits(self, token_ids: List[int], block_ids: List[int]
+                       ) -> np.ndarray:
+        """Full-vocab logits for every position of one sequence (ppl/reward paths).
+
+        Caller provides scratch cache blocks (freed afterwards); reference analog:
+        async_engine.py:809 async_get_logits.
+        """
+        n = len(token_ids)
+        T = bucketize(n, self.chunk_buckets)
+        W = max(len(block_ids), 1)
+        input_ids = np.zeros((1, T), np.int32)
+        input_ids[0, :n] = token_ids
+        positions = np.zeros((1, T), np.int32)
+        positions[0, :n] = np.arange(n)
+        tables = np.zeros((1, W), np.int32)
+        tables[0, :len(block_ids)] = block_ids
+        fn = self._get_logits_fn()
+        logits, k_cache, v_cache = fn(
+            self.params, self.rope_cos, self.rope_sin,
+            self.cache_engine.k_cache, self.cache_engine.v_cache,
+            input_ids, positions, tables,
+            np.zeros(1, np.int32), np.asarray([n], np.int32))
+        self.cache_engine.swap_caches(k_cache, v_cache)
+        return np.asarray(logits[0, :n])
 
     def warmup(self, batch_sizes: Optional[List[int]] = None):
         """Precompile the decode buckets (analog of graph capture warmup)."""

@@ -35,10 +35,38 @@ def _qwen3(config: ModelConfig) -> LlamaModel:
     return LlamaModel(config)
 
 
+def _mixtral(config: ModelConfig):
+    from .mixtral import MixtralModel
+    return MixtralModel(config)
+
+
+def _qwen2_moe(config: ModelConfig):
+    from .mixtral import MixtralModel
+    config.attention_bias = True
+    return MixtralModel(config)
+
+
 register_model('LlamaForCausalLM')(_llama)
 register_model('MistralForCausalLM')(_llama)
 register_model('Qwen2ForCausalLM')(_qwen2)
 register_model('Qwen3ForCausalLM')(_qwen3)
+def _internlm2(config: ModelConfig):
+    from .internlm2 import InternLM2Model
+    return InternLM2Model(config)
+
+
+def _gemma(config: ModelConfig):
+    from .gemma import GemmaModel
+    config.tie_word_embeddings = True
+    return GemmaModel(config)
+
+
+register_model('MixtralForCausalLM')(_mixtral)
+register_model('Qwen2MoeForCausalLM')(_qwen2_moe)
+register_model('InternLM2ForCausalLM')(_internlm2)
+register_model('InternLM3ForCausalLM')(_internlm2)
+register_model('GemmaForCausalLM')(_gemma)
+register_model('Gemma2ForCausalLM')(_gemma)
 
 
 def build_model(config: ModelConfig):

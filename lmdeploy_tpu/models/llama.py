@@ -63,6 +63,8 @@ class LlamaModel:
         cfg = config
         self.q_out = cfg.num_attention_heads * cfg.head_dim
         self.kv_out = cfg.num_key_value_heads * cfg.head_dim
+        self.embed_scale = 1.0            # gemma: sqrt(hidden_size)
+        self.final_logit_softcap = None   # gemma-2
         self.quant_method = None
         self.group_size = 128
         qcfg = cfg.quantization_config or {}
@@ -86,6 +88,13 @@ class LlamaModel:
                     'scale': jax.ShapeDtypeStruct((L, N), jnp.float32)}
         return (L, K, N)
 
+    def _mlp_shapes(self, L: int, H: int, I: int) -> Dict[str, Any]:
+        return {
+            'w_gate': self._linear_shape(L, H, I),
+            'w_up': self._linear_shape(L, H, I),
+            'w_down': self._linear_shape(L, I, H),
+        }
+
     def param_shapes(self) -> Dict[str, Any]:
         cfg = self.config
         L, H, I, V = (cfg.num_layers, cfg.hidden_size, cfg.intermediate_size,
@@ -98,10 +107,8 @@ class LlamaModel:
             'wv': self._linear_shape(L, H, self.kv_out),
             'wo': self._linear_shape(L, self.q_out, H),
             'mlp_norm': (L, H),
-            'w_gate': self._linear_shape(L, H, I),
-            'w_up': self._linear_shape(L, H, I),
-            'w_down': self._linear_shape(L, I, H),
         }
+        layers.update(self._mlp_shapes(L, H, I))
         if cfg.attention_bias:
             layers['bq'] = (L, self.q_out)
             layers['bk'] = (L, self.kv_out)
@@ -226,6 +233,13 @@ class LlamaModel:
                 plan[key_fmt.format(layer)] = (path + (layer,), transform, col)
         return plan
 
+    # -- mlp (overridden by MoE variants) ----------------------------------------------
+    def _mlp(self, w, x: jax.Array) -> jax.Array:
+        from ..nn.linear import linear as proj
+        act = jax.nn.silu(proj(x, w['w_gate']).astype(jnp.float32))
+        act = act * proj(x, w['w_up']).astype(jnp.float32)
+        return proj(act.astype(x.dtype), w['w_down'])
+
     # -- forward -----------------------------------------------------------------------
     def forward(self, params, input_ids: jax.Array, positions: jax.Array,
                 k_cache: jax.Array, v_cache: jax.Array, meta: AttnMeta,
@@ -250,6 +264,8 @@ class LlamaModel:
         block_size = k_cache.shape[-2]
 
         hidden = params['embed'][input_ids].astype(cfg.jnp_dtype())   # [B,T,H]
+        if self.embed_scale != 1.0:
+            hidden = hidden * jnp.asarray(self.embed_scale, hidden.dtype)
         cos = rope_cos[positions]     # [B,T,D/2] f32
         sin = rope_sin[positions]
         slot_mapping = compute_slot_mapping(meta.block_tables, meta.history_lens,
@@ -259,10 +275,7 @@ class LlamaModel:
         has_bias = 'bq' in lp
         has_qknorm = 'q_norm' in lp
 
-        from ..nn.linear import linear as proj_linear
-
-        def proj(x, w, b=None):
-            return proj_linear(x, w, b)
+        from ..nn.linear import linear as proj
 
         # The FULL caches ride in the scan carry; each layer scatters its new KV into
         # its own region (layer-offset slots) and the attention kernels index the
@@ -293,9 +306,7 @@ class LlamaModel:
             attn = attn.reshape(B, T, self.q_out)
             h = h + proj(attn, w['wo'])
             x = rms_norm(h, w['mlp_norm'], cfg.rms_norm_eps)
-            act = jax.nn.silu(proj(x, w['w_gate']).astype(jnp.float32))
-            act = act * proj(x, w['w_up']).astype(jnp.float32)
-            h = h + proj(act.astype(h.dtype), w['w_down'])
+            h = h + self._mlp(w, x)
             return (h, k_cache, v_cache, layer + 1), None
 
         (hidden, k_cache, v_cache, _), _ = jax.lax.scan(
@@ -305,11 +316,16 @@ class LlamaModel:
         lm_head = params.get('lm_head')
         if lm_head is None:
             lm_head = params['embed'].T
+        def head(x):
+            logits = jnp.dot(x, lm_head, preferred_element_type=jnp.float32)
+            if self.final_logit_softcap:
+                cap = self.final_logit_softcap
+                logits = jnp.tanh(logits / cap) * cap
+            return logits
+
         if return_all_logits:
-            logits = jnp.dot(hidden, lm_head, preferred_element_type=jnp.float32)
-            return logits, k_cache, v_cache
+            return head(hidden), k_cache, v_cache
         last_idx = jnp.maximum(meta.q_lens - 1, 0)
         last_hidden = jnp.take_along_axis(
             hidden, last_idx[:, None, None], axis=1)[:, 0]            # [B,H]
-        logits = jnp.dot(last_hidden, lm_head, preferred_element_type=jnp.float32)
-        return logits, k_cache, v_cache
+        return head(last_hidden), k_cache, v_cache

@@ -1,0 +1,111 @@
+"""Mixtral / Qwen2-MoE style sparse-MoE models.
+
+Reference analog: ``lmdeploy/pytorch/models/mixtral.py`` + ``nn/moe/`` (router,
+expert dispatch) and TurboMind's MoeFfnLayer (``moe_ffn_layer.h:16``).
+
+TPU-first MoE strategy for this round: dense-combine.  Every expert computes on
+every token; top-k routing weights zero out the non-selected contributions.  On
+the decode path this is close to optimal: with continuous batching the union of
+selected experts covers most experts anyway, and the op is weight-bandwidth-bound
+— all expert weights stream from HBM regardless.  Prefill wastes (E/k)x FLOPs;
+the grouped-matmul (megablocks-style) kernel replaces this in a later round,
+behind the same ``_mlp`` interface.  Expert-parallelism shards the expert axis
+('ep' mesh axis) when configured.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from .llama import LlamaModel
+
+
+class MixtralModel(LlamaModel):
+    """Sparse-MoE decoder; attention identical to llama."""
+
+    def _mlp_shapes(self, L: int, H: int, I: int) -> Dict[str, Any]:
+        cfg = self.config
+        E = cfg.num_experts
+        Ie = cfg.moe_intermediate_size or I
+        return {
+            'router': (L, H, E),
+            'we_gate': (L, E, H, Ie),
+            'we_up': (L, E, H, Ie),
+            'we_down': (L, E, Ie, H),
+        }
+
+    def _mlp(self, w, x: jax.Array) -> jax.Array:
+        cfg = self.config
+        E = cfg.num_experts
+        k = cfg.num_experts_per_tok
+        B, T, H = x.shape
+        xf = x.reshape(B * T, H)
+
+        logits = jnp.dot(xf, w['router'],
+                         preferred_element_type=jnp.float32)        # [N, E]
+        if cfg.norm_topk_prob:
+            top_vals, top_idx = jax.lax.top_k(logits, k)
+            top_w = jax.nn.softmax(top_vals, axis=-1)               # renormalized
+        else:
+            probs = jax.nn.softmax(logits, axis=-1)
+            top_w, top_idx = jax.lax.top_k(probs, k)
+        # scatter per-token weights into a dense [N, E] combine matrix
+        combine = jnp.zeros((xf.shape[0], E), jnp.float32)
+        rows = jnp.arange(xf.shape[0])[:, None]
+        combine = combine.at[rows, top_idx].set(top_w)
+
+        out = jnp.zeros((xf.shape[0], H), jnp.float32)
+        for e in range(E):
+            act = jax.nn.silu(jnp.dot(xf, w['we_gate'][e],
+                                      preferred_element_type=jnp.float32))
+            act = act * jnp.dot(xf, w['we_up'][e],
+                                preferred_element_type=jnp.float32)
+            y = jnp.dot(act.astype(x.dtype), w['we_down'][e],
+                        preferred_element_type=jnp.float32)
+            out = out + y * combine[:, e:e + 1]
+        return out.reshape(B, T, H).astype(x.dtype)
+
+    def make_assign_plan(self):
+        plan = super().make_assign_plan()
+        cfg = self.config
+        # drop the dense-mlp entries inherited from the base class
+        for l in range(cfg.num_layers):
+            for mod in ('mlp.gate_proj', 'mlp.up_proj', 'mlp.down_proj'):
+                plan.pop(f'model.layers.{l}.{mod}.weight', None)
+
+        def T(x):
+            return np.ascontiguousarray(np.swapaxes(x, -1, -2))
+
+        for l in range(cfg.num_layers):
+            p = f'model.layers.{l}.'
+            plan[p + 'block_sparse_moe.gate.weight'] = \
+                (('layers', 'router', l), T, None)
+            # mixtral expert naming: block_sparse_moe.experts.{e}.w1/w3/w2
+            for e in range(cfg.num_experts):
+                q = p + f'block_sparse_moe.experts.{e}.'
+                plan[q + 'w1.weight'] = (('layers', 'we_gate', l),
+                                         T, _ExpertSlice(e))
+                plan[q + 'w3.weight'] = (('layers', 'we_up', l), T, _ExpertSlice(e))
+                plan[q + 'w2.weight'] = (('layers', 'we_down', l), T, _ExpertSlice(e))
+            # qwen2-moe style naming
+            plan[p + 'mlp.gate.weight'] = (('layers', 'router', l), T, None)
+            for e in range(cfg.num_experts):
+                q = p + f'mlp.experts.{e}.'
+                plan[q + 'gate_proj.weight'] = (('layers', 'we_gate', l), T,
+                                                _ExpertSlice(e))
+                plan[q + 'up_proj.weight'] = (('layers', 'we_up', l), T,
+                                              _ExpertSlice(e))
+                plan[q + 'down_proj.weight'] = (('layers', 'we_down', l), T,
+                                                _ExpertSlice(e))
+        return plan
+
+
+class _ExpertSlice:
+    """Marks an assign-plan column as an expert index (first axis after layer)."""
+
+    def __init__(self, e: int):
+        self.e = e

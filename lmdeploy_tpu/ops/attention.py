@@ -52,6 +52,10 @@ def fill_kv_cache(k_cache: jax.Array, v_cache: jax.Array, k_new: jax.Array,
     of the multi-GB cache per step.)
     """
     L, h, nb, bs, d = k_cache.shape
+    if k_new.shape[-1] < d:       # cache head_dim is lane-padded; zero-fill the tail
+        pad = [(0, 0)] * (k_new.ndim - 1) + [(0, d - k_new.shape[-1])]
+        k_new = jnp.pad(k_new, pad)
+        v_new = jnp.pad(v_new, pad)
     k_flat = k_cache.reshape(L * h * nb * bs, d)
     v_flat = v_cache.reshape(L * h * nb * bs, d)
     rows = ((layer * h + jnp.arange(h, dtype=jnp.int32))[:, None] * (nb * bs)
@@ -88,9 +92,9 @@ def paged_attention_reference(
     S = W * block_size
     G = Hq // Hkv
 
-    # gather KV: [Hkv, B, W, bs, D] -> [Hkv, B, S, D]
-    k = k_cache[:, block_tables].reshape(Hkv, B, S, D)
-    v = v_cache[:, block_tables].reshape(Hkv, B, S, D)
+    # gather KV: [Hkv, B, W, bs, Dp] -> [Hkv, B, S, D] (drop lane padding if any)
+    k = k_cache[:, block_tables].reshape(Hkv, B, S, -1)[..., :D]
+    v = v_cache[:, block_tables].reshape(Hkv, B, S, -1)[..., :D]
 
     qg = q.reshape(B, T, Hkv, G, D)
     scores = jnp.einsum('bthgd,hbsd->bhgts', qg.astype(jnp.float32),

@@ -131,15 +131,19 @@ def paged_decode_attention(
     pages_per_blk: int = 2,
 ) -> jax.Array:
     B, Hq, D = q.shape
-    _, Hkv, NB, BS, _ = k_cache.shape
+    _, Hkv, NB, BS, Dp = k_cache.shape
     G = Hq // Hkv
     W = block_tables.shape[1]
     pages_per_blk = min(pages_per_blk, W)
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
 
     # [B, Hq, D] -> [B, Hkv, G, D]: q heads h*G..h*G+G-1 share kv head h (head-major
-    # grouping, matching the column-parallel weight layout)
+    # grouping, matching the column-parallel weight layout).  The cache head_dim may
+    # be lane-padded (Dp >= D); zero-pad q to match — zeros add nothing to scores,
+    # and the padded out lanes are sliced away below.
     q_grouped = q.reshape(B, Hkv, G, D)
+    if Dp != D:
+        q_grouped = jnp.pad(q_grouped, ((0, 0), (0, 0), (0, 0), (0, Dp - D)))
 
     kernel = functools.partial(
         _decode_kernel, block_size=BS, pages_per_blk=pages_per_blk, scale=scale,
@@ -151,19 +155,19 @@ def paged_decode_attention(
             num_scalar_prefetch=3,
             grid=(B, Hkv),
             in_specs=[
-                pl.BlockSpec((None, None, G, D), lambda b, h, *_: (b, h, 0, 0)),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((None, None, G, Dp), lambda b, h, *_: (b, h, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
             ],
-            out_specs=pl.BlockSpec((None, None, G, D), lambda b, h, *_: (b, h, 0, 0)),
+            out_specs=pl.BlockSpec((None, None, G, Dp), lambda b, h, *_: (b, h, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((2, pages_per_blk, BS, D), k_cache.dtype),
-                pltpu.VMEM((2, pages_per_blk, BS, D), v_cache.dtype),
+                pltpu.VMEM((2, pages_per_blk, BS, Dp), k_cache.dtype),
+                pltpu.VMEM((2, pages_per_blk, BS, Dp), v_cache.dtype),
                 pltpu.SemaphoreType.DMA((2, 2)),
-                pltpu.VMEM((G, D), jnp.float32),
+                pltpu.VMEM((G, Dp), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, Dp), q.dtype),
     )(kv_lens, block_tables, layer_arr, q_grouped, k_cache, v_cache)
 
-    return out.reshape(B, Hq, D)
+    return out[..., :D].reshape(B, Hq, D)

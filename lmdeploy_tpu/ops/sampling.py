@@ -114,32 +114,45 @@ def apply_penalties(logits: jax.Array, token_counts: jax.Array,
     return logits
 
 
-def _top_k_p_min_p_mask(logits: jax.Array, inputs: SamplingInputs) -> jax.Array:
-    """Combined top-k / top-p / min-p filtering with per-row parameters."""
-    B, V = logits.shape
-    sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]             # descending
-    ranks = jnp.arange(V, dtype=jnp.int32)[None, :]
+# Filtering thresholds are derived from the top KMAX candidates only — a full-vocab
+# jnp.sort is pathologically slow on TPU (minutes for [B, 32k]); lax.top_k(64) plus
+# elementwise value-threshold masks gives identical results whenever the effective
+# candidate set fits in 64 (top_k is clamped to 64; a top_p nucleus wider than the
+# top-64 mass falls back to no filtering, which only widens the distribution).
+TOPK_CANDIDATES = 64
 
-    # top-k: threshold value = k-th largest (k==0 -> disabled)
-    k = jnp.where(inputs.top_k > 0, inputs.top_k, V).astype(jnp.int32)
-    kth_val = jnp.take_along_axis(sorted_logits, jnp.clip(k[:, None] - 1, 0, V - 1),
+
+def _top_k_p_min_p_mask(logits: jax.Array, inputs: SamplingInputs) -> jax.Array:
+    """Combined top-k / top-p / min-p filtering with per-row parameters (sort-free)."""
+    B, V = logits.shape
+    kmax = min(TOPK_CANDIDATES, V)
+    top_vals, _ = jax.lax.top_k(logits, kmax)                      # [B, kmax] desc
+    max_logit = top_vals[:, :1]
+
+    # top-k: threshold = k-th largest; disabled (0) -> -inf
+    k = jnp.clip(inputs.top_k, 0, kmax).astype(jnp.int32)
+    kth_val = jnp.take_along_axis(top_vals, jnp.clip(k[:, None] - 1, 0, kmax - 1),
                                   axis=-1)                          # [B,1]
+    kth_val = jnp.where((inputs.top_k > 0)[:, None], kth_val, -jnp.inf)
     keep = logits >= kth_val
 
-    # top-p over softmax of sorted logits
-    sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
-    cumsum = jnp.cumsum(sorted_probs, axis=-1)
-    # keep the smallest prefix with cumsum >= top_p; cutoff = last kept sorted logit
-    include = (cumsum - sorted_probs) < inputs.top_p[:, None]       # prefix-exclusive
-    last_idx = jnp.maximum(jnp.sum(include.astype(jnp.int32), axis=-1) - 1, 0)
-    p_cut = jnp.take_along_axis(sorted_logits, last_idx[:, None], axis=-1)
-    keep &= logits >= p_cut
+    # softmax pieces without sorting: full denominator is an elementwise reduce
+    denom = jnp.sum(jnp.exp(logits - max_logit), axis=-1, keepdims=True)
+    top_probs = jnp.exp(top_vals - max_logit) / denom               # [B, kmax]
 
-    # min-p: prob >= min_p * max_prob
-    max_logit = sorted_logits[:, :1]
-    probs = jax.nn.softmax(logits, axis=-1)
-    max_prob = jnp.max(probs, axis=-1, keepdims=True)
-    keep &= probs >= inputs.min_p[:, None] * max_prob
+    # top-p: smallest prefix of the top candidates with cum >= p; if the nucleus
+    # is wider than the top-kmax mass, keep everything (cutoff -inf)
+    cumsum = jnp.cumsum(top_probs, axis=-1)
+    include = (cumsum - top_probs) < inputs.top_p[:, None]          # prefix-exclusive
+    last_idx = jnp.maximum(jnp.sum(include.astype(jnp.int32), axis=-1) - 1, 0)
+    p_cut = jnp.take_along_axis(top_vals, last_idx[:, None], axis=-1)
+    covered = cumsum[:, -1:] >= inputs.top_p[:, None]
+    active_p = (inputs.top_p < 1.0)[:, None] & covered
+    keep &= jnp.where(active_p, logits >= p_cut, True)
+
+    # min-p: prob >= min_p * max_prob  <=>  logit >= max_logit + log(min_p)
+    minp_thresh = max_logit + jnp.log(jnp.maximum(inputs.min_p, 1e-38))[:, None]
+    keep &= jnp.where((inputs.min_p > 0)[:, None], logits >= minp_thresh, True)
 
     # never mask out the argmax
     keep |= logits >= max_logit

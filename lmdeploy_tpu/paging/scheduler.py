@@ -55,6 +55,7 @@ class Scheduler:
         self.block_trie = BlockTrie(cache_config, self.block_manager) \
             if cache_config.enable_prefix_caching else None
         self._step_count = 0
+        self.num_preemptions = 0
 
     # -- session CRUD ------------------------------------------------------------------
     def add_session(self, session_id: int):
@@ -165,6 +166,21 @@ class Scheduler:
             scheduled.append(seq)
         return SchedulerOutput(is_prefill=False, decode_seqs=scheduled)
 
+    def extend_decode_capacity(self, seq: SchedulerSequence, num_tokens: int,
+                               exclude: Optional[List[SchedulerSequence]] = None
+                               ) -> bool:
+        """Ensure blocks for ``num_tokens`` more tokens (multi-step decode runs).
+
+        May preempt younger sequences; returns False (and preempts ``seq``) when
+        capacity cannot be found.
+        """
+        if self.block_manager.allocate_for_seq(seq, num_new_tokens=num_tokens):
+            return True
+        if self._try_preempt_for(seq, num_tokens, exclude=exclude):
+            return True
+        self._preempt(seq)
+        return False
+
     def _try_preempt_for(self, seq: SchedulerSequence, num_new_tokens: int,
                          exclude: Optional[List[SchedulerSequence]] = None) -> bool:
         """Evict youngest RUNNING seqs until ``seq`` can allocate. Recompute-type eviction."""
@@ -193,6 +209,7 @@ class Scheduler:
         return self.block_manager.allocate_for_seq(seq, num_new_tokens)
 
     def _preempt(self, seq: SchedulerSequence):
+        self.num_preemptions += 1
         if self.block_trie is not None:
             self.block_trie.release_seq(seq)
         else:

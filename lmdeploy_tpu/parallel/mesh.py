@@ -61,14 +61,21 @@ def make_llama_shardings(model, shard_vocab: bool = True) -> Dict:
             return {'w8': row, 'scale': P(None, None)}
         return base
 
+    layer_shapes = model.param_shapes()['layers']
     layers = {
         'attn_norm': rep1,
         'wq': linear_spec('col'), 'wk': linear_spec('col'), 'wv': linear_spec('col'),
         'wo': linear_spec('row'),
         'mlp_norm': rep1,
-        'w_gate': linear_spec('col'), 'w_up': linear_spec('col'),
-        'w_down': linear_spec('row'),
     }
+    if 'w_gate' in layer_shapes:      # dense mlp
+        layers.update(w_gate=linear_spec('col'), w_up=linear_spec('col'),
+                      w_down=linear_spec('row'))
+    if 'router' in layer_shapes:      # sparse MoE: [L,E,H,I] experts, tp on I
+        layers.update(router=P(None, None, None),
+                      we_gate=P(None, None, None, 'tp'),
+                      we_up=P(None, None, None, 'tp'),
+                      we_down=P(None, None, 'tp', None))
     cfg = model.config
     if cfg.attention_bias:
         layers.update(bq=vec_col, bk=vec_col, bv=vec_col)

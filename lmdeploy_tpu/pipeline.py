@@ -99,8 +99,14 @@ class Pipeline:
             session = _ChatSession(self)
         return session.chat(prompt, gen_config=gen_config, **kwargs), session
 
-    def get_ppl(self, texts: Union[str, List[str]]) -> List[float]:
-        raise NotImplementedError('get_ppl lands with the logits-export milestone')
+    def get_ppl(self, texts: Union[str, List[str]]):
+        """Mean negative log-likelihood per text (reference: pipeline.py:267)."""
+        single = isinstance(texts, str)
+        batch = [texts] if single else list(texts)
+        ids = [self.engine.tokenizer.encode(t) for t in batch]
+        fut = self._loop_thread.submit(self.engine.async_get_ppl(ids))
+        out = fut.result()
+        return out[0] if single else out
 
     def close(self):
         if self._closed:

@@ -83,13 +83,14 @@ def create_app(engine: AsyncEngine, model_name: str, api_key: Optional[str] = No
 
     async def metrics(request):
         m = engine.engine.make_schedule_metrics()
-        lines = [
-            f'lmdeploy_num_running {m.num_running}',
-            f'lmdeploy_num_waiting {m.num_waiting}',
-            f'lmdeploy_cache_usage {m.cache_usage:.4f}',
-            f'lmdeploy_free_blocks {m.num_free_blocks}',
-        ]
-        return web.Response(text='\n'.join(lines) + '\n')
+        text = engine.engine.metrics.prometheus_text(extra={
+            'num_running': m.num_running,
+            'num_waiting': m.num_waiting,
+            'cache_usage': round(m.cache_usage, 4),
+            'free_blocks': m.num_free_blocks,
+            'num_preemptions': engine.engine.scheduler.num_preemptions,
+        })
+        return web.Response(text=text)
 
     async def chat_completions(request):
         req, err = await parse(request, ChatCompletionRequest)

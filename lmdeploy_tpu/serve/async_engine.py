@@ -222,5 +222,44 @@ class AsyncEngine:
         results = await asyncio.gather(*tasks)
         return results[0] if is_single else list(results)
 
+    # -- ppl / logits (reference: async_engine.py:845 async_get_ppl, :809 logits) ------
+    async def async_get_logits(self, input_ids: List[List[int]]):
+        """Full-vocab logits per prompt (scratch blocks, no session state kept)."""
+        import numpy as np
+        agent = self.engine.model_agent
+        bm = self.engine.scheduler.block_manager
+        out = []
+        for ids in input_ids:
+            nblocks = (len(ids) + bm.block_size - 1) // bm.block_size
+            if not bm.can_allocate(nblocks):
+                raise RuntimeError('not enough free KV blocks for logits request')
+            blocks = bm.allocate(nblocks)
+            try:
+                # serialize against engine steps on the device thread
+                loop = asyncio.get_running_loop()
+                res = await loop.run_in_executor(
+                    self.engine._executor, agent.compute_logits, ids, blocks)
+                out.append(res)
+            finally:
+                bm.free(blocks)
+        return out
+
+    async def async_get_ppl(self, input_ids: List[List[int]]) -> List[float]:
+        """Per-prompt perplexity-style mean NLL (reference returns NLL sums/means)."""
+        import numpy as np
+        logits = await self.async_get_logits(input_ids)
+        ppls = []
+        for ids, lg in zip(input_ids, logits):
+            if len(ids) < 2:
+                ppls.append(0.0)
+                continue
+            lg = lg[:-1].astype(np.float64)
+            targets = np.asarray(ids[1:])
+            lse = np.log(np.exp(lg - lg.max(-1, keepdims=True)).sum(-1)) \
+                + lg.max(-1)
+            nll = lse - lg[np.arange(len(targets)), targets]
+            ppls.append(float(nll.mean()))
+        return ppls
+
     def close(self):
         self.engine.close()

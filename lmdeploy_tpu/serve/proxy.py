@@ -1,0 +1,179 @@
+"""Cluster proxy/router: node registry + request forwarding.
+
+Reference analog: ``lmdeploy/serve/proxy/proxy.py`` (NodeManager:71 — node registry
+with heartbeat expiry, routing strategies RANDOM / MIN_EXPECTED_LATENCY /
+MIN_OBSERVED_LATENCY ``:279-318``, node add/remove REST, forwarding with retry
+and fault tolerance).  aiohttp implementation.
+
+Endpoints:
+  GET  /nodes/status            — list registered nodes
+  POST /nodes/add               — {"url": "http://host:port", "models": [...]}
+  POST /nodes/remove            — {"url": ...}
+  GET  /health
+  any  /v1/* , /generate        — forwarded to a node per the routing strategy
+"""
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import random
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+logger = logging.getLogger('lmdeploy_tpu')
+
+HEARTBEAT_EXPIRY = 60.0
+LATENCY_WINDOW = 64
+
+
+@dataclass
+class Node:
+    url: str
+    models: List[str] = field(default_factory=list)
+    registered_at: float = field(default_factory=time.time)
+    last_alive: float = field(default_factory=time.time)
+    inflight: int = 0
+    latencies: List[float] = field(default_factory=list)
+    failures: int = 0
+
+    def observe(self, latency: float):
+        self.latencies.append(latency)
+        if len(self.latencies) > LATENCY_WINDOW:
+            self.latencies.pop(0)
+
+    @property
+    def mean_latency(self) -> float:
+        return sum(self.latencies) / len(self.latencies) if self.latencies else 0.0
+
+
+class NodeManager:
+
+    def __init__(self, strategy: str = 'min_expected_latency'):
+        assert strategy in ('random', 'min_expected_latency', 'min_observed_latency')
+        self.strategy = strategy
+        self.nodes: Dict[str, Node] = {}
+
+    def add(self, url: str, models: Optional[List[str]] = None):
+        url = url.rstrip('/')
+        self.nodes[url] = Node(url=url, models=models or [])
+
+    def remove(self, url: str):
+        self.nodes.pop(url.rstrip('/'), None)
+
+    def heartbeat(self, url: str):
+        node = self.nodes.get(url.rstrip('/'))
+        if node:
+            node.last_alive = time.time()
+
+    def alive_nodes(self) -> List[Node]:
+        now = time.time()
+        return [n for n in self.nodes.values()
+                if now - n.last_alive < HEARTBEAT_EXPIRY]
+
+    def pick(self) -> Optional[Node]:
+        nodes = self.alive_nodes()
+        if not nodes:
+            return None
+        if self.strategy == 'random':
+            return random.choice(nodes)
+        if self.strategy == 'min_observed_latency':
+            return min(nodes, key=lambda n: (n.mean_latency, n.inflight))
+        # min_expected_latency: queue depth x observed latency
+        return min(nodes, key=lambda n: (n.inflight + 1) * max(n.mean_latency, 1e-3))
+
+
+def create_proxy_app(manager: Optional[NodeManager] = None,
+                     routing_strategy: str = 'min_expected_latency'):
+    import aiohttp
+    from aiohttp import web
+
+    manager = manager or NodeManager(routing_strategy)
+
+    async def health(request):
+        return web.json_response({'status': 'ok',
+                                  'nodes': len(manager.alive_nodes())})
+
+    async def nodes_status(request):
+        return web.json_response({'nodes': [
+            {'url': n.url, 'models': n.models, 'inflight': n.inflight,
+             'mean_latency_s': round(n.mean_latency, 4), 'failures': n.failures}
+            for n in manager.nodes.values()]})
+
+    async def nodes_add(request):
+        data = await request.json()
+        manager.add(data['url'], data.get('models'))
+        return web.json_response({'status': 'ok'})
+
+    async def nodes_remove(request):
+        data = await request.json()
+        manager.remove(data['url'])
+        return web.json_response({'status': 'ok'})
+
+    async def heartbeat(request):
+        data = await request.json()
+        manager.heartbeat(data['url'])
+        return web.json_response({'status': 'ok'})
+
+    async def forward(request):
+        body = await request.read()
+        tried = set()
+        for _ in range(3):                       # retry on other nodes on failure
+            node = manager.pick()
+            if node is None or node.url in tried and \
+                    len(tried) >= len(manager.alive_nodes()):
+                break
+            if node.url in tried:
+                continue
+            tried.add(node.url)
+            node.inflight += 1
+            start = time.time()
+            try:
+                timeout = aiohttp.ClientTimeout(total=600)
+                async with aiohttp.ClientSession(timeout=timeout) as session:
+                    async with session.request(
+                            request.method, node.url + request.path_qs,
+                            data=body, headers={'Content-Type':
+                                                request.content_type or
+                                                'application/json'}) as resp:
+                        if resp.headers.get('Content-Type', '').startswith(
+                                'text/event-stream'):
+                            out = web.StreamResponse(
+                                status=resp.status,
+                                headers={'Content-Type': 'text/event-stream'})
+                            await out.prepare(request)
+                            async for chunk in resp.content.iter_any():
+                                await out.write(chunk)
+                            await out.write_eof()
+                            node.observe(time.time() - start)
+                            return out
+                        payload = await resp.read()
+                        node.observe(time.time() - start)
+                        return web.Response(body=payload, status=resp.status,
+                                            content_type=resp.content_type)
+            except Exception:  # noqa: BLE001
+                node.failures += 1
+                logger.exception('proxy: node %s failed; retrying', node.url)
+            finally:
+                node.inflight -= 1
+        return web.json_response(
+            {'error': {'message': 'no healthy nodes available'}}, status=503)
+
+    app = web.Application()
+    app.router.add_get('/health', health)
+    app.router.add_get('/nodes/status', nodes_status)
+    app.router.add_post('/nodes/add', nodes_add)
+    app.router.add_post('/nodes/remove', nodes_remove)
+    app.router.add_post('/heartbeat', heartbeat)
+    app.router.add_route('*', '/v1/{tail:.*}', forward)
+    app.router.add_post('/generate', forward)
+    app['node_manager'] = manager
+    return app
+
+
+def proxy(server_name: str = '0.0.0.0', server_port: int = 8000,
+          routing_strategy: str = 'min_expected_latency'):
+    from aiohttp import web
+    app = create_proxy_app(routing_strategy=routing_strategy)
+    web.run_app(app, host=server_name, port=server_port)

@@ -63,6 +63,10 @@ def _assign(params_np, path, tensor, col):
         arr = arr[layer]
     if col is None:
         arr[...] = tensor
+    elif isinstance(col, slice):
+        arr[..., col] = tensor
+    elif hasattr(col, 'e'):          # expert index (models/mixtral.py _ExpertSlice)
+        arr[col.e][...] = tensor
     else:
         arr[..., col] = tensor
 
@@ -79,9 +83,10 @@ def load_params_np(model, model_path: str):
         entry = plan.get(name)
         if entry is None:
             continue
-        path, transform, col = entry
-        tensor = transform(np.asarray(tensor))
-        _assign(params_np, path, tensor, col)
+        entries = entry if isinstance(entry, list) else [entry]
+        arr = np.asarray(tensor)
+        for path, transform, col in entries:   # one HF tensor may split to many
+            _assign(params_np, path, transform(arr), col)
     return params_np
 
 
