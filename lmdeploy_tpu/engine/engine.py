@@ -105,6 +105,8 @@ class Engine:
     def add_message(self, session_id: int, token_ids: List[int],
                     sampling_params: SamplingParams) -> asyncio.Queue:
         """Enqueue a generation request; returns the per-request output queue."""
+        if getattr(self, '_sleeping', False):
+            raise ValueError('engine is sleeping; call wakeup() (POST /wakeup) first')
         self.add_session(session_id)
         session = self.scheduler.seq_manager.get_session(session_id)
         max_len = self.configs.scheduler.max_session_len
@@ -144,6 +146,9 @@ class Engine:
                 self._new_work.clear()
                 await self._new_work.wait()
                 continue
+            import os
+            trace = os.environ.get('LMDEPLOY_TPU_TRACE_STEPS') == '1'
+            t_sched = time.perf_counter()
             out = self.scheduler.schedule()
             if out.is_empty:
                 # forward-progress invariant (TurboMind engine.cc:611): if nothing can
@@ -162,6 +167,11 @@ class Engine:
                 if out.is_prefill:
                     step = await loop.run_in_executor(
                         self._executor, self.model_agent.prefill, out.prefill_chunks)
+                    if trace:
+                        print(f'[trace] prefill n={len(out.prefill_chunks)} '
+                              f'tok={sum(c.length for c in out.prefill_chunks)} '
+                              f'{(time.perf_counter()-t_sched)*1000:.0f}ms',
+                              flush=True)
                     tokens = step.tokens_np()
                     logprobs = step.logprobs_np()
                     for i, chunk in enumerate(out.prefill_chunks):
@@ -231,11 +241,17 @@ class Engine:
             for s in changed:
                 s._synced_blocks = len(s.logical_blocks)
 
+        import os
+        trace = os.environ.get('LMDEPLOY_TPU_TRACE_STEPS') == '1'
+        t0 = time.perf_counter()
         num_rows = max(s.batch_slot for s in survivors) + 1
         step = await loop.run_in_executor(self._executor, agent.decode_run,
                                           num_rows, k)
         tokens = step.tokens_np()          # [k, B]
         logprobs = step.logprobs_np()
+        if trace:
+            print(f'[trace] decode_run k={k} rows={num_rows} '
+                  f'{(time.perf_counter()-t0)*1000:.0f}ms', flush=True)
         for i in range(tokens.shape[0]):
             for seq in survivors:
                 if seq.status != MessageStatus.RUNNING:
@@ -315,6 +331,26 @@ class Engine:
             req.loop.call_soon_threadsafe(req.queue.put_nowait, out)
             req.finished = True
         self._requests.clear()
+
+    # -- sleep / wakeup / weight update (RL colocation) ----------------------------------
+    def sleep(self, level: int = 1):
+        """Release device memory between rollout phases (reference: engine.py:566).
+
+        Requires a drained engine (no unfinished requests); running sequences are
+        recompute-type state, so their KV is simply dropped.
+        """
+        assert not self.scheduler.has_unfinished(), \
+            'sleep() requires a drained engine'
+        self.model_agent.sleep(level)
+        self._sleeping = True
+
+    def wakeup(self):
+        self.model_agent.wakeup()
+        self._sleeping = False
+
+    def update_params(self, named_arrays) -> int:
+        """Online weight sync from a trainer (reference: engine.py:510)."""
+        return self.model_agent.update_params(named_arrays)
 
     # -- introspection / lifecycle -------------------------------------------------------
     def make_schedule_metrics(self) -> ScheduleMetrics:

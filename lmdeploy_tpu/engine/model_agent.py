@@ -478,6 +478,79 @@ class ModelAgent:
         self.cache_engine.swap_caches(k_cache, v_cache)
         return np.asarray(logits[0, :n])
 
+    # -- sleep / wakeup / weight update (RL colocation; reference engine.py:566) -------
+    def sleep(self, level: int = 1):
+        """Release device memory: level 1 = KV cache (+ decode state), level 2 = also
+        move weights to host.  Reference analog: engine.py sleep/wakeup drain."""
+        import jax
+        self.cache_engine.k_cache = None
+        self.cache_engine.v_cache = None
+        self.decode_state = None
+        self.token_counts = None
+        if level >= 2:
+            self._host_params = jax.device_get(self.params)
+            self.params = None
+        self._slept_level = level
+
+    def wakeup(self):
+        import dataclasses
+        import jax
+        import jax.numpy as jnp
+        from .decode_state import make_initial_state
+        if getattr(self, '_slept_level', 0) >= 2 and self.params is None:
+            shardings = None
+            if self.mesh is not None:
+                from ..parallel.mesh import make_llama_shardings
+                shardings = make_llama_shardings(self.model)
+            from ..weight_loader import put_params
+            self.params = put_params(self._host_params, shardings, self.mesh)
+            self._host_params = None
+        cfg = self.model_config
+        cc = self.cache_config
+        shape = (cfg.num_layers, cfg.num_key_value_heads,
+                 self.cache_engine.num_blocks, cc.block_size,
+                 self.cache_engine.padded_head_dim)
+        dtype = self.cache_engine._cache_dtype()
+        self.cache_engine.k_cache = jnp.zeros(shape, dtype)
+        self.cache_engine.v_cache = jnp.zeros(shape, dtype)
+        self.token_counts = jnp.zeros((self.max_batch + 1, cfg.vocab_size),
+                                      jnp.int16)
+        self.decode_state = make_initial_state(self.max_batch,
+                                               self.state_table_width,
+                                               cfg.vocab_size)
+        self.decode_state = dataclasses.replace(self.decode_state,
+                                                token_counts=self.token_counts)
+        self._slept_level = 0
+
+    def update_params(self, named_arrays) -> int:
+        """Online weight update (RL weight sync; reference agent.py:1277).
+
+        ``named_arrays``: iterable of (hf_tensor_name, np.ndarray) in checkpoint
+        naming; routed through the model's assign plan.  Returns tensors applied.
+        """
+        import jax
+        from ..weight_loader import _assign
+        plan = self.model.make_assign_plan()
+        # device_get returns read-only views; copy so the assign plan can write
+        params_np = jax.tree_util.tree_map(lambda x: np.array(x),
+                                           jax.device_get(self.params))
+        applied = 0
+        for name, tensor in named_arrays:
+            entry = plan.get(name)
+            if entry is None:
+                continue
+            entries = entry if isinstance(entry, list) else [entry]
+            for path, transform, col in entries:
+                _assign(params_np, path, transform(np.asarray(tensor)), col)
+                applied += 1
+        shardings = None
+        if self.mesh is not None:
+            from ..parallel.mesh import make_llama_shardings
+            shardings = make_llama_shardings(self.model)
+        from ..weight_loader import put_params
+        self.params = put_params(params_np, shardings, self.mesh)
+        return applied
+
     def warmup(self, batch_sizes: Optional[List[int]] = None):
         """Precompile the decode buckets (analog of graph capture warmup)."""
         # compilation happens lazily on first use; warmup is a no-op placeholder

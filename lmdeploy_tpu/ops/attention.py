@@ -136,9 +136,21 @@ def paged_attention(q, k_cache, v_cache, block_tables, history_lens, q_lens, sca
                 history_lens + 1,     # kv length includes the token just filled
                 layer, scale, logit_softcap=logit_softcap)
             return out[:, None]
+        import os
         if fresh_prefill and chunk_kv is not None and logit_softcap is None \
                 and T >= 128:
-            return _flash_prefill(q, chunk_kv[0], chunk_kv[1], scale)
+            # Known issue on the tunneled TPU stack used for CI: prefill programs
+            # embedding the flash kernel (ours or jax's) or a q-tiled dense path
+            # hang at execution inside the layer scan, while the block-table
+            # gather path below runs.  The gather path's KV read is bounded by
+            # the prefill W bucket (~= prompt length), so it stays efficient for
+            # normal prompt sizes; the flash kernel remains available via
+            # LMDEPLOY_TPU_FLASH=1 (and is the intended default once the stack
+            # issue is resolved — it passes all kernel unit tests).
+            if os.environ.get('LMDEPLOY_TPU_FLASH') == '1':
+                return _flash_prefill(q, chunk_kv[0], chunk_kv[1], scale)
+            if os.environ.get('LMDEPLOY_TPU_DENSE_PREFILL') == '1':
+                return _dense_prefill(q, chunk_kv[0], chunk_kv[1], scale)
     k_l = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
     v_l = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
     return paged_attention_reference(q, k_l, v_l, block_tables, history_lens,
@@ -149,25 +161,46 @@ def _flash_prefill(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
                    ) -> jax.Array:
     """Dense causal flash attention for fresh prefill chunks (history == 0).
 
-    Padding queries (i >= q_len) only see causal keys, so garbage rows stay finite and
-    are discarded by the last-token gather.  GQA handled by repeating KV heads
-    (prefill is MXU-bound; the repeat is noise next to the matmuls).
+    Padding queries (i >= q_len) only see causal keys, so garbage rows stay finite
+    and are discarded by the last-token gather.  Uses this framework's own kernel
+    (ops/pallas/flash_prefill.py).
     """
-    from jax.experimental.pallas.ops.tpu.flash_attention import (BlockSizes,
-                                                                 flash_attention)
+    from .pallas.flash_prefill import flash_prefill_attention
+    return flash_prefill_attention(q, k, v, scale)
+
+
+def _dense_prefill(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
+                   tile_q: int = 256) -> jax.Array:
+    """Fresh-prefill causal attention on the chunk's own dense K/V, q-tiled so the
+    score matrix stays bounded ([B, Hkv, G, TQ, T] per tile).  Pure XLA."""
     B, T, Hq, D = q.shape
     Hkv = k.shape[2]
     G = Hq // Hkv
-    qt = jnp.swapaxes(q, 1, 2)                       # [B, Hq, T, D]
-    kt = jnp.repeat(jnp.swapaxes(k, 1, 2), G, axis=1)
-    vt = jnp.repeat(jnp.swapaxes(v, 1, 2), G, axis=1)
-    blk = min(512, T)
-    sizes = BlockSizes(block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
-                       block_q_major_dkv=blk, block_k_major_dkv=blk,
-                       block_k_dkv=blk, block_q_dkv=blk,
-                       block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk)
-    out = flash_attention(qt, kt, vt, causal=True, sm_scale=scale, block_sizes=sizes)
-    return jnp.swapaxes(out, 1, 2)
+    tile_q = min(tile_q, T)
+    if T % tile_q:
+        tile_q = T
+    nq = T // tile_q
+
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    qg = q.reshape(B, nq, tile_q, Hkv, G, D).astype(jnp.float32)
+    k_pos = jnp.arange(T, dtype=jnp.int32)
+
+    def one_tile(i):
+        qt = jax.lax.dynamic_index_in_dim(qg, i, 1, keepdims=False)  # [B,TQ,Hkv,G,D]
+        s = jnp.einsum('bthgd,bshd->bhgts', qt, kf) * scale
+        q_pos = i * tile_q + jnp.arange(tile_q, dtype=jnp.int32)
+        mask = k_pos[None, :] <= q_pos[:, None]                      # [TQ, T]
+        s = jnp.where(mask[None, None, None], s, NEG_INF)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum('bhgts,bshd->bthgd', p, vf)                # [B,TQ,Hkv,G,D]
+
+    if nq == 1:
+        out = one_tile(0).reshape(B, T, Hkv, G, D)
+    else:
+        tiles = jax.lax.map(one_tile, jnp.arange(nq))                # [nq,B,TQ,...]
+        out = jnp.moveaxis(tiles, 0, 1).reshape(B, T, Hkv, G, D)
+    return out.reshape(B, T, Hq, D).astype(q.dtype)
 
 
 def _on_tpu() -> bool:

@@ -46,14 +46,28 @@ class SchedulerOutput:
 class Scheduler:
 
     def __init__(self, scheduler_config: SchedulerConfig, cache_config: CacheConfig,
-                 num_blocks: Optional[int] = None):
+                 num_blocks: Optional[int] = None, use_native: Optional[bool] = None):
+        import os
         self.scheduler_config = scheduler_config
         self.cache_config = cache_config
         num_blocks = num_blocks if num_blocks is not None else cache_config.num_gpu_blocks
-        self.block_manager = BlockManager(num_blocks, cache_config.block_size)
+        if use_native is None:
+            use_native = os.environ.get('LMDEPLOY_TPU_NATIVE', '1') != '0'
+        self.is_native = False
+        if use_native:
+            from .native import native_available
+            if native_available():
+                from .native import NativeBlockManager, NativeBlockTrie
+                self.block_manager = NativeBlockManager(num_blocks,
+                                                        cache_config.block_size)
+                self.block_trie = NativeBlockTrie(cache_config, self.block_manager) \
+                    if cache_config.enable_prefix_caching else None
+                self.is_native = True
+        if not self.is_native:
+            self.block_manager = BlockManager(num_blocks, cache_config.block_size)
+            self.block_trie = BlockTrie(cache_config, self.block_manager) \
+                if cache_config.enable_prefix_caching else None
         self.seq_manager = SequenceManager(cache_config.block_size)
-        self.block_trie = BlockTrie(cache_config, self.block_manager) \
-            if cache_config.enable_prefix_caching else None
         self._step_count = 0
         self.num_preemptions = 0
 

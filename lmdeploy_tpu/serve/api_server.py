@@ -247,7 +247,22 @@ def create_app(engine: AsyncEngine, model_name: str, api_key: Optional[str] = No
             await engine.stop_session(int(session_id))
         return web.json_response({'status': 'ok'})
 
+    async def sleep_ep(request):
+        """Release device memory (reference: endpoints/management.py sleep)."""
+        level = int(request.query.get('level', '1'))
+        try:
+            engine.engine.sleep(level)
+        except AssertionError as e:
+            return error_response(str(e), 409)
+        return web.json_response({'status': 'ok'})
+
+    async def wakeup_ep(request):
+        engine.engine.wakeup()
+        return web.json_response({'status': 'ok'})
+
     app = web.Application(middlewares=[auth_middleware])
+    from .anthropic_api import add_anthropic_routes
+    add_anthropic_routes(app, engine, model_name)
     app.router.add_get('/health', health)
     app.router.add_get('/v1/models', list_models)
     app.router.add_get('/metrics', metrics)
@@ -255,6 +270,8 @@ def create_app(engine: AsyncEngine, model_name: str, api_key: Optional[str] = No
     app.router.add_post('/v1/completions', completions)
     app.router.add_post('/generate', generate)
     app.router.add_post('/abort_request', abort_request)
+    app.router.add_post('/sleep', sleep_ep)
+    app.router.add_post('/wakeup', wakeup_ep)
     return app
 
 

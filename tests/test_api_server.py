@@ -1,0 +1,180 @@
+"""API server tests over in-process aiohttp (OpenAI + Anthropic surfaces)."""
+import asyncio
+import json
+
+import pytest
+
+
+@pytest.fixture(scope='module')
+def server_client(tiny_model_dir):
+    """(loop, client) against a live app bound to the tiny model."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from lmdeploy_tpu.messages import TpuEngineConfig
+    from lmdeploy_tpu.serve.api_server import create_app
+    from lmdeploy_tpu.serve.async_engine import AsyncEngine
+
+    loop = asyncio.new_event_loop()
+    cfg = TpuEngineConfig(dtype='float32', block_size=16, num_gpu_blocks=64,
+                          max_batch_size=8, session_len=256,
+                          max_prefill_token_num=128)
+    engine = AsyncEngine(tiny_model_dir, backend_config=cfg)
+    app = create_app(engine, 'tiny-test')
+
+    async def start():
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        return client
+
+    client = loop.run_until_complete(start())
+    yield loop, client
+    loop.run_until_complete(client.close())
+    engine.close()
+    loop.close()
+
+
+def test_models_and_health(server_client):
+    loop, client = server_client
+
+    async def run():
+        r = await client.get('/v1/models')
+        assert r.status == 200
+        data = await r.json()
+        assert data['data'][0]['id'] == 'tiny-test'
+        r = await client.get('/health')
+        assert r.status == 200
+        return True
+
+    assert loop.run_until_complete(run())
+
+
+def test_chat_completion(server_client):
+    loop, client = server_client
+
+    async def run():
+        r = await client.post('/v1/chat/completions', json={
+            'model': 'tiny-test',
+            'messages': [{'role': 'user', 'content': 'hi'}],
+            'max_tokens': 6, 'temperature': 0})
+        assert r.status == 200
+        data = await r.json()
+        assert data['object'] == 'chat.completion'
+        assert data['choices'][0]['message']['role'] == 'assistant'
+        assert data['usage']['completion_tokens'] > 0
+        return True
+
+    assert loop.run_until_complete(run())
+
+
+def test_chat_completion_streaming(server_client):
+    loop, client = server_client
+
+    async def run():
+        r = await client.post('/v1/chat/completions', json={
+            'model': 'tiny-test',
+            'messages': [{'role': 'user', 'content': 'hello'}],
+            'max_tokens': 5, 'temperature': 0, 'stream': True})
+        assert r.status == 200
+        body = (await r.read()).decode()
+        events = [line for line in body.split('\n\n') if line.startswith('data: ')]
+        assert events[-1] == 'data: [DONE]'
+        first = json.loads(events[0][6:])
+        assert first['object'] == 'chat.completion.chunk'
+        assert first['choices'][0]['delta']['role'] == 'assistant'
+        return True
+
+    assert loop.run_until_complete(run())
+
+
+def test_completions_batch(server_client):
+    loop, client = server_client
+
+    async def run():
+        r = await client.post('/v1/completions', json={
+            'model': 'tiny-test', 'prompt': ['abc', 'def'],
+            'max_tokens': 4, 'temperature': 0})
+        data = await r.json()
+        assert len(data['choices']) == 2
+        return True
+
+    assert loop.run_until_complete(run())
+
+
+def test_generate_token_api(server_client):
+    loop, client = server_client
+
+    async def run():
+        r = await client.post('/generate', json={
+            'input_ids': [5, 10, 20], 'max_tokens': 4, 'ignore_eos': True})
+        data = await r.json()
+        assert data['num_token'] == 4
+        return True
+
+    assert loop.run_until_complete(run())
+
+
+def test_anthropic_messages(server_client):
+    loop, client = server_client
+
+    async def run():
+        r = await client.post('/v1/messages', json={
+            'model': 'tiny-test', 'max_tokens': 5,
+            'messages': [{'role': 'user', 'content': 'hi'}]})
+        assert r.status == 200
+        data = await r.json()
+        assert data['type'] == 'message'
+        assert data['content'][0]['type'] == 'text'
+        assert data['stop_reason'] in ('end_turn', 'max_tokens')
+        # missing max_tokens -> clean error
+        r = await client.post('/v1/messages', json={
+            'model': 'tiny-test', 'messages': []})
+        assert r.status == 400
+        err = await r.json()
+        assert err['error']['type'] == 'invalid_request_error'
+        return True
+
+    assert loop.run_until_complete(run())
+
+
+def test_anthropic_streaming(server_client):
+    loop, client = server_client
+
+    async def run():
+        r = await client.post('/v1/messages', json={
+            'model': 'tiny-test', 'max_tokens': 12, 'stream': True,
+            'messages': [{'role': 'user', 'content': 'hello'}]})
+        body = (await r.read()).decode()
+        assert 'event: message_start' in body
+        assert 'event: content_block_start' in body
+        assert 'event: message_delta' in body
+        assert 'event: message_stop' in body
+        return True
+
+    assert loop.run_until_complete(run())
+
+
+def test_error_responses(server_client):
+    loop, client = server_client
+
+    async def run():
+        r = await client.post('/v1/chat/completions', data='not json',
+                              headers={'Content-Type': 'application/json'})
+        assert r.status == 400
+        r = await client.post('/v1/chat/completions', json={'model': 'x'})
+        assert r.status == 400
+        return True
+
+    assert loop.run_until_complete(run())
+
+
+def test_metrics_endpoint(server_client):
+    loop, client = server_client
+
+    async def run():
+        r = await client.get('/metrics')
+        text = await r.text()
+        assert 'lmdeploy_num_requests_finished' in text
+        assert 'lmdeploy_cache_usage' in text
+        return True
+
+    assert loop.run_until_complete(run())
