@@ -40,8 +40,10 @@ class Engine:
     """One engine = one model on one device mesh, continuous batching."""
 
     def __init__(self, model_path: Optional[str], engine_config: TpuEngineConfig,
-                 mesh=None, configs: Optional[EngineConfigBundle] = None):
+                 mesh=None, configs: Optional[EngineConfigBundle] = None,
+                 tokenizer=None):
         self.engine_config = engine_config
+        self.tokenizer = tokenizer         # needed for guided decoding (token text)
         if configs is None:
             assert model_path is not None, 'model_path or configs required'
             configs = EngineConfigBundle.build(model_path, engine_config)
@@ -122,6 +124,14 @@ class Engine:
             seq.status = MessageStatus.WAITING
         else:
             seq = session.add_sequence(token_ids, sampling_params)
+        fmt = sampling_params.response_format or {}
+        if fmt.get('type') in ('json_object', 'json_schema'):
+            if self.tokenizer is None:
+                raise ValueError('guided decoding requires a tokenizer-backed engine')
+            from ..guided import JsonGuide
+            seq.guided = JsonGuide(self.tokenizer, self.configs.model.vocab_size,
+                                   sampling_params.stop_token_ids
+                                   or self.configs.model.eos_token_id)
         queue: asyncio.Queue = asyncio.Queue()
         self._requests[seq.seq_id] = _ActiveRequest(
             seq=seq, queue=queue, loop=asyncio.get_running_loop())
@@ -181,6 +191,8 @@ class Engine:
                             seq = chunk.seq
                             if not seq.metrics.first_token_time:
                                 seq.metrics.first_token_time = time.time()
+                            if seq.guided is not None:
+                                seq.guided.accept_token(int(tokens[i]))
                             self._post_token(seq, float(logprobs[i]))
                     # newly RUNNING sequences enter the device decode state
                     new_running = [c.seq for c in out.prefill_chunks
@@ -207,6 +219,11 @@ class Engine:
         [k, B] fetch drains the results.
         """
         agent = self.model_agent
+        # guided sequences need a host-computed token mask every step: fall back
+        # to the single-step host-driven path for the whole batch
+        if any(s.guided is not None for s in seqs):
+            await self._decode_step_guided(seqs, loop)
+            return
         k = agent.decode_run_steps
         # shorten runs when new requests wait (TTFT) or outputs are nearly done;
         # round k DOWN to a power of two so each (k, B) pair is a stable
@@ -263,6 +280,32 @@ class Engine:
                          if s.status == MessageStatus.STOPPED and s.batch_slot >= 0]
         if stopped_slots:
             agent.deactivate_rows(stopped_slots)
+
+    async def _decode_step_guided(self, seqs, loop):
+        """Single host-driven decode step (per-step guided-decoding masks)."""
+        seqs = [s for s in seqs if s.status == MessageStatus.RUNNING]
+        if not seqs:
+            return
+        step = await loop.run_in_executor(self._executor,
+                                          self.model_agent.decode, seqs)
+        tokens = step.tokens_np()
+        logprobs = step.logprobs_np()
+        for i, seq in enumerate(seqs):
+            tok = int(tokens[i])
+            self.scheduler.on_decode_done(seq, tok)
+            if seq.guided is not None:
+                seq.guided.accept_token(tok)
+            self._post_token(seq, float(logprobs[i]))
+        # keep the device decode state coherent for non-guided rows
+        stopped = [s.batch_slot for s in seqs
+                   if s.status == MessageStatus.STOPPED and s.batch_slot >= 0]
+        if stopped:
+            self.model_agent.deactivate_rows(stopped)
+        running = [s for s in seqs if s.status == MessageStatus.RUNNING]
+        if running:
+            self.model_agent.insert_decode_rows(running)
+            for s in running:
+                s._synced_blocks = len(s.logical_blocks)
 
     # -- token post-processing ----------------------------------------------------------
     def _post_token(self, seq: SchedulerSequence, logprob: float):

@@ -73,13 +73,19 @@ class SamplingInputs:
                                   + (n_out + 1) * 0x9E3779B9) & 0xFFFFFFFF)
             if p.bad_token_ids:
                 bad_rows.append((i, p.bad_token_ids))
+            guide = getattr(seq, 'guided', None)
+            if guide is not None:
+                bad_rows.append((i, guide))
             max_lp = max(max_lp, p.logprobs if p.logprobs > 0 else 0)
         bad_mask = None
         if bad_rows:
             bad_mask = np.zeros((n, vocab_size), dtype=bool)
             for i, ids in bad_rows:
-                ids = [t for t in ids if 0 <= t < vocab_size]
-                bad_mask[i, ids] = True
+                if hasattr(ids, 'allowed_mask'):   # guided-decoding state
+                    bad_mask[i] = ~ids.allowed_mask()
+                else:
+                    ids = [t for t in ids if 0 <= t < vocab_size]
+                    bad_mask[i, ids] = True
         return cls(temperature=temperature, top_k=top_k, top_p=top_p, min_p=min_p,
                    repetition_penalty=rep, frequency_penalty=freq,
                    presence_penalty=pres, do_sample=do_sample, seeds=seeds,

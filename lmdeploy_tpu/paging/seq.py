@@ -51,6 +51,7 @@ class SamplingParams:
     min_new_tokens: int = 0
     ignore_eos: bool = False
     logprobs: int = -1       # -1 disabled, else top-k logprobs to return
+    response_format: Optional[dict] = None   # {'type': 'json_object'} guided decoding
 
     @classmethod
     def from_gen_config(cls, gen_config: GenerationConfig, eos_token_ids: List[int],
@@ -80,6 +81,7 @@ class SamplingParams:
             min_new_tokens=gen_config.min_new_tokens or 0,
             ignore_eos=gen_config.ignore_eos,
             logprobs=gen_config.logprobs if gen_config.logprobs is not None else -1,
+            response_format=gen_config.response_format,
         )
 
 
@@ -110,6 +112,7 @@ class SchedulerSequence:
         self.return_logits = False
         self.num_new_tokens: int = 0           # tokens generated but not yet emitted
         self.batch_slot: int = -1              # position in the device decode batch
+        self.guided = None                     # guided-decoding state (guided.py)
 
     # -- token accounting -------------------------------------------------------------
     @property

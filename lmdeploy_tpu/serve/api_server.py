@@ -43,6 +43,7 @@ def _gen_config_from_chat(req: ChatCompletionRequest) -> GenerationConfig:
         random_seed=req.seed,
         skip_special_tokens=bool(req.skip_special_tokens),
         logprobs=req.top_logprobs if req.logprobs else None,
+        response_format=req.response_format,
     )
 
 

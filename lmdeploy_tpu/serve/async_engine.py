@@ -61,7 +61,7 @@ class AsyncEngine:
                                                self.tokenizer)
         self.engine = Engine.from_pretrained(model_path,
                                              engine_config=self.backend_config,
-                                             mesh=mesh)
+                                             mesh=mesh, tokenizer=self.tokenizer)
         self.instance = self.engine.create_instance()
         self._session_counter = 0
         self._session_locks: Dict[int, asyncio.Lock] = {}

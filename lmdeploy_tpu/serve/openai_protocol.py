@@ -58,6 +58,7 @@ class ChatCompletionRequest(BaseModel):
     seed: Optional[int] = None
     user: Optional[str] = None
     skip_special_tokens: Optional[bool] = True
+    response_format: Optional[Dict[str, Any]] = None
 
 
 class ChatMessage(BaseModel):
