@@ -1,0 +1,105 @@
+"""Prefill/decode disaggregation: KV-block migration between engines.
+
+Reference analog: ``lmdeploy/pytorch/disagg/`` (EngineRole Hybrid/Prefill/Decode,
+MigrationBackend DLSlime/Mooncake/InfiniStore RDMA, conn/protocol.py block
+migration).  TPU equivalent: KV blocks move over DCN as plain tensors — a prefill
+engine exports a finished session's cache blocks + token state, a decode engine
+imports them into freshly allocated blocks and continues decoding with no
+recompute.  The wire format is a dict of numpy arrays (npz over HTTP via the
+/distserve endpoints in serve/api_server.py).
+
+The cache layout makes this cheap on both sides: blocks are contiguous slices of
+``[L, Hkv, NB, BS, Dp]``, so export is one gather and import one scatter.
+"""
+from __future__ import annotations
+
+import io
+from typing import Dict, Optional
+
+import numpy as np
+
+from .paging.seq import MessageStatus, SamplingParams
+
+
+def export_session_kv(engine, session_id: int) -> Dict[str, np.ndarray]:
+    """Export a session's KV blocks + sequence state (prefill side).
+
+    The sequence must still hold its blocks (engine role 'prefill' retains
+    finished sequences until exported).
+    """
+    import jax.numpy as jnp
+
+    session = engine.scheduler.seq_manager.get_session(session_id)
+    assert session is not None and session.sequences, \
+        f'session {session_id} not found or empty'
+    seq = next(iter(session.sequences.values()))
+    assert seq.logical_blocks, 'sequence holds no KV blocks (already released?)'
+
+    agent = engine.model_agent
+    blocks = np.asarray(seq.logical_blocks, np.int32)
+    k = np.asarray(agent.cache_engine.k_cache[:, :, jnp.asarray(blocks)])
+    v = np.asarray(agent.cache_engine.v_cache[:, :, jnp.asarray(blocks)])
+    return {
+        'token_ids': np.asarray(seq.history_ids, np.int32),
+        'num_computed': np.asarray(seq.num_computed_tokens, np.int64),
+        'k_blocks': k,                      # [L, Hkv, n, BS, Dp]
+        'v_blocks': v,
+        'block_size': np.asarray(engine.configs.cache.block_size, np.int64),
+    }
+
+
+def release_exported(engine, session_id: int):
+    """Free the prefill-side session after a successful migration."""
+    engine.end_session(session_id)
+
+
+def import_session_kv(engine, session_id: int, payload: Dict[str, np.ndarray],
+                      sampling_params: Optional[SamplingParams] = None):
+    """Import migrated KV into this engine and register a RUNNING sequence.
+
+    Returns the created sequence; call ``engine.continue_session`` to stream the
+    remaining tokens.
+    """
+    import jax.numpy as jnp
+
+    assert int(payload['block_size']) == engine.configs.cache.block_size, \
+        'block_size mismatch between PD peers'
+    token_ids = payload['token_ids'].tolist()
+    num_computed = int(payload['num_computed'])
+    n_blocks = payload['k_blocks'].shape[2]
+
+    engine.add_session(session_id)
+    session = engine.scheduler.seq_manager.get_session(session_id)
+    seq = session.add_sequence(token_ids, sampling_params or SamplingParams())
+    bm = engine.scheduler.block_manager
+    assert bm.can_allocate(n_blocks), 'decode engine out of KV blocks'
+    seq.logical_blocks = bm.allocate(n_blocks)
+    seq.num_computed_tokens = num_computed
+    seq.status = MessageStatus.RUNNING
+
+    agent = engine.model_agent
+    idx = jnp.asarray(np.asarray(seq.logical_blocks, np.int32))
+    k_cache = agent.cache_engine.k_cache.at[:, :, idx].set(
+        jnp.asarray(payload['k_blocks'], agent.cache_engine.k_cache.dtype))
+    v_cache = agent.cache_engine.v_cache.at[:, :, idx].set(
+        jnp.asarray(payload['v_blocks'], agent.cache_engine.v_cache.dtype))
+    agent.cache_engine.swap_caches(k_cache, v_cache)
+    agent.insert_decode_rows([seq])
+    # fresh slot: clear the seen-token counts (this row skipped prefill)
+    agent._apply_insert(np.asarray([seq.batch_slot], np.int32),
+                        {'token_counts': np.zeros(
+                            (1, engine.configs.model.vocab_size), np.int16)})
+    seq._synced_blocks = len(seq.logical_blocks)
+    return seq
+
+
+def serialize_payload(payload: Dict[str, np.ndarray]) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, **payload)
+    return buf.getvalue()
+
+
+def deserialize_payload(data: bytes) -> Dict[str, np.ndarray]:
+    buf = io.BytesIO(data)
+    loaded = np.load(buf)
+    return {k: loaded[k] for k in loaded.files}

@@ -43,6 +43,7 @@ class Engine:
                  mesh=None, configs: Optional[EngineConfigBundle] = None,
                  tokenizer=None):
         self.engine_config = engine_config
+        self.role = getattr(engine_config, 'role', 'hybrid')   # PD disaggregation
         self.tokenizer = tokenizer         # needed for guided decoding (token text)
         if configs is None:
             assert model_path is not None, 'model_path or configs required'
@@ -363,8 +364,13 @@ class Engine:
 
     def _cleanup_stopped(self):
         for seq in self.scheduler.seq_manager.seqs_with_status(MessageStatus.STOPPED):
+            if self.role == 'prefill':
+                # PD: retain blocks + slot until the decode peer pulls the KV
+                # (disagg.export_session_kv -> release_exported)
+                continue
             self.model_agent.free_slot(seq)
-        self.scheduler.release_stopped()
+        if self.role != 'prefill':
+            self.scheduler.release_stopped()
 
     def _fail_all(self, err: Exception):
         for req in list(self._requests.values()):
@@ -374,6 +380,20 @@ class Engine:
             req.loop.call_soon_threadsafe(req.queue.put_nowait, out)
             req.finished = True
         self._requests.clear()
+
+    def continue_session(self, session_id: int):
+        """Stream continuation of an imported (migrated) RUNNING sequence (PD)."""
+        session = self.scheduler.seq_manager.get_session(session_id)
+        assert session is not None and session.sequences, \
+            f'session {session_id} has no imported sequence'
+        seq = next(iter(session.sequences.values()))
+        assert seq.status == MessageStatus.RUNNING
+        queue: asyncio.Queue = asyncio.Queue()
+        self._requests[seq.seq_id] = _ActiveRequest(
+            seq=seq, queue=queue, loop=asyncio.get_running_loop())
+        self._ensure_loop()
+        self._new_work.set()
+        return queue
 
     # -- sleep / wakeup / weight update (RL colocation) ----------------------------------
     def sleep(self, level: int = 1):

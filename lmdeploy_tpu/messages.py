@@ -114,6 +114,7 @@ class TpuEngineConfig:
     hf_overrides: Optional[Dict[str, Any]] = None
     revision: Optional[str] = None
     download_dir: Optional[str] = None
+    role: str = 'hybrid'                     # 'hybrid' | 'prefill' | 'decode' (PD)
 
     def validate(self):
         assert self.tp >= 1 and self.dp >= 1 and self.ep >= 1 and self.cp >= 1

@@ -230,7 +230,8 @@ def create_app(engine: AsyncEngine, model_name: str, api_key: Optional[str] = No
                 token_ids = out.token_ids
                 if out.status != ResponseType.SUCCESS:
                     break
-            engine.engine.end_session(session_id)
+            if engine.engine.role != 'prefill':
+                engine.engine.end_session(session_id)   # PD: prefill retains KV
             return web.json_response({'token_ids': token_ids,
                                       'num_token': len(token_ids)})
         if req.prompt is None:
@@ -247,6 +248,48 @@ def create_app(engine: AsyncEngine, model_name: str, api_key: Optional[str] = No
         if session_id is not None:
             await engine.stop_session(int(session_id))
         return web.json_response({'status': 'ok'})
+
+    async def distserve_export(request):
+        """PD: export a retained session's KV blocks (reference: distserve.py)."""
+        from .. import disagg
+        session_id = int(request.match_info['session_id'])
+        payload = disagg.export_session_kv(engine.engine, session_id)
+        data = disagg.serialize_payload(payload)
+        if request.query.get('release', '1') == '1':
+            disagg.release_exported(engine.engine, session_id)
+        return web.Response(body=data,
+                            content_type='application/octet-stream')
+
+    async def distserve_import(request):
+        """PD: import migrated KV and register the RUNNING sequence."""
+        from .. import disagg
+        from ..paging.seq import SamplingParams
+        session_id = int(request.query['session_id'])
+        max_new = int(request.query.get('max_new_tokens', '512'))
+        payload = disagg.deserialize_payload(await request.read())
+        sp = SamplingParams(max_new_tokens=max_new,
+                            stop_token_ids=list(engine.engine.model_config
+                                                .eos_token_id))
+        disagg.import_session_kv(engine.engine, session_id, payload, sp)
+        return web.json_response({'status': 'ok', 'session_id': session_id})
+
+    async def distserve_continue(request):
+        """PD: stream the decode continuation of an imported session (SSE of ids)."""
+        session_id = int(request.query['session_id'])
+        queue = engine.engine.continue_session(session_id)
+        resp = web.StreamResponse(headers={'Content-Type': 'text/event-stream'})
+        await resp.prepare(request)
+        from ..messages import ResponseType
+        while True:
+            out = await queue.get()
+            await resp.write(
+                f'data: {json.dumps({"token_ids": out.token_ids})}\n\n'.encode())
+            if out.status != ResponseType.SUCCESS:
+                break
+        engine.engine.end_session(session_id)
+        await resp.write(b'data: [DONE]\n\n')
+        await resp.write_eof()
+        return resp
 
     async def sleep_ep(request):
         """Release device memory (reference: endpoints/management.py sleep)."""
@@ -273,6 +316,9 @@ def create_app(engine: AsyncEngine, model_name: str, api_key: Optional[str] = No
     app.router.add_post('/abort_request', abort_request)
     app.router.add_post('/sleep', sleep_ep)
     app.router.add_post('/wakeup', wakeup_ep)
+    app.router.add_get('/distserve/export/{session_id}', distserve_export)
+    app.router.add_post('/distserve/import', distserve_import)
+    app.router.add_post('/distserve/continue', distserve_continue)
     return app
 
 
