@@ -41,7 +41,7 @@ class Engine:
 
     def __init__(self, model_path: Optional[str], engine_config: TpuEngineConfig,
                  mesh=None, configs: Optional[EngineConfigBundle] = None,
-                 tokenizer=None):
+                 tokenizer=None, speculative_config=None):
         self.engine_config = engine_config
         self.role = getattr(engine_config, 'role', 'hybrid')   # PD disaggregation
         self.tokenizer = tokenizer         # needed for guided decoding (token text)
@@ -55,6 +55,13 @@ class Engine:
         # agent derives actual block count from HBM; scheduler uses it
         self.scheduler = Scheduler(self.configs.scheduler, self.configs.cache,
                                    num_blocks=self.model_agent.num_blocks)
+        self.spec = None
+        if speculative_config is not None and speculative_config.model:
+            from .spec_agent import SpecExtension
+            self.spec = SpecExtension(
+                self.model_agent, speculative_config.model,
+                speculative_config.num_speculative_tokens,
+                draft_empty_init=self.configs.misc.empty_init)
         from ..metrics import MetricsAggregator
         self.metrics = MetricsAggregator()
         self._requests: Dict[int, _ActiveRequest] = {}
@@ -225,6 +232,9 @@ class Engine:
         if any(s.guided is not None for s in seqs):
             await self._decode_step_guided(seqs, loop)
             return
+        if self.spec is not None:
+            await self._decode_step_spec(seqs, loop)
+            return
         k = agent.decode_run_steps
         # shorten runs when new requests wait (TTFT) or outputs are nearly done;
         # round k DOWN to a power of two so each (k, B) pair is a stable
@@ -281,6 +291,45 @@ class Engine:
                          if s.status == MessageStatus.STOPPED and s.batch_slot >= 0]
         if stopped_slots:
             agent.deactivate_rows(stopped_slots)
+
+    async def _decode_step_spec(self, seqs, loop):
+        """One speculative step: K draft proposals + single-pass verification."""
+        agent = self.model_agent
+        k1 = self.spec.k + 1
+        survivors = []
+        for seq in seqs:
+            if seq.status != MessageStatus.RUNNING:
+                continue
+            if self.scheduler.extend_decode_capacity(seq, k1, exclude=survivors):
+                survivors.append(seq)
+        inactive = [s.batch_slot for s in self.scheduler.seq_manager.all_sequences()
+                    if s.batch_slot >= 0 and s.status != MessageStatus.RUNNING]
+        if inactive:
+            agent.deactivate_rows(inactive)
+        if not survivors:
+            return
+        changed = [s for s in survivors
+                   if getattr(s, '_synced_blocks', -1) != len(s.logical_blocks)]
+        if changed:
+            agent.update_tables(changed)
+            for s in changed:
+                s._synced_blocks = len(s.logical_blocks)
+        num_rows = max(s.batch_slot for s in survivors) + 1
+        out_toks, n_emitted = await loop.run_in_executor(
+            self._executor, self.spec.spec_decode, num_rows)
+        for seq in survivors:
+            slot = seq.batch_slot
+            for j in range(int(n_emitted[slot])):
+                if seq.status != MessageStatus.RUNNING:
+                    break
+                self.scheduler.on_decode_done(seq, int(out_toks[slot, j]))
+                self._post_token(seq, 0.0)
+        stopped = [s.batch_slot for s in survivors
+                   if s.status == MessageStatus.STOPPED and s.batch_slot >= 0]
+        if stopped:
+            agent.deactivate_rows(stopped)
+        # continuing rows stay host/device-consistent: every emitted token was
+        # appended, so device position == num_computed; no re-sync needed
 
     async def _decode_step_guided(self, seqs, loop):
         """Single host-driven decode step (per-step guided-decoding masks)."""

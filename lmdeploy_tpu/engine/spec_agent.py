@@ -1,0 +1,199 @@
+"""Draft-model speculative decoding: propose k tokens, verify in one target pass.
+
+Reference analog: ``lmdeploy/pytorch/spec_decode/`` (SpecModelAgent ``spec_agent.py:149``
+runs the draft inside the main agent step; batched rejection sampler).
+
+TPU design: one jitted spec step does (a) k draft autoregressive steps via
+``lax.scan`` over the draft model, (b) one target forward over the [last, d1..dk]
+chunk with all-position logits, (c) batched rejection sampling
+(ops/spec_sampling.py), (d) in-place state update advancing each row by its
+accepted count.  Rejected positions leave stale KV past ``num_computed`` in both
+caches — never read (attention masks by length) and overwritten when the real
+tokens reach those positions.  Draft staleness (the resampled token's KV is never
+computed by the draft) only lowers acceptance, never correctness — rejection
+sampling guarantees the target distribution for ANY draft.
+
+Sampling parity: target/draft distributions use the same per-row
+temperature/top-k/top-p/min-p masking as normal decoding; greedy rows use one-hot
+distributions (speculation degenerates to exact-match verification).  Penalty
+counts are frozen at the step start across the k positions (documented
+approximation, as in the reference's processor restrictions).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..config import EngineConfigBundle, ModelConfig
+from ..models import build_model
+from ..models.llama import AttnMeta
+from ..nn.layers import make_rope_table
+from ..ops.sampling import SamplingInputs, _top_k_p_min_p_mask, apply_penalties
+from ..ops.spec_sampling import reject_sample
+
+
+class SpecExtension:
+    """Attaches a draft model + caches + the jitted spec step to a ModelAgent."""
+
+    def __init__(self, agent, draft_model_path: str, num_speculative_tokens: int = 4,
+                 draft_empty_init: bool = False):
+        import jax
+        import jax.numpy as jnp
+
+        self.agent = agent
+        self.k = num_speculative_tokens
+        self.draft_config = ModelConfig.from_pretrained(draft_model_path,
+                                                        dtype=agent.model_config.dtype)
+        self.draft_model = build_model(self.draft_config)
+        if draft_empty_init:
+            self.draft_params = self.draft_model.init_params(jax.random.PRNGKey(1))
+        else:
+            from ..weight_loader import load_model_params
+            self.draft_params = load_model_params(self.draft_model, draft_model_path)
+        dc = self.draft_config
+        padded_d = ((dc.head_dim + 127) // 128) * 128
+        shape = (dc.num_layers, dc.num_key_value_heads, agent.num_blocks,
+                 agent.cache_config.block_size, padded_d)
+        dtype = agent.cache_engine.k_cache.dtype
+        self.draft_k = jnp.zeros(shape, dtype)
+        self.draft_v = jnp.zeros(shape, dtype)
+        cos, sin = make_rope_table(dc.head_dim, agent.max_model_len, dc.rope_theta,
+                                   dc.rope_scaling)
+        self.draft_cos = jax.device_put(cos)
+        self.draft_sin = jax.device_put(sin)
+        self._fns = {}
+
+    # -- jitted spec step ---------------------------------------------------------------
+    def _get_fn(self, B: int):
+        import jax
+        import jax.numpy as jnp
+
+        fn = self._fns.get(B)
+        if fn is not None:
+            return fn
+        agent = self.agent
+        target = agent.model
+        draft = self.draft_model
+        K = self.k
+        GOLDEN = np.uint32(0x9E3779B9)
+        from .decode_state import DecodeState
+        row_fields = [f.name for f in dataclasses.fields(DecodeState)
+                      if f.name != 'token_counts']
+
+        def masked_dist(logits, st, counts, greedy_onehot=True):
+            """Per-row sampling distribution matching ops/sampling semantics."""
+            si = SamplingInputs(
+                temperature=st['temperature'], top_k=st['top_k'], top_p=st['top_p'],
+                min_p=st['min_p'], repetition_penalty=st['repetition_penalty'],
+                frequency_penalty=st['frequency_penalty'],
+                presence_penalty=st['presence_penalty'], do_sample=st['do_sample'],
+                seeds=st['seed'])
+            logits = apply_penalties(logits.astype(jnp.float32), counts, si)
+            scaled = logits / si.temperature[:, None]
+            keep = _top_k_p_min_p_mask(scaled, si)
+            masked = jnp.where(keep, scaled, -jnp.inf)
+            dist = jax.nn.softmax(masked, axis=-1)
+            if greedy_onehot:
+                onehot = jax.nn.one_hot(jnp.argmax(logits, -1), logits.shape[-1],
+                                        dtype=jnp.float32)
+                dist = jnp.where(si.do_sample[:, None], dist, onehot)
+            return dist
+
+        def run(params, dparams, rope_cos, rope_sin, dcos, dsin,
+                kc, vc, dkc, dvc, state):
+            sub = {n: getattr(state, n)[:B] for n in row_fields}
+            counts = state.token_counts[:B]
+            act = sub['active']
+            q1 = act.astype(jnp.int32)
+
+            # (a) draft proposes K tokens
+            def draft_step(carry, i):
+                dkc, dvc, tok, dpos = carry
+                meta = AttnMeta(block_tables=sub['tables'], history_lens=dpos,
+                                q_lens=q1)
+                logits, dkc, dvc = draft.forward(
+                    dparams, tok[:, None],
+                    jnp.clip(dpos, 0, agent.max_model_len - 1)[:, None],
+                    dkc, dvc, meta, dcos, dsin)
+                dist = masked_dist(logits, sub, counts)
+                seeds = sub['seed'] + (sub['step_no'].astype(jnp.uint32)
+                                       + 1 + i.astype(jnp.uint32)) * GOLDEN
+                toks = jax.vmap(lambda s, p: jax.random.choice(
+                    jax.random.key(s), logits.shape[-1], p=p))(seeds, dist)
+                toks = toks.astype(jnp.int32)
+                return (dkc, dvc, toks, dpos + q1), (toks, dist)
+
+            (dkc, dvc, _, _), (draft_toks, draft_dists) = jax.lax.scan(
+                draft_step, (dkc, dvc, sub['token'], sub['position']),
+                jnp.arange(K))
+            draft_toks = jnp.swapaxes(draft_toks, 0, 1)       # [B, K]
+            draft_dists = jnp.swapaxes(draft_dists, 0, 1)     # [B, K, V]
+
+            # (b) target verifies the whole chunk at once
+            chunk = jnp.concatenate([sub['token'][:, None], draft_toks], axis=1)
+            positions = sub['position'][:, None] + \
+                jnp.arange(K + 1, dtype=jnp.int32)[None, :]
+            meta = AttnMeta(block_tables=sub['tables'],
+                            history_lens=sub['position'],
+                            q_lens=q1 * (K + 1))
+            logits_all, kc, vc = target.forward(
+                params, chunk, jnp.clip(positions, 0, agent.max_model_len - 1),
+                kc, vc, meta, rope_cos, rope_sin, return_all_logits=True)
+            tgt_dists = jax.vmap(
+                lambda lg: masked_dist(lg, sub, counts),
+                in_axes=1, out_axes=1)(logits_all)            # [B, K+1, V]
+
+            # (c) accept / resample
+            step_key = jax.random.fold_in(
+                jax.random.key(0),
+                jnp.sum(sub['seed'].astype(jnp.uint32))
+                + jnp.sum(sub['step_no'].astype(jnp.uint32)))
+            out_toks, n_emitted = reject_sample(tgt_dists, draft_dists, draft_toks,
+                                                step_key)
+            n_emitted = jnp.where(act, n_emitted, 0)
+
+            # (d) state update: advance by the accepted count
+            last_idx = jnp.clip(n_emitted - 1, 0, K)
+            new_token = jnp.take_along_axis(out_toks, last_idx[:, None],
+                                            axis=1)[:, 0]
+            new_token = jnp.where(act, new_token, sub['token'])
+            counts_upd = state.token_counts
+            emit_mask = (jnp.arange(K + 1, dtype=jnp.int32)[None, :]
+                         < n_emitted[:, None])
+            rows = jnp.broadcast_to(jnp.arange(B)[:, None], (B, K + 1))
+            counts_upd = counts_upd.at[rows.reshape(-1),
+                                       out_toks.reshape(-1)].add(
+                emit_mask.reshape(-1).astype(counts_upd.dtype))
+            sub = dict(sub, token=new_token,
+                       position=sub['position'] + n_emitted,
+                       step_no=sub['step_no'] + n_emitted)
+            state = dataclasses.replace(
+                state, token_counts=counts_upd,
+                **{n: getattr(state, n).at[:B].set(sub[n]) for n in row_fields})
+            return kc, vc, dkc, dvc, state, out_toks, n_emitted
+
+        fn = jax.jit(run, donate_argnums=(6, 7, 8, 9, 10))
+        self._fns[B] = fn
+        return fn
+
+    def spec_decode(self, num_rows: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Run one speculative step over rows [0, num_rows).
+
+        Returns (out_tokens [B, K+1], num_emitted [B]) as numpy.  Caller must have
+        ensured block capacity for K+1 new tokens per row.
+        """
+        from ..config import bucketize
+        agent = self.agent
+        B = bucketize(num_rows, agent.batch_buckets)
+        fn = self._get_fn(B)
+        (kc, vc, self.draft_k, self.draft_v, agent.decode_state, out_toks,
+         n_emitted) = fn(
+            agent.params, self.draft_params, agent.rope_cos, agent.rope_sin,
+            self.draft_cos, self.draft_sin,
+            agent.cache_engine.k_cache, agent.cache_engine.v_cache,
+            self.draft_k, self.draft_v, agent.decode_state)
+        agent.cache_engine.swap_caches(kc, vc)
+        agent.token_counts = agent.decode_state.token_counts
+        return np.asarray(out_toks), np.asarray(n_emitted)

@@ -123,6 +123,20 @@ class TpuEngineConfig:
         assert 0 < self.cache_max_entry_count <= 1.0
 
 
+@dataclass
+class SpeculativeConfig:
+    """Speculative decoding (reference: messages.py:759).
+
+    method 'draft_model': a smaller checkpoint proposes num_speculative_tokens
+    per step; the target verifies them in one forward (exact output distribution
+    via rejection sampling).
+    """
+
+    method: str = 'draft_model'
+    model: Optional[str] = None              # draft checkpoint path
+    num_speculative_tokens: int = 4
+
+
 # Back-compat alias matching the reference name users know.
 PytorchEngineConfig = TpuEngineConfig
 
