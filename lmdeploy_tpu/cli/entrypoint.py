@@ -135,6 +135,13 @@ def build_parser():
 
 
 def main(argv=None):
+    import os
+    platform = os.environ.get('LMDEPLOY_TPU_PLATFORM')
+    if platform:
+        # the TPU plugin's sitecustomize overrides JAX_PLATFORMS post-import;
+        # honor an explicit platform choice (e.g. cpu for tests/CI)
+        import jax
+        jax.config.update('jax_platforms', platform)
     parser = build_parser()
     args = parser.parse_args(argv)
     args.func(args)

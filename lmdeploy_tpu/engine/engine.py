@@ -49,6 +49,11 @@ class Engine:
             assert model_path is not None, 'model_path or configs required'
             configs = EngineConfigBundle.build(model_path, engine_config)
         self.configs = configs
+        if mesh is None and self.configs.dist.world_size > 1:
+            from ..parallel.mesh import build_mesh
+            d = self.configs.dist
+            mesh = build_mesh(dp=d.dp, tp=d.tp, ep=d.ep)
+        self.mesh = mesh
         self.model_agent = ModelAgent(self.configs, model_path
                                       if not self.configs.misc.empty_init else None,
                                       mesh=mesh)
@@ -71,6 +76,19 @@ class Engine:
         self._executor = ThreadPoolExecutor(max_workers=1,
                                             thread_name_prefix='tpu-step')
         self._instance_count = 0
+
+        # -- observability hooks (reference: utils/anomaly_handler.h, nvtx/torch
+        # profiler spans) -------------------------------------------------------------
+        import os
+        if os.environ.get('LMDEPLOY_TPU_DEBUG_NANS') == '1':
+            # XLA-level NaN/Inf detection on every op (anomaly-handler analog)
+            import jax
+            jax.config.update('jax_debug_nans', True)
+        self._profile_dir = os.environ.get('LMDEPLOY_TPU_PROFILE_DIR')
+        if self._profile_dir:
+            import jax
+            jax.profiler.start_trace(self._profile_dir)
+            logger.info('jax profiler tracing to %s', self._profile_dir)
 
     # -- construction ------------------------------------------------------------------
     @classmethod
@@ -479,3 +497,10 @@ class Engine:
         except RuntimeError:
             pass   # host event loop already torn down
         self._executor.shutdown(wait=False)
+        if getattr(self, '_profile_dir', None):
+            import jax
+            try:
+                jax.profiler.stop_trace()
+            except Exception:  # noqa: BLE001
+                pass
+            self._profile_dir = None

@@ -551,8 +551,59 @@ class ModelAgent:
         self.params = put_params(params_np, shardings, self.mesh)
         return applied
 
-    def warmup(self, batch_sizes: Optional[List[int]] = None):
-        """Precompile the decode buckets (analog of graph capture warmup)."""
-        # compilation happens lazily on first use; warmup is a no-op placeholder
-        # until we precompile with AOT lowering in a later milestone.
-        pass
+    def warmup(self, batch_sizes: Optional[List[int]] = None,
+               decode_ks=(1, 2, 4, 8), prefill_tokens: Optional[List[int]] = None):
+        """AOT-precompile the hot executables (reference analog: graph-capture
+        warmup, model_agent/agent.py:430).
+
+        Lowers+compiles the decode-run variants and the fresh-prefill step for the
+        given buckets so the first real request never pays a multi-second compile.
+        """
+        import jax
+
+        def sds(tree):
+            return jax.tree_util.tree_map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), tree)
+
+        params_s = sds(self.params)
+        cos_s = jax.ShapeDtypeStruct(self.rope_cos.shape, self.rope_cos.dtype)
+        sin_s = jax.ShapeDtypeStruct(self.rope_sin.shape, self.rope_sin.dtype)
+        kc_s = jax.ShapeDtypeStruct(self.cache_engine.k_cache.shape,
+                                    self.cache_engine.k_cache.dtype)
+        vc_s = jax.ShapeDtypeStruct(self.cache_engine.v_cache.shape,
+                                    self.cache_engine.v_cache.dtype)
+        state_s = sds(self.decode_state)
+        for bsz in (batch_sizes or [self.max_batch]):
+            B = bucketize(bsz, self.batch_buckets)
+            for k in decode_ks:
+                self._get_run_fn(k, B).lower(
+                    params_s, cos_s, sin_s, kc_s, vc_s, state_s).compile()
+        # prefill buckets: fresh-prefill step at the requested chunk sizes
+        import jax.numpy as jnp
+        counts_s = jax.ShapeDtypeStruct(self.token_counts.shape,
+                                        self.token_counts.dtype)
+        for tok in (prefill_tokens or []):
+            T = bucketize(tok, self.chunk_buckets)
+            B = min(self.sched_config.max_prefill_batch, self.max_batch)
+            B = bucketize(B, self.batch_buckets)
+            W = bucketize(max(1, (T + self.cache_config.block_size - 1)
+                              // self.cache_config.block_size),
+                          self.table_buckets)
+            i32 = jnp.int32
+            si_s = SamplingInputs(
+                temperature=jax.ShapeDtypeStruct((B,), jnp.float32),
+                top_k=jax.ShapeDtypeStruct((B,), i32),
+                top_p=jax.ShapeDtypeStruct((B,), jnp.float32),
+                min_p=jax.ShapeDtypeStruct((B,), jnp.float32),
+                repetition_penalty=jax.ShapeDtypeStruct((B,), jnp.float32),
+                frequency_penalty=jax.ShapeDtypeStruct((B,), jnp.float32),
+                presence_penalty=jax.ShapeDtypeStruct((B,), jnp.float32),
+                do_sample=jax.ShapeDtypeStruct((B,), jnp.bool_),
+                seeds=jax.ShapeDtypeStruct((B,), jnp.uint32))
+            self._get_step_fn(True, True).lower(
+                params_s, cos_s, sin_s, kc_s, vc_s, counts_s,
+                jax.ShapeDtypeStruct((B, T), i32), jax.ShapeDtypeStruct((B, T), i32),
+                jax.ShapeDtypeStruct((B, W), i32), jax.ShapeDtypeStruct((B,), i32),
+                jax.ShapeDtypeStruct((B,), i32), jax.ShapeDtypeStruct((B,), i32),
+                jax.ShapeDtypeStruct((B,), jnp.bool_),
+                jax.ShapeDtypeStruct((B,), jnp.bool_), si_s).compile()

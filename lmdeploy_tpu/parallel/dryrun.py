@@ -13,7 +13,7 @@ import numpy as np
 
 
 def dryrun_step(n_devices: int, dp: Optional[int] = None, tp: Optional[int] = None,
-                verbose: bool = False):
+                ep: int = 1, verbose: bool = False):
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -40,7 +40,7 @@ def dryrun_step(n_devices: int, dp: Optional[int] = None, tp: Optional[int] = No
         intermediate_size=256, vocab_size=512, head_dim=32,
         max_position_embeddings=128, dtype='float32')
     model = LlamaModel(cfg)
-    mesh = build_mesh(dp=dp, tp=tp)
+    mesh = build_mesh(dp=dp, tp=tp, ep=ep)
 
     B, T, W, BS, NB = 2 * dp, 8, 4, 16, 32
     params = model.init_params(jax.random.PRNGKey(0))
@@ -95,5 +95,55 @@ def dryrun_step(n_devices: int, dp: Optional[int] = None, tp: Optional[int] = No
     assert toks.shape == (B,)
     assert (toks >= 0).all() and (toks < cfg.vocab_size).all()
     if verbose:
-        print(f'dryrun ok: mesh=(dp={dp}, tp={tp}), tokens={toks.tolist()}')
+        print(f'dryrun ok: mesh=(dp={dp}, ep={ep}, tp={tp}), tokens={toks.tolist()}')
     return toks
+
+
+def dryrun_moe(n_devices: int, verbose: bool = False):
+    """Sharded MoE step: experts over 'ep', expert-internals over 'tp'."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..config import ModelConfig
+    from ..models.mixtral import MixtralModel
+    from ..models.llama import AttnMeta
+    from ..nn.layers import make_rope_table
+    from .mesh import build_mesh, cache_sharding, make_llama_shardings
+
+    ep = 2 if n_devices >= 4 else 1
+    tp = 2 if n_devices >= 4 else max(1, n_devices // ep)
+    dp = max(1, n_devices // (ep * tp))
+    cfg = ModelConfig(
+        num_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        hidden_size=64, intermediate_size=64, vocab_size=256, head_dim=16,
+        max_position_embeddings=64, dtype='float32',
+        hf_arch='MixtralForCausalLM', num_experts=4, num_experts_per_tok=2)
+    model = MixtralModel(cfg)
+    mesh = build_mesh(dp=dp, tp=tp, ep=ep)
+    params = model.init_params(jax.random.PRNGKey(0))
+    shardings = make_llama_shardings(model)
+    params = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, shardings)
+    B, T, W, BS, NB = max(2, dp), 8, 2, 16, 16
+    kc = jax.device_put(jnp.zeros((cfg.num_layers, cfg.num_key_value_heads, NB, BS,
+                                   cfg.head_dim), jnp.float32),
+                        NamedSharding(mesh, cache_sharding()))
+    vc = jax.device_put(jnp.zeros_like(kc), NamedSharding(mesh, cache_sharding()))
+    cos, sin = make_rope_table(cfg.head_dim, 64, cfg.rope_theta)
+    ids = jnp.zeros((B, T), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(T), (B, T)).astype(jnp.int32)
+    tables = jnp.broadcast_to(jnp.asarray([1, 2], jnp.int32), (B, W))
+    meta = AttnMeta(block_tables=tables, history_lens=jnp.zeros(B, jnp.int32),
+                    q_lens=jnp.full(B, T, jnp.int32))
+    step = jax.jit(lambda p, kc, vc: model.forward(p, ids, pos, kc, vc, meta,
+                                                   cos, sin)[0],
+                   donate_argnums=(1, 2))
+    with mesh:
+        logits = step(params, kc, vc)
+        logits.block_until_ready()
+    assert logits.shape == (B, cfg.vocab_size)
+    if verbose:
+        print(f'moe dryrun ok: mesh=(dp={dp}, ep={ep}, tp={tp}), '
+              f'logits={logits.shape}')
+    return logits

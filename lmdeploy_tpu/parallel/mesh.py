@@ -22,16 +22,18 @@ from typing import Dict, Optional
 import numpy as np
 
 
-def build_mesh(dp: int = 1, tp: int = 1, devices=None):
+def build_mesh(dp: int = 1, tp: int = 1, ep: int = 1, devices=None):
+    """Mesh axes ('dp', 'ep', 'tp') — ep innermost-but-one so expert all-to-alls
+    ride shorter ICI hops than dp traffic."""
     import jax
     from jax.sharding import Mesh
 
     if devices is None:
         devices = jax.devices()
-    n = dp * tp
+    n = dp * tp * ep
     assert len(devices) >= n, f'need {n} devices, have {len(devices)}'
-    arr = np.array(devices[:n]).reshape(dp, tp)
-    return Mesh(arr, axis_names=('dp', 'tp'))
+    arr = np.array(devices[:n]).reshape(dp, ep, tp)
+    return Mesh(arr, axis_names=('dp', 'ep', 'tp'))
 
 
 def make_llama_shardings(model, shard_vocab: bool = True) -> Dict:
@@ -71,11 +73,12 @@ def make_llama_shardings(model, shard_vocab: bool = True) -> Dict:
     if 'w_gate' in layer_shapes:      # dense mlp
         layers.update(w_gate=linear_spec('col'), w_up=linear_spec('col'),
                       w_down=linear_spec('row'))
-    if 'router' in layer_shapes:      # sparse MoE: [L,E,H,I] experts, tp on I
+    if 'router' in layer_shapes:      # sparse MoE: [L,E,H,I] — experts over 'ep',
+        # expert-internal dims over 'tp' (reference: moe_tp + ep groups)
         layers.update(router=P(None, None, None),
-                      we_gate=P(None, None, None, 'tp'),
-                      we_up=P(None, None, None, 'tp'),
-                      we_down=P(None, None, 'tp', None))
+                      we_gate=P(None, 'ep', None, 'tp'),
+                      we_up=P(None, 'ep', None, 'tp'),
+                      we_down=P(None, 'ep', 'tp', None))
     cfg = model.config
     if cfg.attention_bias:
         layers.update(bq=vec_col, bk=vec_col, bv=vec_col)

@@ -72,8 +72,10 @@ class NodeManager:
         return [n for n in self.nodes.values()
                 if now - n.last_alive < HEARTBEAT_EXPIRY]
 
-    def pick(self) -> Optional[Node]:
+    def pick(self, exclude: Optional[set] = None) -> Optional[Node]:
         nodes = self.alive_nodes()
+        if exclude:
+            nodes = [n for n in nodes if n.url not in exclude]
         if not nodes:
             return None
         if self.strategy == 'random':
@@ -120,12 +122,9 @@ def create_proxy_app(manager: Optional[NodeManager] = None,
         body = await request.read()
         tried = set()
         for _ in range(3):                       # retry on other nodes on failure
-            node = manager.pick()
-            if node is None or node.url in tried and \
-                    len(tried) >= len(manager.alive_nodes()):
+            node = manager.pick(exclude=tried)
+            if node is None:
                 break
-            if node.url in tried:
-                continue
             tried.add(node.url)
             node.inflight += 1
             start = time.time()
@@ -160,7 +159,31 @@ def create_proxy_app(manager: Optional[NodeManager] = None,
         return web.json_response(
             {'error': {'message': 'no healthy nodes available'}}, status=503)
 
+    async def _probe_nodes(app):
+        """Pull-based liveness: refresh last_alive via each node's /health.
+
+        (The reference's nodes push heartbeats; pull keeps node servers unaware
+        of the proxy and covers externally-registered nodes too.)
+        """
+        import asyncio as _asyncio
+
+        async def loop():
+            while True:
+                for node in list(manager.nodes.values()):
+                    try:
+                        timeout = aiohttp.ClientTimeout(total=5)
+                        async with aiohttp.ClientSession(timeout=timeout) as s:
+                            async with s.get(node.url + '/health') as resp:
+                                if resp.status == 200:
+                                    manager.heartbeat(node.url)
+                    except Exception:  # noqa: BLE001
+                        pass
+                await _asyncio.sleep(10)
+
+        app['probe_task'] = _asyncio.get_event_loop().create_task(loop())
+
     app = web.Application()
+    app.on_startup.append(_probe_nodes)
     app.router.add_get('/health', health)
     app.router.add_get('/nodes/status', nodes_status)
     app.router.add_post('/nodes/add', nodes_add)

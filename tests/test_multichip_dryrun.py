@@ -20,3 +20,16 @@ def test_tp_matches_single_device():
     a = dryrun_step(8, dp=1, tp=1)
     b = dryrun_step(8, dp=1, tp=2)
     np.testing.assert_array_equal(a, b)
+
+
+def test_dp_ep_tp_mesh():
+    from lmdeploy_tpu.parallel.dryrun import dryrun_step
+    toks = dryrun_step(8, dp=2, tp=2, ep=2)
+    assert toks.shape == (4,)
+
+
+def test_moe_ep_sharding():
+    """Sparse-MoE step compiles and runs with experts sharded over 'ep'."""
+    from lmdeploy_tpu.parallel.dryrun import dryrun_moe
+    logits = dryrun_moe(8)
+    assert np.isfinite(np.asarray(logits)).all()
