@@ -71,22 +71,42 @@ async def run_round(eng, batch, seed):
     return sum(counts), dt
 
 
-async def main():
-    eng = build_engine()
-    # warmup: compile the same (batch, chunk, k) buckets the measured round uses
-    global NEW_TOKENS
-    real_new = NEW_TOKENS
-    NEW_TOKENS = 15              # hits decode-run buckets k=8,4,2,1
-    await run_round(eng, BATCH, seed=1)
-    NEW_TOKENS = real_new
-    total, dt = await run_round(eng, BATCH, seed=2)
-    tok_s = total / dt
+def _emit(tok_s: float, note: str = ''):
+    unit = 'out tok/s (1x TPU v5e chip)' + (f' [{note}]' if note else '')
     print(json.dumps({
         'metric': f'decode_tok_s_tinyllama1.1b_bf16_bs{BATCH}_{PROMPT_LEN}i{NEW_TOKENS}o',
         'value': round(tok_s, 2),
-        'unit': 'out tok/s (1x TPU v5e chip)',
+        'unit': unit,
         'vs_baseline': round(tok_s / BASELINE, 4),
-    }))
+    }), flush=True)
+
+
+async def main():
+    # the tunneled TPU stack occasionally wedges mid-execution; bound every phase
+    # so the harness always emits a (possibly degraded) result line
+    warmup_timeout = float(os.environ.get('BENCH_WARMUP_TIMEOUT', '420'))
+    round_timeout = float(os.environ.get('BENCH_ROUND_TIMEOUT', '300'))
+    eng = build_engine()
+    global NEW_TOKENS
+    real_new = NEW_TOKENS
+    try:
+        NEW_TOKENS = 15          # hits decode-run buckets k=8,4,2,1
+        w_total, w_dt = await asyncio.wait_for(run_round(eng, BATCH, seed=1),
+                                               warmup_timeout)
+        warmup_rate = w_total / w_dt
+    except asyncio.TimeoutError:
+        _emit(0.0, 'device stalled during warmup')
+        os._exit(0)   # a wedged device call blocks the non-daemon step thread
+    finally:
+        NEW_TOKENS = real_new
+    try:
+        total, dt = await asyncio.wait_for(run_round(eng, BATCH, seed=2),
+                                           round_timeout)
+        _emit(total / dt)
+    except asyncio.TimeoutError:
+        # report the compile-inclusive warmup rate rather than nothing
+        _emit(warmup_rate, 'measured round stalled; warmup-round rate')
+        os._exit(0)
     eng.close()
 
 

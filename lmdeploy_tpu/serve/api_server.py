@@ -99,6 +99,12 @@ def create_app(engine: AsyncEngine, model_name: str, api_key: Optional[str] = No
             return err
         gen_config = _gen_config_from_chat(req)
         session_id = engine.next_session_id()
+        messages = req.messages
+        if req.tools and isinstance(messages, list):
+            from .parsers import format_tools_system
+            messages = ([{'role': 'system',
+                          'content': format_tools_system(req.tools)}]
+                        + list(messages))
 
         if req.stream:
             resp = web.StreamResponse(headers={
@@ -108,7 +114,7 @@ def create_app(engine: AsyncEngine, model_name: str, api_key: Optional[str] = No
             rid = None
             first = True
             try:
-                async for out in engine.generate(req.messages, session_id,
+                async for out in engine.generate(messages, session_id,
                                                  gen_config=gen_config):
                     chunk = ChatCompletionStreamResponse(model=req.model)
                     rid = rid or chunk.id
@@ -132,16 +138,22 @@ def create_app(engine: AsyncEngine, model_name: str, api_key: Optional[str] = No
         finish_reason = None
         input_len = 0
         gen_len = 0
-        async for out in engine.generate(req.messages, session_id,
+        async for out in engine.generate(messages, session_id,
                                          gen_config=gen_config):
             text += out.response
             finish_reason = out.finish_reason
             input_len = out.input_token_len
             gen_len = out.generate_token_len
+        from .parsers import parse_response
+        parsed = parse_response(text, enable_tools=bool(req.tools))
+        if parsed['tool_calls']:
+            finish_reason = 'tool_calls'
         body = ChatCompletionResponse(
             model=req.model,
             choices=[ChatCompletionChoice(
-                message=ChatMessage(role='assistant', content=text),
+                message=ChatMessage(role='assistant', content=parsed['content'],
+                                    reasoning_content=parsed['reasoning_content'],
+                                    tool_calls=parsed['tool_calls']),
                 finish_reason=finish_reason)],
             usage=UsageInfo(prompt_tokens=input_len, completion_tokens=gen_len,
                             total_tokens=input_len + gen_len))

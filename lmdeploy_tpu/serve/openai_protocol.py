@@ -59,11 +59,15 @@ class ChatCompletionRequest(BaseModel):
     user: Optional[str] = None
     skip_special_tokens: Optional[bool] = True
     response_format: Optional[Dict[str, Any]] = None
+    tools: Optional[List[Dict[str, Any]]] = None
+    tool_choice: Optional[Any] = None
 
 
 class ChatMessage(BaseModel):
     role: str
     content: Optional[str] = None
+    reasoning_content: Optional[str] = None
+    tool_calls: Optional[List[Dict[str, Any]]] = None
 
 
 class ChatCompletionChoice(BaseModel):
