@@ -448,6 +448,22 @@ class Engine:
             req.finished = True
         self._requests.clear()
 
+    # -- LoRA adapters (reference: pytorch/adapter) --------------------------------------
+    def load_lora(self, name: str, path: str):
+        if not hasattr(self, '_lora'):
+            from ..lora import LoraManager
+            self._lora = LoraManager(self.model_agent)
+        self._lora.load(name, path)
+
+    def activate_lora(self, name: str):
+        assert not self.scheduler.has_unfinished(), \
+            'adapter swap requires a drained engine'
+        self._lora.activate(name)
+
+    def deactivate_lora(self):
+        if hasattr(self, '_lora'):
+            self._lora.deactivate()
+
     def continue_session(self, session_id: int):
         """Stream continuation of an imported (migrated) RUNNING sequence (PD)."""
         session = self.scheduler.seq_manager.get_session(session_id)
