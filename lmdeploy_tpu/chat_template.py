@@ -171,6 +171,72 @@ class InternLM2(ChatML):
     stop_words = ['<|im_end|>', '<|action_end|>']
 
 
+@register_template('mistral')
+class Mistral(BaseChatTemplate):
+    """Mistral-instruct [INST] format (no system segment)."""
+
+    user = '[INST] '
+    eoh = ' [/INST]'
+    assistant = ''
+    eoa = '</s>'
+
+    def get_prompt(self, prompt, sequence_start=True):
+        return f'<s>[INST] {prompt} [/INST]' if sequence_start \
+            else f'[INST] {prompt} [/INST]'
+
+
+@register_template('deepseek')
+class DeepSeek(BaseChatTemplate):
+    system = ''
+    meta_instruction = None
+    user = 'User: '
+    eoh = '\n\n'
+    assistant = 'Assistant: '
+    eoa = '<｜end▁of▁sentence｜>'
+    stop_words = ['<｜end▁of▁sentence｜>']
+
+
+@register_template('deepseek-r1')
+class DeepSeekR1(BaseChatTemplate):
+    user = '<｜User｜>'
+    eoh = ''
+    assistant = '<｜Assistant｜>'
+    eoa = '<｜end▁of▁sentence｜>'
+    stop_words = ['<｜end▁of▁sentence｜>']
+
+
+@register_template('vicuna')
+class Vicuna(BaseChatTemplate):
+    system = ''
+    meta_instruction = ('A chat between a curious user and an artificial '
+                        'intelligence assistant. The assistant gives helpful, '
+                        'detailed, and polite answers to the user\'s questions. ')
+    eosys = ''
+    user = 'USER: '
+    eoh = ' '
+    assistant = 'ASSISTANT: '
+    eoa = '</s>'
+
+
+@register_template('baichuan2')
+class Baichuan2(BaseChatTemplate):
+    user = '<reserved_106>'
+    eoh = ''
+    assistant = '<reserved_107>'
+    eoa = ''
+
+
+@register_template('phi-3')
+class Phi3(BaseChatTemplate):
+    system = '<|system|>\n'
+    eosys = '<|end|>\n'
+    user = '<|user|>\n'
+    eoh = '<|end|>\n'
+    assistant = '<|assistant|>\n'
+    eoa = '<|end|>\n'
+    stop_words = ['<|end|>']
+
+
 @register_template('gemma')
 class Gemma(BaseChatTemplate):
     system = '<start_of_turn>user\n'
@@ -211,6 +277,9 @@ _NAME_HINTS = [
     ('internlm2', 'internlm2'), ('internlm3', 'internlm2'),
     ('gemma', 'gemma'),
     ('tinyllama', 'chatml'),
+    ('deepseek-r1', 'deepseek-r1'), ('deepseek', 'deepseek'),
+    ('mistral', 'mistral'), ('mixtral', 'mistral'),
+    ('vicuna', 'vicuna'), ('baichuan2', 'baichuan2'), ('phi-3', 'phi-3'),
 ]
 
 
