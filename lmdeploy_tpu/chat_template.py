@@ -7,7 +7,7 @@ without maintaining 40 hand-written templates.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional
 
 MODELS: Dict[str, type] = {}

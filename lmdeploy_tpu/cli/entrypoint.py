@@ -6,7 +6,6 @@ lite.py:18) — same command tree: chat / serve / lite / check_env.
 from __future__ import annotations
 
 import argparse
-import sys
 
 
 def _add_engine_args(parser):

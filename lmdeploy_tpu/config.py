@@ -11,8 +11,6 @@ import os
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
 
-import numpy as np
-
 from .messages import QuantPolicy, TpuEngineConfig
 
 

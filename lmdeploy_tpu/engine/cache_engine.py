@@ -9,8 +9,6 @@ in place.  Block 0 is the reserved padding block (see paging/block_manager.py).
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import numpy as np
 
 from ..config import CacheConfig, ModelConfig

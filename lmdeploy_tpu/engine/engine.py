@@ -12,10 +12,8 @@ import asyncio
 import logging
 import time
 from concurrent.futures import ThreadPoolExecutor
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional
-
-import numpy as np
 
 from ..config import EngineConfigBundle
 from ..messages import (EngineOutput, RequestMetrics, ResponseType, ScheduleMetrics,

@@ -5,7 +5,6 @@ Reference analog: ``lmdeploy/pytorch/engine/engine_instance.py`` (EngineInstance
 """
 from __future__ import annotations
 
-import asyncio
 from typing import AsyncIterator, List, Optional
 
 from ..messages import EngineOutput, GenerationConfig, ResponseType

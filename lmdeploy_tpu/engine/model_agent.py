@@ -14,7 +14,6 @@ the sampled tokens.
 from __future__ import annotations
 
 import logging
-from functools import partial
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np

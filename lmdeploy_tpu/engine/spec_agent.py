@@ -22,11 +22,11 @@ approximation, as in the reference's processor restrictions).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
-from ..config import EngineConfigBundle, ModelConfig
+from ..config import ModelConfig
 from ..models import build_model
 from ..models.llama import AttnMeta
 from ..nn.layers import make_rope_table

@@ -121,7 +121,6 @@ def auto_awq(model_path: str, work_dir: str = './work_dir', w_bits: int = 4,
              device: str = 'cpu'):
     """End-to-end AWQ: calibrate -> scale-fold -> quantize -> save HF checkpoint."""
     assert w_bits == 4, 'only 4-bit AWQ supported'
-    import jax
     from safetensors.numpy import save_file
 
     from ..config import ModelConfig

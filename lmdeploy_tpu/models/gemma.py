@@ -7,13 +7,10 @@ alternating sliding-window attention (window handled globally for now).
 """
 from __future__ import annotations
 
-from typing import Any, Dict
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..nn.layers import rms_norm
 from .llama import LlamaModel
 
 

@@ -7,7 +7,7 @@ the loader splits it into this framework's wq/wk/wv at load time.
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

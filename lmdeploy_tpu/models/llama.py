@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ModelConfig
-from ..nn.layers import apply_rope, make_rope_table, rms_norm
+from ..nn.layers import apply_rope, rms_norm
 from ..ops.attention import compute_slot_mapping, fill_kv_cache, paged_attention
 
 

@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import ModelConfig
 from .llama import LlamaModel
 
 

@@ -14,8 +14,6 @@ kv head's [TK, D] tiles.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -11,8 +11,6 @@ from __future__ import annotations
 import time
 from typing import Dict, List, Optional, Tuple
 
-import numpy as np
-
 
 class Node:
     __slots__ = ('key', 'block', 'tokens', 'parent', 'children', 'access_time')

@@ -15,7 +15,7 @@ Policy (same contract as the reference, simplified mechanism):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 from ..config import CacheConfig, SchedulerConfig
 from ..messages import ScheduleMetrics

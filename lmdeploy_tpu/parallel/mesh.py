@@ -17,7 +17,7 @@ TP sharding rules (megatron-style column/row split):
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

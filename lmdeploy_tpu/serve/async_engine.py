@@ -14,7 +14,7 @@ from typing import Any, AsyncIterator, Dict, List, Literal, Optional, Union
 
 from ..chat_template import ChatTemplateConfig, get_chat_template
 from ..engine.engine import Engine
-from ..messages import (EngineOutput, GenerationConfig, Response, ResponseType,
+from ..messages import (GenerationConfig, Response, ResponseType,
                         TpuEngineConfig)
 from ..tokenizer import DetokenizeState, Tokenizer
 

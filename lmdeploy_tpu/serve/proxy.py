@@ -14,8 +14,6 @@ Endpoints:
 """
 from __future__ import annotations
 
-import asyncio
-import json
 import logging
 import random
 import time

@@ -12,7 +12,6 @@ parameter, already laid out for ``lax.scan``.
 from __future__ import annotations
 
 import glob
-import json
 import os
 from typing import Any, Dict, Optional
 
