@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BATCH = int(os.environ.get('BENCH_BATCH', '64'))
 PROMPT_LEN = int(os.environ.get('BENCH_PROMPT', '128'))
 NEW_TOKENS = int(os.environ.get('BENCH_NEW', '128'))
+QUANT = os.environ.get('BENCH_QUANT', '')        # '' | 'w4a16'
 BASELINE = 1852.06
 
 
@@ -36,6 +37,10 @@ def build_engine():
         hidden_size=2048, intermediate_size=5632, vocab_size=32000,
         head_dim=64, max_position_embeddings=2048, dtype='bfloat16',
         eos_token_id=[2])
+    if QUANT == 'w4a16':
+        # exercise the fused dequant+matmul serving path (random int4 weights)
+        model_cfg.quantization_config = {'quant_method': 'awq', 'bits': 4,
+                                         'group_size': 128}
     session_len = PROMPT_LEN + NEW_TOKENS + 64
     bundle = EngineConfigBundle(
         model=model_cfg,
@@ -73,8 +78,9 @@ async def run_round(eng, batch, seed):
 
 def _emit(tok_s: float, note: str = ''):
     unit = 'out tok/s (1x TPU v5e chip)' + (f' [{note}]' if note else '')
+    wtag = 'w4a16' if QUANT == 'w4a16' else 'bf16'
     print(json.dumps({
-        'metric': f'decode_tok_s_tinyllama1.1b_bf16_bs{BATCH}_{PROMPT_LEN}i{NEW_TOKENS}o',
+        'metric': f'decode_tok_s_tinyllama1.1b_{wtag}_bs{BATCH}_{PROMPT_LEN}i{NEW_TOKENS}o',
         'value': round(tok_s, 2),
         'unit': unit,
         'vs_baseline': round(tok_s / BASELINE, 4),

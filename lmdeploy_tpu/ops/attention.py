@@ -139,18 +139,21 @@ def paged_attention(q, k_cache, v_cache, block_tables, history_lens, q_lens, sca
         import os
         if fresh_prefill and chunk_kv is not None and logit_softcap is None \
                 and T >= 128:
-            # Known issue on the tunneled TPU stack used for CI: prefill programs
-            # embedding the flash kernel (ours or jax's) or a q-tiled dense path
-            # hang at execution inside the layer scan, while the block-table
-            # gather path below runs.  The gather path's KV read is bounded by
-            # the prefill W bucket (~= prompt length), so it stays efficient for
-            # normal prompt sizes; the flash kernel remains available via
-            # LMDEPLOY_TPU_FLASH=1 (and is the intended default once the stack
-            # issue is resolved — it passes all kernel unit tests).
-            if os.environ.get('LMDEPLOY_TPU_FLASH') == '1':
-                return _flash_prefill(q, chunk_kv[0], chunk_kv[1], scale)
-            if os.environ.get('LMDEPLOY_TPU_DENSE_PREFILL') == '1':
+            # Note on the tunneled TPU CI stack: its remote compile/execute
+            # service intermittently wedges on LARGE programs (differentials
+            # showed identical programs — incl. this kernel inside the layer
+            # scan — completing in seconds during healthy windows and hanging
+            # in _pjit_lower or post-dispatch during degraded ones; bare scans,
+            # standalone kernels and small programs always run).  The kernels
+            # themselves pass all tests.  Escape hatches for degraded stacks:
+            # LMDEPLOY_TPU_DISABLE_FLASH=1 (block-table gather path) or
+            # LMDEPLOY_TPU_DENSE_PREFILL=1 (q-tiled dense XLA path).
+            if os.environ.get('LMDEPLOY_TPU_DISABLE_FLASH') == '1':
+                pass
+            elif os.environ.get('LMDEPLOY_TPU_DENSE_PREFILL') == '1':
                 return _dense_prefill(q, chunk_kv[0], chunk_kv[1], scale)
+            else:
+                return _flash_prefill(q, chunk_kv[0], chunk_kv[1], scale)
     k_l = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
     v_l = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
     return paged_attention_reference(q, k_l, v_l, block_tables, history_lens,
