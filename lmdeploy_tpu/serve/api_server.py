@@ -319,6 +319,8 @@ def create_app(engine: AsyncEngine, model_name: str, api_key: Optional[str] = No
     app = web.Application(middlewares=[auth_middleware])
     from .anthropic_api import add_anthropic_routes
     add_anthropic_routes(app, engine, model_name)
+    from .responses_api import add_responses_routes
+    add_responses_routes(app, engine, model_name)
     app.router.add_get('/health', health)
     app.router.add_get('/v1/models', list_models)
     app.router.add_get('/metrics', metrics)

@@ -178,3 +178,56 @@ def test_metrics_endpoint(server_client):
         return True
 
     assert loop.run_until_complete(run())
+
+
+def test_responses_api(server_client):
+    loop, client = server_client
+
+    async def run():
+        # string input + instructions
+        r = await client.post('/v1/responses', json={
+            'model': 'tiny-test', 'input': 'hi',
+            'instructions': 'be brief',
+            'max_output_tokens': 5, 'temperature': 0})
+        assert r.status == 200
+        data = await r.json()
+        assert data['object'] == 'response'
+        assert data['status'] == 'completed'
+        assert data['output'][0]['content'][0]['type'] == 'output_text'
+        assert data['output_text'] == data['output'][0]['content'][0]['text']
+        assert data['usage']['total_tokens'] > 0
+        # message-array input
+        r = await client.post('/v1/responses', json={
+            'model': 'tiny-test',
+            'input': [{'role': 'user', 'content': 'hello'}],
+            'max_output_tokens': 4, 'temperature': 0})
+        assert r.status == 200
+        # missing input -> clean 400
+        r = await client.post('/v1/responses', json={'model': 'tiny-test'})
+        assert r.status == 400
+        err = await r.json()
+        assert err['error']['type'] == 'invalid_request_error'
+        return True
+
+    assert loop.run_until_complete(run())
+
+
+def test_responses_streaming(server_client):
+    loop, client = server_client
+
+    async def run():
+        r = await client.post('/v1/responses', json={
+            'model': 'tiny-test', 'input': 'hello', 'stream': True,
+            'max_output_tokens': 8, 'temperature': 0})
+        body = (await r.read()).decode()
+        assert 'event: response.created' in body
+        assert 'event: response.output_text.delta' in body
+        assert 'event: response.completed' in body
+        # completed event carries full text and usage
+        last = [json.loads(line[6:]) for line in body.splitlines()
+                if line.startswith('data: ')][-1]
+        assert last['response']['status'] == 'completed'
+        assert last['response']['usage']['output_tokens'] > 0
+        return True
+
+    assert loop.run_until_complete(run())
