@@ -14,6 +14,7 @@ the sampled tokens.
 from __future__ import annotations
 
 import logging
+import os
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -126,7 +127,10 @@ class ModelAgent:
                                                cfg.vocab_size)
         # decode state and the prefill path share one token-counts buffer
         self.decode_state.token_counts = self.token_counts
-        self.decode_run_steps = 8         # host sync once per this many tokens
+        # host sync once per this many decode steps; larger k amortizes more
+        # dispatch/RTT overhead per token at the cost of coarser scheduling
+        # granularity (new arrivals wait up to k steps to join the batch).
+        self.decode_run_steps = int(os.environ.get('LMDEPLOY_TPU_DECODE_RUN', '8'))
 
     # -- slot management ---------------------------------------------------------------
     def assign_slot(self, seq) -> int:
@@ -551,7 +555,7 @@ class ModelAgent:
         return applied
 
     def warmup(self, batch_sizes: Optional[List[int]] = None,
-               decode_ks=(1, 2, 4, 8), prefill_tokens: Optional[List[int]] = None):
+               decode_ks=None, prefill_tokens: Optional[List[int]] = None):
         """AOT-precompile the hot executables (reference analog: graph-capture
         warmup, model_agent/agent.py:430).
 
@@ -559,6 +563,13 @@ class ModelAgent:
         given buckets so the first real request never pays a multi-second compile.
         """
         import jax
+
+        if decode_ks is None:
+            # every power-of-two run length the engine can pick, up to the cap
+            decode_ks, k = [], 1
+            while k <= self.decode_run_steps:
+                decode_ks.append(k)
+                k *= 2
 
         def sds(tree):
             return jax.tree_util.tree_map(
