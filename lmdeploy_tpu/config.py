@@ -61,6 +61,8 @@ class ModelConfig:
     # misc
     hf_config: Optional[Dict[str, Any]] = None
     quantization_config: Optional[Dict[str, Any]] = None
+    # multimodal (None => text-only); holds vision_config + image_token_index etc.
+    vision: Optional[Dict[str, Any]] = None
 
     @property
     def kv_dim(self) -> int:
@@ -70,6 +72,23 @@ class ModelConfig:
     def from_hf_config(cls, cfg: Dict[str, Any], dtype: str = 'auto') -> 'ModelConfig':
         """Build from a raw HF config dict. Per-arch adjustments live in models/registry."""
         archs = cfg.get('architectures') or ['LlamaForCausalLM']
+        vision = None
+        if 'vision_config' in cfg and 'text_config' in cfg:
+            # composite VLM config (llava family): the LM geometry lives in
+            # text_config; keep the outer arch for registry dispatch and stash
+            # the vision bits for the model builder.
+            vision = {
+                'vision_config': cfg['vision_config'],
+                'image_token_index': cfg.get('image_token_index', 32000),
+                'vision_feature_layer': cfg.get('vision_feature_layer', -2),
+                'vision_feature_select_strategy':
+                    cfg.get('vision_feature_select_strategy', 'default'),
+                'projector_hidden_act': cfg.get('projector_hidden_act', 'gelu'),
+            }
+            cfg = dict(cfg['text_config'])
+            cfg['architectures'] = archs
+            if 'torch_dtype' not in cfg:
+                cfg['torch_dtype'] = 'bfloat16'
         num_heads = cfg.get('num_attention_heads', 32)
         hidden = cfg.get('hidden_size', 4096)
         head_dim = cfg.get('head_dim') or hidden // num_heads
@@ -110,6 +129,7 @@ class ModelConfig:
             sliding_window=cfg.get('sliding_window'),
             hf_config=cfg,
             quantization_config=cfg.get('quantization_config'),
+            vision=vision,
         )
 
     @classmethod

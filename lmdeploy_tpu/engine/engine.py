@@ -129,10 +129,27 @@ class Engine:
         self._finish_request(req, ResponseType.CANCEL)
 
     def add_message(self, session_id: int, token_ids: List[int],
-                    sampling_params: SamplingParams) -> asyncio.Queue:
-        """Enqueue a generation request; returns the per-request output queue."""
+                    sampling_params: SamplingParams,
+                    mm_data: Optional[List] = None) -> asyncio.Queue:
+        """Enqueue a generation request; returns the per-request output queue.
+
+        ``mm_data``: optional images (PIL/np/path/base64) for VLM models — each
+        image's placeholder token in the prompt is expanded to the tower's token
+        count and its projected features are attached as an embedding span
+        (reference: vl_async_engine prompt/feature plumbing).
+        """
         if getattr(self, '_sleeping', False):
             raise ValueError('engine is sleeping; call wakeup() (POST /wakeup) first')
+        mm_embeds = []
+        if mm_data:
+            agent = self.model_agent
+            if not getattr(agent, 'is_vl', False):
+                raise ValueError('images supplied but the model is not a VLM')
+            from ..vl.processor import expand_image_tokens
+            mm_embeds = agent.encode_images(mm_data)
+            token_ids, mm_offsets = expand_image_tokens(
+                list(token_ids), agent.model.image_token_index,
+                agent.model.num_image_tokens, len(mm_embeds))
         self.add_session(session_id)
         session = self.scheduler.seq_manager.get_session(session_id)
         max_len = self.configs.scheduler.max_session_len
@@ -148,6 +165,10 @@ class Engine:
             seq.status = MessageStatus.WAITING
         else:
             seq = session.add_sequence(token_ids, sampling_params)
+        if mm_embeds:
+            base = seq.num_token_ids - len(token_ids)
+            seq.mm_spans = (getattr(seq, 'mm_spans', None) or []) + [
+                (base + off, emb) for off, emb in zip(mm_offsets, mm_embeds)]
         fmt = sampling_params.response_format or {}
         if fmt.get('type') in ('json_object', 'json_schema'):
             if self.tokenizer is None:

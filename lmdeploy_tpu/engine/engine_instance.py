@@ -18,13 +18,15 @@ class EngineInstance:
 
     async def async_stream_infer(self, session_id: int, input_ids: List[int],
                                  gen_config: Optional[GenerationConfig] = None,
+                                 mm_data: Optional[List] = None,
                                  **kwargs) -> AsyncIterator[EngineOutput]:
         """Stream EngineOutput events for one generation request."""
         gen_config = gen_config or GenerationConfig()
         gen_config.validate()
         sampling = SamplingParams.from_gen_config(
             gen_config, self.engine.model_config.eos_token_id)
-        queue = self.engine.add_message(session_id, list(input_ids), sampling)
+        queue = self.engine.add_message(session_id, list(input_ids), sampling,
+                                        mm_data=mm_data)
         while True:
             out: EngineOutput = await queue.get()
             yield out

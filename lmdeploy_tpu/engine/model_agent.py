@@ -132,6 +132,25 @@ class ModelAgent:
         # granularity (new arrivals wait up to k steps to join the batch).
         self.decode_run_steps = int(os.environ.get('LMDEPLOY_TPU_DECODE_RUN', '8'))
 
+        # -- vision tower (VLM only) ---------------------------------------------------
+        self.is_vl = hasattr(self.model, 'encode_images')
+        if self.is_vl:
+            if configs.misc.empty_init or model_path is None:
+                vis_np = self.model.init_vis_params(dtype=cfg.jnp_dtype())
+            else:
+                from ..weight_loader import load_vis_params_np
+                vis_np = load_vis_params_np(self.model, model_path)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                rep = NamedSharding(mesh, PartitionSpec())
+                self.vis_params = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, rep), vis_np)
+            else:
+                self.vis_params = jax.tree_util.tree_map(jax.device_put, vis_np)
+            self._encode_fn = jax.jit(self.model.encode_images)
+            from ..vl.processor import ImageProcessor
+            self.image_processor = ImageProcessor(self.model.tower.image_size)
+
     # -- slot management ---------------------------------------------------------------
     def assign_slot(self, seq) -> int:
         import heapq
@@ -146,7 +165,8 @@ class ModelAgent:
             seq.batch_slot = -1
 
     # -- jitted step -------------------------------------------------------------------
-    def _make_step_fn(self, count_inputs: bool, fresh_prefill: bool = False):
+    def _make_step_fn(self, count_inputs: bool, fresh_prefill: bool = False,
+                      with_embeds: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -154,13 +174,15 @@ class ModelAgent:
 
         def step(params, rope_cos, rope_sin, k_cache, v_cache, token_counts,
                  input_ids, positions, block_tables, history_lens, q_lens,
-                 slot_rows, reset_rows, valid_mask, sampling):
+                 slot_rows, reset_rows, valid_mask, sampling, *mm):
             B, T = input_ids.shape
             meta = AttnMeta(block_tables=block_tables, history_lens=history_lens,
                             q_lens=q_lens)
             logits, k_cache, v_cache = model.forward(
                 params, input_ids, positions, k_cache, v_cache, meta,
-                rope_cos, rope_sin, fresh_prefill=fresh_prefill)
+                rope_cos, rope_sin, fresh_prefill=fresh_prefill,
+                input_embeds=mm[0] if with_embeds else None,
+                embeds_mask=mm[1] if with_embeds else None)
 
             rows = token_counts[slot_rows]                       # [B, V]
             rows = jnp.where(reset_rows[:, None], 0, rows)
@@ -178,11 +200,12 @@ class ModelAgent:
 
         return jax.jit(step, donate_argnums=(3, 4, 5))
 
-    def _get_step_fn(self, count_inputs: bool, fresh_prefill: bool = False):
-        key = (count_inputs, fresh_prefill)
+    def _get_step_fn(self, count_inputs: bool, fresh_prefill: bool = False,
+                     with_embeds: bool = False):
+        key = (count_inputs, fresh_prefill, with_embeds)
         fn = self._step_fns.get(key)
         if fn is None:
-            fn = self._make_step_fn(count_inputs, fresh_prefill)
+            fn = self._make_step_fn(count_inputs, fresh_prefill, with_embeds)
             self._step_fns[key] = fn
         return fn
 
@@ -230,13 +253,29 @@ class ModelAgent:
         sampling = self._pad_sampling(sampling, n, B)
         self._step_counter += 1
 
+        # multimodal: overlay image-feature spans onto this chunk window
+        mm_args = ()
+        if count_inputs and any(getattr(s, 'mm_spans', None) for s in seqs):
+            import jax.numpy as jnp
+            H = self.model_config.hidden_size
+            embeds = np.zeros((B, T, H), np.float32)
+            mask = np.zeros((B, T), bool)
+            for i, (seq, start, length) in enumerate(
+                    zip(seqs, chunk_starts, chunk_lens)):
+                for off, emb in getattr(seq, 'mm_spans', ()) or ():
+                    s0, s1 = max(off, start), min(off + len(emb), start + length)
+                    if s1 > s0:
+                        embeds[i, s0 - start:s1 - start] = emb[s0 - off:s1 - off]
+                        mask[i, s0 - start:s1 - start] = True
+            mm_args = (jnp.asarray(embeds, self.model_config.jnp_dtype()), mask)
+
         fresh = count_inputs and all(s == 0 for s in chunk_starts)
-        fn = self._get_step_fn(count_inputs, fresh)
+        fn = self._get_step_fn(count_inputs, fresh, with_embeds=bool(mm_args))
         (k_cache, v_cache, self.token_counts, tokens, logprob, top) = fn(
             self.params, self.rope_cos, self.rope_sin,
             self.cache_engine.k_cache, self.cache_engine.v_cache, self.token_counts,
             input_ids, positions, block_tables, history_lens, q_lens,
-            slot_rows, reset_rows, valid_mask, sampling)
+            slot_rows, reset_rows, valid_mask, sampling, *mm_args)
         self.cache_engine.swap_caches(k_cache, v_cache)
         # the prefill path donated the shared token-counts buffer; re-point the
         # decode state at the fresh one
@@ -271,6 +310,22 @@ class ModelAgent:
             max_top_logprobs=s.max_top_logprobs)
 
     # -- public API --------------------------------------------------------------------
+    def encode_images(self, images) -> List[np.ndarray]:
+        """Preprocess + run the vision tower; one [num_image_tokens, H] per image.
+
+        Images run one at a time at a static [1, S, S, 3] shape (single compile);
+        the tower is tiny next to the LM, so batching buys nothing here.
+        """
+        import jax.numpy as jnp
+        if not self.is_vl:
+            raise ValueError(f'{self.model_config.hf_arch} is not a vision model')
+        pixels = self.image_processor(images)
+        out = []
+        for i in range(pixels.shape[0]):
+            feats = self._encode_fn(self.vis_params, jnp.asarray(pixels[i:i + 1]))
+            out.append(np.asarray(feats[0], np.float32))
+        return out
+
     def prefill(self, chunks) -> StepOutput:
         """Run one prefill step over scheduler PrefillChunks."""
         seqs = [c.seq for c in chunks]

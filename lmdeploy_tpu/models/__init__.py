@@ -69,6 +69,15 @@ register_model('GemmaForCausalLM')(_gemma)
 register_model('Gemma2ForCausalLM')(_gemma)
 
 
+def _llava(config: ModelConfig):
+    from .llava import LlavaModel
+    return LlavaModel(config)
+
+
+register_model('LlavaForConditionalGeneration')(_llava)
+register_model('LlavaNextForConditionalGeneration')(_llava)
+
+
 def build_model(config: ModelConfig):
     builder = _REGISTRY.get(config.hf_arch)
     if builder is None:

@@ -246,6 +246,8 @@ class LlamaModel:
                 rope_cos: jax.Array, rope_sin: jax.Array,
                 return_all_logits: bool = False,
                 fresh_prefill: bool = False,
+                input_embeds: Optional[jax.Array] = None,
+                embeds_mask: Optional[jax.Array] = None,
                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """One forward step.
 
@@ -254,6 +256,9 @@ class LlamaModel:
           positions: [B, T] absolute positions (padding rows clamped in-range)
           k_cache/v_cache: [L, Hkv, NB, BS, D] (head-major paged layout)
           rope_cos/rope_sin: full tables [max_len, D/2]
+          input_embeds/embeds_mask: optional [B,T,H]/[B,T] multimodal override —
+            rows where the mask is set take ``input_embeds`` instead of the token
+            embedding (VLM image features; reference: vl_async_engine prefill).
         Returns (logits, k_cache, v_cache); logits is [B, V] at each row's last valid
         token, or [B, T, V] when return_all_logits.
         """
@@ -266,6 +271,9 @@ class LlamaModel:
         hidden = params['embed'][input_ids].astype(cfg.jnp_dtype())   # [B,T,H]
         if self.embed_scale != 1.0:
             hidden = hidden * jnp.asarray(self.embed_scale, hidden.dtype)
+        if input_embeds is not None:
+            hidden = jnp.where(embeds_mask[..., None],
+                               input_embeds.astype(hidden.dtype), hidden)
         cos = rope_cos[positions]     # [B,T,D/2] f32
         sin = rope_sin[positions]
         slot_mapping = compute_slot_mapping(meta.block_tables, meta.history_lens,

@@ -1,0 +1,184 @@
+"""CLIP-style vision tower for VLM models (llava family).
+
+Reference analog: ``lmdeploy/vl/model/llava_hf.py`` + the HF CLIPVisionModel it
+wraps.  TPU-first design choices:
+
+- patchify is ONE matmul: ``[N, nP, P*P*3] @ [P*P*3, W]`` — identical to the
+  reference's Conv2d(stride=P) but lands directly on the MXU with no conv
+  lowering;
+- the encoder rides a single ``lax.scan`` over stacked layer params (same
+  pattern as the language models), full bidirectional attention, static
+  ``(S, W)`` shapes — one compile per image geometry;
+- feature selection (``vision_feature_layer``, typically -2) is done by simply
+  scanning fewer layers: HF's hidden_states[-2] is the output after skipping
+  the final encoder layer, so we stack only the layers that actually run.
+
+Weights map from HF ``CLIPVisionModel`` (vision_model.*) checkpoints.
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+_ACTS = {'quick_gelu': quick_gelu, 'gelu': jax.nn.gelu,
+         'gelu_pytorch_tanh': lambda x: jax.nn.gelu(x, approximate=True)}
+
+
+class ClipVisionTower:
+    """Functional CLIP ViT encoder: pixel values [N, S, S, 3] -> [N, T, W]."""
+
+    def __init__(self, vision_config: Dict, feature_layer: int = -2,
+                 select_strategy: str = 'default'):
+        vc = vision_config
+        self.image_size = vc.get('image_size', 336)
+        self.patch_size = vc.get('patch_size', 14)
+        self.width = vc.get('hidden_size', 1024)
+        self.heads = vc.get('num_attention_heads', 16)
+        self.mlp_dim = vc.get('intermediate_size', 4096)
+        self.total_layers = vc.get('num_hidden_layers', 24)
+        self.eps = vc.get('layer_norm_eps', 1e-5)
+        self.act = _ACTS[vc.get('hidden_act', 'quick_gelu')]
+        # hidden_states[feature_layer]: index 0 = embeddings, i = after layer i.
+        self.num_layers = (self.total_layers + 1 + feature_layer
+                           if feature_layer < 0 else feature_layer)
+        self.select_strategy = select_strategy
+        self.grid = self.image_size // self.patch_size
+        self.num_patches = self.grid * self.grid
+        # tokens the language model sees per image
+        self.num_image_tokens = (self.num_patches if select_strategy == 'default'
+                                 else self.num_patches + 1)
+
+    # -- params ------------------------------------------------------------------------
+    def param_shapes(self) -> Dict:
+        P, W, L = self.patch_size, self.width, self.num_layers
+        layers = {
+            'ln1_w': (L, W), 'ln1_b': (L, W),
+            'wq': (L, W, W), 'bq': (L, W),
+            'wk': (L, W, W), 'bk': (L, W),
+            'wv': (L, W, W), 'bv': (L, W),
+            'wo': (L, W, W), 'bo': (L, W),
+            'ln2_w': (L, W), 'ln2_b': (L, W),
+            'fc1': (L, W, self.mlp_dim), 'b1': (L, self.mlp_dim),
+            'fc2': (L, self.mlp_dim, W), 'b2': (L, W),
+        }
+        return {
+            'patch_embed': (P * P * 3, W),
+            'class_embed': (W,),
+            'pos_embed': (self.num_patches + 1, W),
+            'pre_ln_w': (W,), 'pre_ln_b': (W,),
+            'layers': layers,
+        }
+
+    def init_params(self, rng=None, scale: float = 0.02, dtype=jnp.float32):
+        rng = np.random.default_rng(0)
+
+        def make(path, shape):
+            name = path[-1]
+            if name.startswith(('ln', 'pre_ln')) and name.endswith('_w'):
+                return jnp.ones(shape, dtype)
+            if name.endswith(('_b', 'b1', 'b2')) or name in ('bq', 'bk', 'bv',
+                                                             'bo'):
+                return jnp.zeros(shape, dtype)
+            return jnp.asarray(rng.normal(0, scale, shape), dtype)
+
+        def walk(tree, path):
+            return {k: walk(v, path + (k,)) if isinstance(v, dict)
+                    else make(path + (k,), v) for k, v in tree.items()}
+
+        return walk(self.param_shapes(), ())
+
+    # -- HF weight mapping -------------------------------------------------------------
+    def make_assign_plan(self, prefix: str = 'vision_tower.vision_model.'):
+        """{hf_name: (path, transform, None)} for the loader (same contract as LMs)."""
+        P, W = self.patch_size, self.width
+
+        def conv_to_mat(x):  # [W, 3, P, P] -> [P*P*3, W] matching patch unfold
+            return np.ascontiguousarray(
+                np.transpose(x, (2, 3, 1, 0)).reshape(P * P * 3, W))
+
+        def T(x):
+            return np.ascontiguousarray(np.swapaxes(x, -1, -2))
+
+        ident = lambda x: x  # noqa: E731
+        plan = {
+            f'{prefix}embeddings.patch_embedding.weight':
+                (('patch_embed',), conv_to_mat, None),
+            f'{prefix}embeddings.class_embedding': (('class_embed',), ident, None),
+            f'{prefix}embeddings.position_embedding.weight':
+                (('pos_embed',), ident, None),
+            f'{prefix}pre_layrnorm.weight': (('pre_ln_w',), ident, None),
+            f'{prefix}pre_layrnorm.bias': (('pre_ln_b',), ident, None),
+        }
+        per_layer = [
+            ('layer_norm1.weight', 'ln1_w', ident), ('layer_norm1.bias', 'ln1_b', ident),
+            ('self_attn.q_proj.weight', 'wq', T), ('self_attn.q_proj.bias', 'bq', ident),
+            ('self_attn.k_proj.weight', 'wk', T), ('self_attn.k_proj.bias', 'bk', ident),
+            ('self_attn.v_proj.weight', 'wv', T), ('self_attn.v_proj.bias', 'bv', ident),
+            ('self_attn.out_proj.weight', 'wo', T), ('self_attn.out_proj.bias', 'bo', ident),
+            ('layer_norm2.weight', 'ln2_w', ident), ('layer_norm2.bias', 'ln2_b', ident),
+            ('mlp.fc1.weight', 'fc1', T), ('mlp.fc1.bias', 'b1', ident),
+            ('mlp.fc2.weight', 'fc2', T), ('mlp.fc2.bias', 'b2', ident),
+        ]
+        for hf, name, transform in per_layer:
+            for layer in range(self.num_layers):
+                plan[f'{prefix}encoder.layers.{layer}.{hf}'] = (
+                    ('layers', name, layer), transform, None)
+        return plan
+
+    # -- forward -----------------------------------------------------------------------
+    def forward(self, params, pixel_values: jax.Array) -> jax.Array:
+        """pixel_values [N, S, S, 3] float -> features [N, T, W].
+
+        T = num_patches (+1 with 'full' select strategy).
+        """
+        N = pixel_values.shape[0]
+        P, G, W = self.patch_size, self.grid, self.width
+        dtype = params['patch_embed'].dtype
+        x = pixel_values.astype(dtype)
+        # unfold into patches: [N, G, P, G, P, 3] -> [N, G*G, P*P*3]
+        x = x.reshape(N, G, P, G, P, 3).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(N, G * G, P * P * 3)
+        x = x @ params['patch_embed']                              # [N, nP, W]
+        cls = jnp.broadcast_to(params['class_embed'], (N, 1, W))
+        x = jnp.concatenate([cls, x], axis=1) + params['pos_embed']
+        x = _layer_norm(x, params['pre_ln_w'], params['pre_ln_b'], self.eps)
+
+        H = self.heads
+        D = W // H
+        scale = 1.0 / math.sqrt(D)
+        S = x.shape[1]
+
+        def layer_fn(h, w):
+            y = _layer_norm(h, w['ln1_w'], w['ln1_b'], self.eps)
+            q = (y @ w['wq'] + w['bq']).reshape(N, S, H, D)
+            k = (y @ w['wk'] + w['bk']).reshape(N, S, H, D)
+            v = (y @ w['wv'] + w['bv']).reshape(N, S, H, D)
+            att = jnp.einsum('nqhd,nkhd->nhqk', q, k) * scale
+            att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(h.dtype)
+            o = jnp.einsum('nhqk,nkhd->nqhd', att, v).reshape(N, S, W)
+            h = h + o @ w['wo'] + w['bo']
+            y = _layer_norm(h, w['ln2_w'], w['ln2_b'], self.eps)
+            y = self.act(y @ w['fc1'] + w['b1'])
+            h = h + y @ w['fc2'] + w['b2']
+            return h, None
+
+        x, _ = jax.lax.scan(layer_fn, x, params['layers'])
+        if self.select_strategy == 'default':
+            x = x[:, 1:]                                           # drop CLS
+        return x
+
+
+def _layer_norm(x, w, b, eps):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w + b

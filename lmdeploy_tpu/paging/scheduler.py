@@ -149,7 +149,10 @@ class Scheduler:
                 break
             if running_count + len(chunks) >= self.scheduler_config.max_batch_size:
                 break
-            if self.block_trie is not None and seq.num_computed_tokens == 0:
+            if (self.block_trie is not None and seq.num_computed_tokens == 0
+                    and not getattr(seq, 'mm_spans', None)):
+                # multimodal prompts repeat one placeholder id for every image,
+                # so token-hash prefix matching would alias different images
                 self.block_trie.match_prefix(seq)
             num_new = min(seq.num_uncomputed, token_budget)
             if num_new <= 0:
@@ -240,12 +243,12 @@ class Scheduler:
             seq.append_token(next_token)
             seq.num_new_tokens += 1
             seq.status = MessageStatus.RUNNING
-        if self.block_trie is not None:
+        if self.block_trie is not None and not getattr(seq, 'mm_spans', None):
             self.block_trie.cache_seq_blocks(seq)
 
     def on_decode_done(self, seq: SchedulerSequence, next_token: int):
         seq.append_token(next_token)
         seq.num_computed_tokens += 1
         seq.num_new_tokens += 1
-        if self.block_trie is not None:
+        if self.block_trie is not None and not getattr(seq, 'mm_spans', None):
             self.block_trie.cache_seq_blocks(seq)

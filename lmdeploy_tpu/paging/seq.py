@@ -113,6 +113,9 @@ class SchedulerSequence:
         self.num_new_tokens: int = 0           # tokens generated but not yet emitted
         self.batch_slot: int = -1              # position in the device decode batch
         self.guided = None                     # guided-decoding state (guided.py)
+        # multimodal embedding spans [(abs_offset, np [n, H])]; survive preemption
+        # (re-prefill re-applies them at the same absolute positions)
+        self.mm_spans: list = []
 
     # -- token accounting -------------------------------------------------------------
     @property

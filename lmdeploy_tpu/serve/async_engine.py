@@ -86,6 +86,49 @@ class AsyncEngine:
         yield self.instance
 
     # -- prompt processing -------------------------------------------------------------
+    @staticmethod
+    def _split_vl_inputs(prompt):
+        """Extract images from VLM-style prompts.
+
+        Accepts: ``(text, image)`` / ``(text, [images])`` tuples (reference
+        pipeline surface) and OpenAI message lists whose content is a parts
+        array with ``image_url`` entries.  Returns (text_prompt, images).
+        """
+        images: List = []
+        if isinstance(prompt, tuple):
+            text, imgs = prompt
+            imgs = imgs if isinstance(imgs, (list, tuple)) else [imgs]
+            images.extend(imgs)
+            if '<image>' not in text:
+                text = '<image>\n' * len(imgs) + text
+            return text, images
+        if isinstance(prompt, list):
+            out_msgs = []
+            for m in prompt:
+                content = m.get('content')
+                if isinstance(content, list):
+                    texts, n_imgs = [], 0
+                    for part in content:
+                        ptype = part.get('type')
+                        if ptype == 'text':
+                            texts.append(part.get('text', ''))
+                        elif ptype == 'image_url':
+                            url = part['image_url']
+                            images.append(url.get('url')
+                                          if isinstance(url, dict) else url)
+                            n_imgs += 1
+                        elif ptype == 'image_data':
+                            images.append(part.get('data'))
+                            n_imgs += 1
+                    text = ''.join(texts)
+                    if n_imgs and '<image>' not in text:
+                        text = '<image>\n' * n_imgs + text
+                    out_msgs.append({**m, 'content': text})
+                else:
+                    out_msgs.append(m)
+            return out_msgs, images
+        return prompt, images
+
     def _get_prompt_input(self, prompt: Union[str, List[Dict]], do_preprocess: bool,
                           sequence_start: bool, chat_template=None) -> Dict[str, Any]:
         chat_template = chat_template or self.chat_template
@@ -127,6 +170,7 @@ class AsyncEngine:
                 if ids[0] not in st:
                     gen_config.stop_token_ids = st + [ids[0]]
 
+        messages, mm_images = self._split_vl_inputs(messages)
         prompt_input = self._get_prompt_input(messages, do_preprocess, sequence_start)
         input_ids = prompt_input['input_ids']
         state = DetokenizeState()
@@ -135,7 +179,8 @@ class AsyncEngine:
         text_cache = ''
 
         async for out in self.instance.async_stream_infer(
-                session_id, input_ids, gen_config):
+                session_id, input_ids, gen_config,
+                mm_data=mm_images or None):
             ids = out.token_ids
             if out.status == ResponseType.FINISH:
                 finish_reason = 'length' if len(ids) >= gen_config.max_new_tokens \

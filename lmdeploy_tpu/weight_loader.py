@@ -108,3 +108,21 @@ def put_params(params_np, shardings=None, mesh=None):
             return jax.device_put(leaf, jax.NamedSharding(mesh, spec))
         return jax.tree_util.tree_map(put, params_np, shardings)
     return jax.tree_util.tree_map(jax.device_put, params_np)
+
+
+def load_vis_params_np(model, model_path: str):
+    """Stream the same shards through a VLM's vision assign-plan.
+
+    Vision weights (tower + projector) live in a separate tree from the LM
+    params — see models/llava.py for why they must not ride the per-step jit.
+    """
+    np_dtype = _np_dtype(model.config.dtype)
+    params_np = _alloc_tree(model.vis_param_shapes(), np_dtype)
+    plan = model.vis_assign_plan()
+    for name, tensor in iter_safetensors(model_path):
+        entry = plan.get(name)
+        if entry is None:
+            continue
+        path, transform, col = entry
+        _assign(params_np, path, transform(np.asarray(tensor)), col)
+    return params_np
