@@ -3,14 +3,20 @@
 Reference analog: ``lmdeploy/pytorch/models/mixtral.py`` + ``nn/moe/`` (router,
 expert dispatch) and TurboMind's MoeFfnLayer (``moe_ffn_layer.h:16``).
 
-TPU-first MoE strategy for this round: dense-combine.  Every expert computes on
-every token; top-k routing weights zero out the non-selected contributions.  On
-the decode path this is close to optimal: with continuous batching the union of
-selected experts covers most experts anyway, and the op is weight-bandwidth-bound
-— all expert weights stream from HBM regardless.  Prefill wastes (E/k)x FLOPs;
-the grouped-matmul (megablocks-style) kernel replaces this in a later round,
-behind the same ``_mlp`` interface.  Expert-parallelism shards the expert axis
-('ep' mesh axis) when configured.
+TPU-first MoE strategy for this round: dense-combine via all-expert einsums.
+Every expert computes on every token; top-k routing weights (folded into the
+activations) zero out the non-selected contributions.  On the decode path this
+is close to optimal: with continuous batching the union of selected experts
+covers most experts anyway, and the op is weight-bandwidth-bound — all expert
+weights stream from HBM regardless.  Prefill wastes (E/k)x FLOPs; the
+grouped-matmul (megablocks-style) kernel replaces this in a later round, behind
+the same ``_mlp`` interface.
+
+Expert parallelism is GSPMD-native: the expert stacks are sharded over the
+'ep' mesh axis (parallel/mesh.py) and the down-proj einsum contracts the full
+expert axis, so each shard computes only its resident experts and XLA inserts
+the cross-'ep' reduce — the expert-parallel combine — automatically.  Token
+chunking bounds the [Nc, E, Ie] activation for long prefills.
 """
 from __future__ import annotations
 
@@ -57,15 +63,36 @@ class MixtralModel(LlamaModel):
         rows = jnp.arange(xf.shape[0])[:, None]
         combine = combine.at[rows, top_idx].set(top_w)
 
-        out = jnp.zeros((xf.shape[0], H), jnp.float32)
-        for e in range(E):
-            act = jax.nn.silu(jnp.dot(xf, w['we_gate'][e],
-                                      preferred_element_type=jnp.float32))
-            act = act * jnp.dot(xf, w['we_up'][e],
-                                preferred_element_type=jnp.float32)
-            y = jnp.dot(act.astype(x.dtype), w['we_down'][e],
-                        preferred_element_type=jnp.float32)
-            out = out + y * combine[:, e:e + 1]
+        # All-expert einsums instead of a Python loop over E: slicing expert e out
+        # of the 'ep'-sharded weight stacks would make GSPMD all-gather the
+        # weights, while contracting the full e axis keeps each shard computing
+        # only its local experts and reduces the outputs over ('ep','tp') — that
+        # contraction IS the expert-parallel combine.  Routing weights are folded
+        # into the activations before the down-proj so e and i contract together.
+        Ie = w['we_gate'].shape[-1]
+        N = xf.shape[0]
+        # bound the [Nc, E, Ie] activation (bf16) to ~64MB per step
+        Nc = N
+        while Nc > 1 and Nc * E * Ie * 2 > 64 * 1024 * 1024 and Nc % 2 == 0:
+            Nc //= 2
+
+        def blk(args):
+            xc, cc = args                                     # [Nc,H], [Nc,E]
+            act = jax.nn.silu(jnp.einsum(
+                'nh,ehi->nei', xc, w['we_gate'],
+                preferred_element_type=jnp.float32))
+            act = act * jnp.einsum('nh,ehi->nei', xc, w['we_up'],
+                                   preferred_element_type=jnp.float32)
+            act = act * cc[:, :, None]
+            return jnp.einsum('nei,eih->nh', act.astype(x.dtype), w['we_down'],
+                              preferred_element_type=jnp.float32)
+
+        if Nc == N:
+            out = blk((xf, combine))
+        else:
+            out = jax.lax.map(blk, (xf.reshape(-1, Nc, H),
+                                    combine.reshape(-1, Nc, E)))
+            out = out.reshape(N, H)
         return out.reshape(B, T, H).astype(x.dtype)
 
     def make_assign_plan(self):
