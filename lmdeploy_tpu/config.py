@@ -58,6 +58,17 @@ class ModelConfig:
     qk_norm: bool = False
     sliding_window: Optional[int] = None
     logit_softcapping: Optional[float] = None
+    # MLA (DeepSeek-V2/V3): attention over compressed latent KV.  When set,
+    # the cache stores [c_kv | k_rope] vectors under one kv head, and rope
+    # tables are built for the rope sub-dimension, not head_dim.
+    q_lora_rank: Optional[int] = None
+    kv_lora_rank: Optional[int] = None
+    qk_nope_head_dim: int = 0
+    qk_rope_head_dim: int = 0
+    v_head_dim: int = 0
+    first_k_dense_replace: int = 0
+    routed_scaling_factor: float = 1.0
+    scoring_func: str = 'softmax'
     # misc
     hf_config: Optional[Dict[str, Any]] = None
     quantization_config: Optional[Dict[str, Any]] = None
@@ -67,6 +78,22 @@ class ModelConfig:
     @property
     def kv_dim(self) -> int:
         return self.num_key_value_heads * self.head_dim
+
+    @property
+    def is_mla(self) -> bool:
+        return self.kv_lora_rank is not None
+
+    @property
+    def cache_head_dim(self) -> int:
+        """Per-head KV-cache payload dim: latent+rope vector for MLA models."""
+        if self.is_mla:
+            return self.kv_lora_rank + self.qk_rope_head_dim
+        return self.head_dim
+
+    @property
+    def rope_dim(self) -> int:
+        """Dimension rotary tables are built for (rope sub-dim under MLA)."""
+        return self.qk_rope_head_dim if self.is_mla else self.head_dim
 
     @classmethod
     def from_hf_config(cls, cfg: Dict[str, Any], dtype: str = 'auto') -> 'ModelConfig':
@@ -120,7 +147,8 @@ class ModelConfig:
             dtype=dtype,
             hf_arch=archs[0],
             model_type=cfg.get('model_type', 'llama'),
-            num_experts=cfg.get('num_local_experts') or cfg.get('num_experts') or 0,
+            num_experts=cfg.get('num_local_experts') or cfg.get('num_experts')
+            or cfg.get('n_routed_experts') or 0,
             num_experts_per_tok=cfg.get('num_experts_per_tok', 0),
             moe_intermediate_size=cfg.get('moe_intermediate_size', 0),
             norm_topk_prob=cfg.get('norm_topk_prob', True),
@@ -130,6 +158,15 @@ class ModelConfig:
             hf_config=cfg,
             quantization_config=cfg.get('quantization_config'),
             vision=vision,
+            q_lora_rank=cfg.get('q_lora_rank'),
+            kv_lora_rank=cfg.get('kv_lora_rank'),
+            qk_nope_head_dim=cfg.get('qk_nope_head_dim', 0),
+            qk_rope_head_dim=cfg.get('qk_rope_head_dim', 0),
+            v_head_dim=cfg.get('v_head_dim', 0),
+            first_k_dense_replace=cfg.get('first_k_dense_replace', 0),
+            num_shared_experts=cfg.get('n_shared_experts', 0) or 0,
+            routed_scaling_factor=cfg.get('routed_scaling_factor', 1.0),
+            scoring_func=cfg.get('scoring_func', 'softmax'),
         )
 
     @classmethod

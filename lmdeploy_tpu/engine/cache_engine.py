@@ -38,7 +38,7 @@ class CacheEngine:
         # Mosaic requires lane-dim DMA slices in 128 units — explicit padding makes
         # the padding visible instead of fighting it (zeros there contribute nothing
         # to the attention contractions).
-        self.padded_head_dim = ((cfg.head_dim + 127) // 128) * 128
+        self.padded_head_dim = ((cfg.cache_head_dim + 127) // 128) * 128
         shape = (cfg.num_layers, cfg.num_key_value_heads, self.num_blocks,
                  cache_config.block_size, self.padded_head_dim)
         dtype = self._cache_dtype()
@@ -71,7 +71,7 @@ class CacheEngine:
         policy = self.cache_config.quant_policy
         if policy in (QuantPolicy.KV_INT8, QuantPolicy.KV_FP8):
             itemsize = 1
-        padded_d = ((cfg.head_dim + 127) // 128) * 128
+        padded_d = ((cfg.cache_head_dim + 127) // 128) * 128
         return (2 * cfg.num_layers * self.cache_config.block_size *
                 cfg.num_key_value_heads * padded_d * itemsize)
 
@@ -105,7 +105,7 @@ class CacheEngine:
         itemsize = 1 if self.cache_config.quant_policy in (
             QuantPolicy.KV_INT8, QuantPolicy.KV_FP8) else (
             4 if cfg.dtype == 'float32' else 2)
-        padded_d = ((cfg.head_dim + 127) // 128) * 128
+        padded_d = ((cfg.cache_head_dim + 127) // 128) * 128
         per_block = (2 * cfg.num_layers * self.cache_config.block_size *
                      cfg.num_key_value_heads * padded_d * itemsize)
         num = max(budget // per_block, 16)

@@ -86,7 +86,7 @@ class ModelAgent:
             self.params = load_model_params(self.model, model_path, shardings, mesh)
 
         # -- rope tables --------------------------------------------------------------
-        cos, sin = make_rope_table(cfg.head_dim, self.max_model_len,
+        cos, sin = make_rope_table(cfg.rope_dim, self.max_model_len,
                                    cfg.rope_theta, cfg.rope_scaling)
         self.rope_cos = jax.device_put(cos)
         self.rope_sin = jax.device_put(sin)
@@ -95,7 +95,7 @@ class ModelAgent:
         cache_spec = None
         if mesh is not None:
             from ..parallel.mesh import cache_sharding
-            cache_spec = cache_sharding()
+            cache_spec = cache_sharding(cfg.num_key_value_heads)
         params_bytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(self.params))
         self.cache_engine = CacheEngine(cfg, configs.cache, mesh, cache_spec,
                                         reserved_bytes=params_bytes)

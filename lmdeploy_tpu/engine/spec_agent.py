@@ -59,7 +59,7 @@ class SpecExtension:
         dtype = agent.cache_engine.k_cache.dtype
         self.draft_k = jnp.zeros(shape, dtype)
         self.draft_v = jnp.zeros(shape, dtype)
-        cos, sin = make_rope_table(dc.head_dim, agent.max_model_len, dc.rope_theta,
+        cos, sin = make_rope_table(dc.rope_dim, agent.max_model_len, dc.rope_theta,
                                    dc.rope_scaling)
         self.draft_cos = jax.device_put(cos)
         self.draft_sin = jax.device_put(sin)

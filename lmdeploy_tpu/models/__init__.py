@@ -74,6 +74,17 @@ def _llava(config: ModelConfig):
     return LlavaModel(config)
 
 
+def _deepseek(config: ModelConfig):
+    from .deepseek import DeepseekV2Model
+    # MLA: one latent kv head; cache payload dim comes from cache_head_dim
+    config.num_key_value_heads = 1
+    return DeepseekV2Model(config)
+
+
+register_model('DeepseekV2ForCausalLM')(_deepseek)
+register_model('DeepseekV3ForCausalLM')(_deepseek)
+
+
 register_model('LlavaForConditionalGeneration')(_llava)
 register_model('LlavaNextForConditionalGeneration')(_llava)
 

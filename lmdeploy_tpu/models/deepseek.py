@@ -1,0 +1,359 @@
+"""DeepSeek-V2/V3 family: Multi-head Latent Attention (MLA) + DeepSeek-MoE.
+
+Reference analog: ``lmdeploy/pytorch/models/deepseek_v2.py`` (MLA forward,
+absorbed projections) and TurboMind's MLA path.
+
+TPU-first MLA design — one cache format, every attention path shared:
+
+- The KV cache stores the COMPRESSED latent per token: ``[c_kv | k_rope]``
+  (kv_lora_rank + qk_rope_head_dim, e.g. 512+64=576) under a single kv head.
+  That is ~32x smaller than materialized per-head K/V for DeepSeek-V2
+  geometry, so far more context fits in HBM.
+- Attention always runs in ABSORBED form: q_nope is pushed through W_uk once
+  (``q_c = q_nope @ W_uk``), so scores are plain dot products in latent space
+  and the existing paged/flash kernels apply unchanged with n_heads query
+  heads grouped over one kv head (MQA grouping).  The value payload is c_kv
+  zero-padded to the key dim; the attention output's latent part is projected
+  back through W_uv.  (The reference expands K/V for prefill to trade memory
+  for fewer FLOPs; absorbed-everywhere keeps one cache format — an expanded
+  prefill path is a later optimization.)
+- Rope applies only to the rope sub-dimensions; tables are built for
+  qk_rope_head_dim (config.rope_dim).  DeepSeek checkpoints store the rope
+  dims interleaved — ``_deinterleave`` converts to the half-split layout
+  before the standard rotation (HF modeling_deepseek does the same via a
+  view/transpose).
+- Layers come in two stacked groups scanned back to back: the first
+  ``first_k_dense_replace`` layers with a dense MLP ('layers') and the rest
+  with DeepSeek-MoE ('moe_layers': routed experts via the all-expert einsum
+  combine from mixtral.py + always-on shared experts + routed scaling).
+  Group-limited (n_group/topk_group) routing is not yet implemented; top-k
+  runs over all routed experts.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..nn.layers import apply_rope, rms_norm
+from ..ops.attention import compute_slot_mapping, fill_kv_cache, paged_attention
+from .llama import AttnMeta, LlamaModel
+
+
+def _deinterleave(x: jax.Array) -> jax.Array:
+    """[..., d] interleaved rope layout -> half-split layout (HF deepseek)."""
+    *lead, d = x.shape
+    return x.reshape(*lead, d // 2, 2).swapaxes(-1, -2).reshape(*lead, d)
+
+
+class DeepseekV2Model(LlamaModel):
+    """DeepSeek-V2 / V2-Lite / V3 decoder with MLA + MoE."""
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        cfg = config
+        assert cfg.is_mla, 'DeepseekV2Model requires MLA config (kv_lora_rank)'
+        self.nh = cfg.num_attention_heads
+        self.dn = cfg.qk_nope_head_dim
+        self.dr = cfg.qk_rope_head_dim
+        self.dv = cfg.v_head_dim
+        self.r = cfg.kv_lora_rank
+        self.rq = cfg.q_lora_rank
+        self.fk = cfg.first_k_dense_replace
+        # attention scale uses the UNCOMPRESSED head dim (nope+rope), not the
+        # latent dim the kernels see
+        self.scale = 1.0 / math.sqrt(self.dn + self.dr)
+
+    # -- parameter allocation ----------------------------------------------------------
+    def _attn_shapes(self, L: int) -> Dict[str, Any]:
+        cfg = self.config
+        H = cfg.hidden_size
+        nh, dn, dr, dv, r = self.nh, self.dn, self.dr, self.dv, self.r
+        d = {
+            'attn_norm': (L, H),
+            'mlp_norm': (L, H),
+            'wdkv': (L, H, r + dr),
+            'kv_norm': (L, r),
+            'wuk': (L, nh, dn, r),     # kv_b_proj K half, absorbed into q
+            'wuv': (L, nh, r, dv),     # kv_b_proj V half, applied to attn out
+            'wo': (L, nh * dv, H),
+        }
+        if self.rq:
+            d.update(wdq=(L, H, self.rq), q_norm=(L, self.rq),
+                     wuq=(L, self.rq, nh * (dn + dr)))
+        else:
+            d['wq'] = (L, H, nh * (dn + dr))
+        return d
+
+    def param_shapes(self) -> Dict[str, Any]:
+        cfg = self.config
+        L, H, V = cfg.num_layers, cfg.hidden_size, cfg.vocab_size
+        fk = self.fk
+        Lm = L - fk
+        E = cfg.num_experts
+        Ie = cfg.moe_intermediate_size or cfg.intermediate_size
+        Is = (cfg.num_shared_experts or 0) * Ie
+        shapes: Dict[str, Any] = {'embed': (V, H), 'final_norm': (H,)}
+        if fk:
+            dense = self._attn_shapes(fk)
+            dense.update(w_gate=(fk, H, cfg.intermediate_size),
+                         w_up=(fk, H, cfg.intermediate_size),
+                         w_down=(fk, cfg.intermediate_size, H))
+            shapes['layers'] = dense
+        moe = self._attn_shapes(Lm)
+        moe.update(router=(Lm, H, E),
+                   router_bias=(Lm, E),       # v3 e_score_correction_bias
+                   we_gate=(Lm, E, H, Ie),
+                   we_up=(Lm, E, H, Ie),
+                   we_down=(Lm, E, Ie, H))
+        if Is:
+            moe.update(ws_gate=(Lm, H, Is), ws_up=(Lm, H, Is),
+                       ws_down=(Lm, Is, H))
+        shapes['moe_layers'] = moe
+        if not cfg.tie_word_embeddings:
+            shapes['lm_head'] = (H, V)
+        return shapes
+
+    # -- HF weight mapping -------------------------------------------------------------
+    def make_assign_plan(self):
+        cfg = self.config
+        nh, dn, dr, dv, r = self.nh, self.dn, self.dr, self.dv, self.r
+        fk = self.fk
+
+        def T(x):
+            return np.ascontiguousarray(np.swapaxes(x, -1, -2))
+
+        def uk(x):   # [nh*(dn+dv), r] -> [nh, dn, r]
+            return np.ascontiguousarray(x.reshape(nh, dn + dv, r)[:, :dn, :])
+
+        def uv(x):   # [nh*(dn+dv), r] -> [nh, r, dv]
+            return np.ascontiguousarray(
+                np.swapaxes(x.reshape(nh, dn + dv, r)[:, dn:, :], -1, -2))
+
+        ident = lambda x: x  # noqa: E731
+        plan: Dict[str, Any] = {
+            'model.embed_tokens.weight': (('embed',), ident, None),
+            'model.norm.weight': (('final_norm',), ident, None),
+        }
+        if not cfg.tie_word_embeddings:
+            plan['lm_head.weight'] = (('lm_head',), T, None)
+
+        from .mixtral import _ExpertSlice
+        for l in range(cfg.num_layers):
+            grp = 'layers' if l < fk else 'moe_layers'
+            i = l if l < fk else l - fk
+            p = f'model.layers.{l}.'
+            plan[p + 'input_layernorm.weight'] = ((grp, 'attn_norm', i), ident, None)
+            plan[p + 'post_attention_layernorm.weight'] = \
+                ((grp, 'mlp_norm', i), ident, None)
+            plan[p + 'self_attn.kv_a_proj_with_mqa.weight'] = \
+                ((grp, 'wdkv', i), T, None)
+            plan[p + 'self_attn.kv_a_layernorm.weight'] = \
+                ((grp, 'kv_norm', i), ident, None)
+            plan[p + 'self_attn.kv_b_proj.weight'] = [
+                ((grp, 'wuk', i), uk, None), ((grp, 'wuv', i), uv, None)]
+            plan[p + 'self_attn.o_proj.weight'] = ((grp, 'wo', i), T, None)
+            if self.rq:
+                plan[p + 'self_attn.q_a_proj.weight'] = ((grp, 'wdq', i), T, None)
+                plan[p + 'self_attn.q_a_layernorm.weight'] = \
+                    ((grp, 'q_norm', i), ident, None)
+                plan[p + 'self_attn.q_b_proj.weight'] = ((grp, 'wuq', i), T, None)
+            else:
+                plan[p + 'self_attn.q_proj.weight'] = ((grp, 'wq', i), T, None)
+            if l < fk:
+                plan[p + 'mlp.gate_proj.weight'] = ((grp, 'w_gate', i), T, None)
+                plan[p + 'mlp.up_proj.weight'] = ((grp, 'w_up', i), T, None)
+                plan[p + 'mlp.down_proj.weight'] = ((grp, 'w_down', i), T, None)
+            else:
+                plan[p + 'mlp.gate.weight'] = ((grp, 'router', i), T, None)
+                plan[p + 'mlp.gate.e_score_correction_bias'] = \
+                    ((grp, 'router_bias', i), ident, None)
+                for e in range(cfg.num_experts):
+                    q = p + f'mlp.experts.{e}.'
+                    plan[q + 'gate_proj.weight'] = ((grp, 'we_gate', i), T,
+                                                    _ExpertSlice(e))
+                    plan[q + 'up_proj.weight'] = ((grp, 'we_up', i), T,
+                                                  _ExpertSlice(e))
+                    plan[q + 'down_proj.weight'] = ((grp, 'we_down', i), T,
+                                                    _ExpertSlice(e))
+                if cfg.num_shared_experts:
+                    q = p + 'mlp.shared_experts.'
+                    plan[q + 'gate_proj.weight'] = ((grp, 'ws_gate', i), T, None)
+                    plan[q + 'up_proj.weight'] = ((grp, 'ws_up', i), T, None)
+                    plan[q + 'down_proj.weight'] = ((grp, 'ws_down', i), T, None)
+        return plan
+
+    # -- sharding ----------------------------------------------------------------------
+    def make_shardings(self, shard_vocab: bool = True):
+        """MLA sharding: q/absorbed projections over heads ('tp'); the latent
+        cache has one kv head so it stays replicated across 'tp'; experts over
+        ('ep','tp') as in mixtral."""
+        from jax.sharding import PartitionSpec as P
+
+        def attn(hasq):
+            d = {
+                'attn_norm': P(None, None), 'mlp_norm': P(None, None),
+                'wdkv': P(None, None, None), 'kv_norm': P(None, None),
+                'wuk': P(None, 'tp', None, None),
+                'wuv': P(None, 'tp', None, None),
+                'wo': P(None, 'tp', None),
+            }
+            if self.rq:
+                d.update(wdq=P(None, None, None), q_norm=P(None, None),
+                         wuq=P(None, None, 'tp'))
+            else:
+                d['wq'] = P(None, None, 'tp')
+            return d
+
+        shard: Dict[str, Any] = {'embed': P(None, None), 'final_norm': P(None)}
+        if self.fk:
+            dense = attn(True)
+            dense.update(w_gate=P(None, None, 'tp'), w_up=P(None, None, 'tp'),
+                         w_down=P(None, 'tp', None))
+            shard['layers'] = dense
+        moe = attn(True)
+        moe.update(router=P(None, None, None), router_bias=P(None, None),
+                   we_gate=P(None, 'ep', None, 'tp'),
+                   we_up=P(None, 'ep', None, 'tp'),
+                   we_down=P(None, 'ep', 'tp', None))
+        if self.config.num_shared_experts:
+            moe.update(ws_gate=P(None, None, 'tp'), ws_up=P(None, None, 'tp'),
+                       ws_down=P(None, 'tp', None))
+        shard['moe_layers'] = moe
+        if not self.config.tie_word_embeddings:
+            shard['lm_head'] = P(None, 'tp') if shard_vocab else P(None, None)
+        return shard
+
+    # -- forward -----------------------------------------------------------------------
+    def _attn_block(self, h, w, layer, k_cache, v_cache, meta, cos, sin,
+                    slot_mapping, fresh_prefill):
+        cfg = self.config
+        B, T = h.shape[0], h.shape[1]
+        nh, dn, dr, dv, r = self.nh, self.dn, self.dr, self.dv, self.r
+        D = r + dr
+        from ..nn.linear import linear as proj
+
+        x = rms_norm(h, w['attn_norm'], cfg.rms_norm_eps)
+        if self.rq:
+            q = proj(rms_norm(proj(x, w['wdq']), w['q_norm'], cfg.rms_norm_eps),
+                     w['wuq'])
+        else:
+            q = proj(x, w['wq'])
+        q = q.reshape(B, T, nh, dn + dr)
+        q_nope, q_pe = q[..., :dn], q[..., dn:]
+
+        ckv = proj(x, w['wdkv'])                                 # [B,T,r+dr]
+        c, k_pe = ckv[..., :r], ckv[..., r:]
+        c = rms_norm(c, w['kv_norm'], cfg.rms_norm_eps)
+        q_pe, k_pe = apply_rope(_deinterleave(q_pe),
+                                _deinterleave(k_pe)[:, :, None, :], cos, sin)
+
+        # absorb W_uk into the query; keys/scores live in latent space
+        q_c = jnp.einsum('btnd,ndr->btnr', q_nope.astype(jnp.float32),
+                         w['wuk'].astype(jnp.float32)).astype(h.dtype)
+        q_eff = jnp.concatenate([q_c, q_pe], axis=-1)            # [B,T,nh,D]
+        k_new = jnp.concatenate([c, k_pe[:, :, 0]], axis=-1)     # [B,T,D]
+        v_new = jnp.concatenate(
+            [c, jnp.zeros((B, T, dr), c.dtype)], axis=-1)        # pad to D
+
+        k_cache, v_cache = fill_kv_cache(
+            k_cache, v_cache, k_new.reshape(B * T, 1, D),
+            v_new.reshape(B * T, 1, D), slot_mapping, layer)
+        attn = paged_attention(q_eff, k_cache, v_cache, meta.block_tables,
+                               meta.history_lens, meta.q_lens, self.scale, layer,
+                               window_size=None,
+                               chunk_kv=(k_new[:, :, None, :], v_new[:, :, None, :]),
+                               fresh_prefill=fresh_prefill)      # [B,T,nh,D]
+        o = jnp.einsum('btnr,nrv->btnv', attn[..., :r].astype(jnp.float32),
+                       w['wuv'].astype(jnp.float32)).astype(h.dtype)
+        h = h + proj(o.reshape(B, T, nh * dv), w['wo'])
+        return h, k_cache, v_cache
+
+    def _moe_mlp(self, w, x):
+        cfg = self.config
+        E, k = cfg.num_experts, cfg.num_experts_per_tok
+        B, T, H = x.shape
+        xf = x.reshape(B * T, H)
+        logits = jnp.dot(xf, w['router'], preferred_element_type=jnp.float32)
+        if cfg.scoring_func == 'sigmoid':                        # v3
+            scores = jax.nn.sigmoid(logits)
+            _, top_idx = jax.lax.top_k(scores + w['router_bias'][None, :], k)
+            top_w = jnp.take_along_axis(scores, top_idx, axis=-1)
+        else:                                                    # v2 softmax
+            scores = jax.nn.softmax(logits, axis=-1)
+            top_w, top_idx = jax.lax.top_k(scores, k)
+        if cfg.norm_topk_prob:
+            top_w = top_w / (top_w.sum(-1, keepdims=True) + 1e-20)
+        top_w = top_w * cfg.routed_scaling_factor
+        combine = jnp.zeros((xf.shape[0], E), jnp.float32)
+        combine = combine.at[jnp.arange(xf.shape[0])[:, None], top_idx].set(top_w)
+
+        act = jax.nn.silu(jnp.einsum('nh,ehi->nei', xf, w['we_gate'],
+                                     preferred_element_type=jnp.float32))
+        act = act * jnp.einsum('nh,ehi->nei', xf, w['we_up'],
+                               preferred_element_type=jnp.float32)
+        act = act * combine[:, :, None]
+        out = jnp.einsum('nei,eih->nh', act.astype(x.dtype), w['we_down'],
+                         preferred_element_type=jnp.float32)
+        if 'ws_gate' in w:                                       # shared experts
+            s = jax.nn.silu(jnp.dot(xf, w['ws_gate'],
+                                    preferred_element_type=jnp.float32))
+            s = s * jnp.dot(xf, w['ws_up'], preferred_element_type=jnp.float32)
+            out = out + jnp.dot(s.astype(x.dtype), w['ws_down'],
+                                preferred_element_type=jnp.float32)
+        return out.reshape(B, T, H).astype(x.dtype)
+
+    def forward(self, params, input_ids, positions, k_cache, v_cache,
+                meta: AttnMeta, rope_cos, rope_sin, return_all_logits=False,
+                fresh_prefill=False, input_embeds=None, embeds_mask=None):
+        cfg = self.config
+        B, T = input_ids.shape
+        block_size = k_cache.shape[-2]
+        hidden = params['embed'][input_ids].astype(cfg.jnp_dtype())
+        if input_embeds is not None:
+            hidden = jnp.where(embeds_mask[..., None],
+                               input_embeds.astype(hidden.dtype), hidden)
+        cos = rope_cos[positions]
+        sin = rope_sin[positions]
+        slot_mapping = compute_slot_mapping(meta.block_tables, meta.history_lens,
+                                            meta.q_lens, T, block_size)
+
+        def make_layer_fn(moe: bool):
+            def layer_fn(carry, w):
+                h, kc, vc, layer = carry
+                h, kc, vc = self._attn_block(h, w, layer, kc, vc, meta, cos,
+                                             sin, slot_mapping, fresh_prefill)
+                x = rms_norm(h, w['mlp_norm'], cfg.rms_norm_eps)
+                if moe:
+                    h = h + self._moe_mlp(w, x)
+                else:
+                    h = h + self._mlp(w, x)      # llama dense silu mlp
+                return (h, kc, vc, layer + 1), None
+            return layer_fn
+
+        carry = (hidden, k_cache, v_cache, jnp.int32(0))
+        if 'layers' in params:
+            carry, _ = jax.lax.scan(make_layer_fn(False), carry,
+                                    params['layers'])
+        carry, _ = jax.lax.scan(make_layer_fn(True), carry,
+                                params['moe_layers'])
+        hidden, k_cache, v_cache, _ = carry
+        hidden = rms_norm(hidden, params['final_norm'], cfg.rms_norm_eps)
+
+        lm_head = params.get('lm_head')
+        if lm_head is None:
+            lm_head = params['embed'].T
+
+        def head(x):
+            return jnp.dot(x, lm_head, preferred_element_type=jnp.float32)
+
+        if return_all_logits:
+            return head(hidden), k_cache, v_cache
+        last_idx = jnp.maximum(meta.q_lens - 1, 0)
+        last_hidden = jnp.take_along_axis(
+            hidden, last_idx[:, None, None], axis=1)[:, 0]
+        return head(last_hidden), k_cache, v_cache

@@ -45,6 +45,9 @@ def make_llama_shardings(model, shard_vocab: bool = True) -> Dict:
     """
     from jax.sharding import PartitionSpec as P
 
+    if hasattr(model, 'make_shardings'):   # model-specific layout (e.g. MLA)
+        return model.make_shardings(shard_vocab=shard_vocab)
+
     col = P(None, None, 'tp')     # [L, in, out] shard out
     row = P(None, 'tp', None)     # [L, in, out] shard in
     rep1 = P(None, None)          # [L, dim]
@@ -94,9 +97,15 @@ def make_llama_shardings(model, shard_vocab: bool = True) -> Dict:
     return shardings
 
 
-def cache_sharding():
-    """[L, Hkv, num_blocks, block_size, D] — shard kv heads over tp."""
+def cache_sharding(num_kv_heads: int = 0):
+    """[L, Hkv, num_blocks, block_size, D] — shard kv heads over tp.
+
+    A single-kv-head cache (MQA / MLA latent) cannot split its head axis, so
+    it stays replicated across 'tp'.
+    """
     from jax.sharding import PartitionSpec as P
+    if num_kv_heads == 1:
+        return P(None, None, None, None, None)
     return P(None, 'tp', None, None, None)
 
 

@@ -94,10 +94,13 @@ class Pipeline:
 
     def chat(self, prompt: str, session=None,
              gen_config: Optional[GenerationConfig] = None, **kwargs):
-        """Stateful multi-turn chat; returns (Response, session)."""
+        """Stateful multi-turn chat; returns the session, whose ``.response``
+        holds the latest Response (reference contract: api.py pipeline.chat —
+        ``sess = pipe.chat('hi'); sess = pipe.chat('more', session=sess)``)."""
         if session is None:
             session = _ChatSession(self)
-        return session.chat(prompt, gen_config=gen_config, **kwargs), session
+        session.chat(prompt, gen_config=gen_config, **kwargs)
+        return session
 
     def get_ppl(self, texts: Union[str, List[str]]):
         """Mean negative log-likelihood per text (reference: pipeline.py:267)."""
