@@ -15,6 +15,7 @@ def pipeline(model_path: str,
              backend_config: Optional[TpuEngineConfig] = None,
              chat_template_config: Optional[ChatTemplateConfig] = None,
              log_level: str = 'WARNING',
+             adapters: Optional[dict] = None,
              **kwargs) -> Pipeline:
     """Build an inference pipeline over the TPU engine.
 
@@ -23,7 +24,13 @@ def pipeline(model_path: str,
         from lmdeploy_tpu import pipeline
         pipe = pipeline('TinyLlama/TinyLlama-1.1B-Chat-v1.0')
         print(pipe(['Hi, pls intro yourself']))
+
+    ``adapters={name: peft_path}`` loads S-LoRA slots; pick one per request via
+    ``GenerationConfig(adapter_name=...)`` (reference: api.py pipeline adapters).
     """
+    if adapters:
+        backend_config = backend_config or TpuEngineConfig()
+        backend_config.adapters = dict(adapters)
     return Pipeline(model_path, backend_config=backend_config,
                     chat_template_config=chat_template_config,
                     log_level=log_level, **kwargs)

@@ -40,6 +40,7 @@ class DecodeState:
     presence_penalty: Any     # [Bmax] f32
     do_sample: Any      # [Bmax] bool
     seed: Any           # [Bmax] u32
+    adapter_id: Any     # [Bmax] i32 — S-LoRA slot (0 = none)
     token_counts: Any   # [Bmax, V] i16 — seen-token counts (penalties)
 
 
@@ -66,7 +67,7 @@ def make_initial_state(max_batch: int, table_width: int, vocab_size: int):
         min_p=z(jnp.float32),
         repetition_penalty=jnp.ones((max_batch,), jnp.float32),
         frequency_penalty=z(jnp.float32), presence_penalty=z(jnp.float32),
-        do_sample=z(jnp.bool_), seed=z(jnp.uint32),
+        do_sample=z(jnp.bool_), seed=z(jnp.uint32), adapter_id=z(jnp.int32),
         token_counts=jnp.zeros((max_batch, vocab_size), jnp.int16),
     )
 
@@ -94,6 +95,7 @@ def host_rows_from_seqs(seqs: List, table_width: int) -> Dict[str, np.ndarray]:
         'presence_penalty': np.zeros(n, np.float32),
         'do_sample': np.zeros(n, bool),
         'seed': np.zeros(n, np.uint32),
+        'adapter_id': np.zeros(n, np.int32),
     }
     for i, seq in enumerate(seqs):
         p = seq.sampling_params
@@ -111,4 +113,5 @@ def host_rows_from_seqs(seqs: List, table_width: int) -> Dict[str, np.ndarray]:
         out['presence_penalty'][i] = p.presence_penalty
         out['do_sample'][i] = p.do_sample
         out['seed'][i] = np.uint32(p.random_seed or 0)
+        out['adapter_id'][i] = getattr(seq, 'adapter_slot', 0)
     return out

@@ -55,6 +55,9 @@ class Engine:
         self.model_agent = ModelAgent(self.configs, model_path
                                       if not self.configs.misc.empty_init else None,
                                       mesh=mesh)
+        if getattr(engine_config, 'adapters', None):
+            # S-LoRA: load adapter slot stacks before any step fn compiles
+            self.model_agent.enable_slora(engine_config.adapters)
         # agent derives actual block count from HBM; scheduler uses it
         self.scheduler = Scheduler(self.configs.scheduler, self.configs.cache,
                                    num_blocks=self.model_agent.num_blocks)
@@ -169,6 +172,15 @@ class Engine:
             base = seq.num_token_ids - len(token_ids)
             seq.mm_spans = (getattr(seq, 'mm_spans', None) or []) + [
                 (base + off, emb) for off, emb in zip(mm_offsets, mm_embeds)]
+        aname = getattr(sampling_params, 'adapter_name', None)
+        if aname:
+            slot_map = getattr(self.model_agent, 'lora_slot_map', None) or {}
+            if aname not in slot_map:
+                raise ValueError(f'unknown adapter {aname!r}; loaded: '
+                                 f'{sorted(slot_map)}')
+            seq.adapter_slot = slot_map[aname]
+        else:
+            seq.adapter_slot = 0
         fmt = sampling_params.response_format or {}
         if fmt.get('type') in ('json_object', 'json_schema'):
             if self.tokenizer is None:

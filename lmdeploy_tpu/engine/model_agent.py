@@ -174,7 +174,7 @@ class ModelAgent:
 
         def step(params, rope_cos, rope_sin, k_cache, v_cache, token_counts,
                  input_ids, positions, block_tables, history_lens, q_lens,
-                 slot_rows, reset_rows, valid_mask, sampling, *mm):
+                 slot_rows, reset_rows, valid_mask, sampling, adapter_ids, *mm):
             B, T = input_ids.shape
             meta = AttnMeta(block_tables=block_tables, history_lens=history_lens,
                             q_lens=q_lens)
@@ -182,7 +182,8 @@ class ModelAgent:
                 params, input_ids, positions, k_cache, v_cache, meta,
                 rope_cos, rope_sin, fresh_prefill=fresh_prefill,
                 input_embeds=mm[0] if with_embeds else None,
-                embeds_mask=mm[1] if with_embeds else None)
+                embeds_mask=mm[1] if with_embeds else None,
+                adapter_ids=adapter_ids)
 
             rows = token_counts[slot_rows]                       # [B, V]
             rows = jnp.where(reset_rows[:, None], 0, rows)
@@ -269,13 +270,17 @@ class ModelAgent:
                         mask[i, s0 - start:s1 - start] = True
             mm_args = (jnp.asarray(embeds, self.model_config.jnp_dtype()), mask)
 
+        adapter_ids = np.zeros(B, np.int32)
+        for i, seq in enumerate(seqs):
+            adapter_ids[i] = getattr(seq, 'adapter_slot', 0)
+
         fresh = count_inputs and all(s == 0 for s in chunk_starts)
         fn = self._get_step_fn(count_inputs, fresh, with_embeds=bool(mm_args))
         (k_cache, v_cache, self.token_counts, tokens, logprob, top) = fn(
             self.params, self.rope_cos, self.rope_sin,
             self.cache_engine.k_cache, self.cache_engine.v_cache, self.token_counts,
             input_ids, positions, block_tables, history_lens, q_lens,
-            slot_rows, reset_rows, valid_mask, sampling, *mm_args)
+            slot_rows, reset_rows, valid_mask, sampling, adapter_ids, *mm_args)
         self.cache_engine.swap_caches(k_cache, v_cache)
         # the prefill path donated the shared token-counts buffer; re-point the
         # decode state at the fresh one
@@ -310,6 +315,28 @@ class ModelAgent:
             max_top_logprobs=s.max_top_logprobs)
 
     # -- public API --------------------------------------------------------------------
+    def enable_slora(self, adapters: Dict[str, str]):
+        """Load PEFT adapters into S-LoRA slot stacks (reference: adapter/).
+
+        Attaches the stacks as ``params['lora']`` so they ride the layer scan;
+        per-row ``adapter_ids`` select each request's low-rank pair at runtime
+        (slot 0 = no adapter).  Must be called before the first compile — the
+        step executables' input structure includes the stacks.
+        """
+        import jax
+        from ..lora import build_slora_stacks
+        stacks, slot_map = build_slora_stacks(self.model, adapters)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            rep = NamedSharding(self.mesh, PartitionSpec())
+            stacks = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep), stacks)
+        else:
+            stacks = jax.tree_util.tree_map(jax.device_put, stacks)
+        self.params = dict(self.params, lora=stacks)
+        self.lora_slot_map = slot_map
+        self._step_fns.clear()
+
     def encode_images(self, images) -> List[np.ndarray]:
         """Preprocess + run the vision tower; one [num_image_tokens, H] per image.
 
@@ -445,7 +472,8 @@ class ModelAgent:
                 logits, kc, vc = model.forward(
                     params, st['token'][:, None],
                     jnp.clip(st['position'], 0, self.max_model_len - 1)[:, None],
-                    kc, vc, meta, rope_cos, rope_sin)
+                    kc, vc, meta, rope_cos, rope_sin,
+                    adapter_ids=st['adapter_id'])
                 seeds = st['seed'] + (st['step_no'].astype(jnp.uint32) + 1) * GOLDEN
                 si = SamplingInputs(
                     temperature=st['temperature'], top_k=st['top_k'],
@@ -671,4 +699,5 @@ class ModelAgent:
                 jax.ShapeDtypeStruct((B, W), i32), jax.ShapeDtypeStruct((B,), i32),
                 jax.ShapeDtypeStruct((B,), i32), jax.ShapeDtypeStruct((B,), i32),
                 jax.ShapeDtypeStruct((B,), jnp.bool_),
-                jax.ShapeDtypeStruct((B,), jnp.bool_), si_s).compile()
+                jax.ShapeDtypeStruct((B,), jnp.bool_), si_s,
+                jax.ShapeDtypeStruct((B,), i32)).compile()

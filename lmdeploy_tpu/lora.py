@@ -113,3 +113,49 @@ class LoraManager:
         if self.active is not None:
             self._apply(self.adapters[self.active], -1.0)
             self.active = None
+
+
+# -- S-LoRA: batched multi-adapter multiplexing ---------------------------------------
+
+SLORA_TARGETS = ('wq', 'wk', 'wv', 'wo', 'w_gate', 'w_up', 'w_down')
+
+
+def build_slora_stacks(model, adapters: Dict[str, str]):
+    """Load several PEFT checkpoints into scan-ready slot stacks.
+
+    Returns (stacks, slot_map): stacks[target] = {'a': [L, S, in, rp],
+    'b': [L, S, rp, out]} float32 with slot 0 all-zero (no adapter) and ranks
+    zero-padded to the max across adapters; alpha/r scaling is folded into 'b'.
+    Layer axis leads so the stacks ride the same ``lax.scan`` slicing as the
+    base layer params (reference analog: adapter/adapter.py rank-page packing).
+    """
+    cfg = model.config
+    L = cfg.num_layers
+    loaded = [(name, *load_peft_adapter(path)) for name, path in adapters.items()]
+    max_rank = 1
+    for _, weights, _ in loaded:
+        for per_layer in weights.values():
+            for ab in per_layer.values():
+                max_rank = max(max_rank, ab['A'].shape[0])
+
+    dims = {'wq': (cfg.hidden_size, model.q_out),
+            'wk': (cfg.hidden_size, model.kv_out),
+            'wv': (cfg.hidden_size, model.kv_out),
+            'wo': (model.q_out, cfg.hidden_size),
+            'w_gate': (cfg.hidden_size, cfg.intermediate_size),
+            'w_up': (cfg.hidden_size, cfg.intermediate_size),
+            'w_down': (cfg.intermediate_size, cfg.hidden_size)}
+    S = len(loaded) + 1
+    stacks = {t: {'a': np.zeros((L, S, dims[t][0], max_rank), np.float32),
+                  'b': np.zeros((L, S, max_rank, dims[t][1]), np.float32)}
+              for t in SLORA_TARGETS}
+    slot_map = {}
+    for slot, (name, weights, scaling) in enumerate(loaded, start=1):
+        slot_map[name] = slot
+        for target, per_layer in weights.items():
+            for layer, ab in per_layer.items():
+                A, B = ab['A'], ab['B']         # [r, in], [out, r]
+                r = A.shape[0]
+                stacks[target]['a'][layer, slot, :, :r] = A.T
+                stacks[target]['b'][layer, slot, :r, :] = scaling * B.T
+    return stacks, slot_map

@@ -56,6 +56,7 @@ class GenerationConfig:
     output_logits: Optional[Literal['all', 'generation']] = None
     output_last_hidden_state: Optional[Literal['all', 'generation']] = None
     include_stop_str_in_output: bool = False
+    adapter_name: Optional[str] = None      # S-LoRA: per-request adapter
 
     def convert_stop_bad_words_to_ids(self, tokenizer) -> 'GenerationConfig':
         """Resolve stop/bad word strings into token-id lists (reference: messages.py:139)."""
@@ -115,6 +116,7 @@ class TpuEngineConfig:
     revision: Optional[str] = None
     download_dir: Optional[str] = None
     role: str = 'hybrid'                     # 'hybrid' | 'prefill' | 'decode' (PD)
+    adapters: Optional[Dict[str, str]] = None  # S-LoRA: {name: peft_path} slots
 
     def validate(self):
         assert self.tp >= 1 and self.dp >= 1 and self.ep >= 1 and self.cp >= 1

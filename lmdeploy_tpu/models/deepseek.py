@@ -309,7 +309,8 @@ class DeepseekV2Model(LlamaModel):
 
     def forward(self, params, input_ids, positions, k_cache, v_cache,
                 meta: AttnMeta, rope_cos, rope_sin, return_all_logits=False,
-                fresh_prefill=False, input_embeds=None, embeds_mask=None):
+                fresh_prefill=False, input_embeds=None, embeds_mask=None,
+                adapter_ids=None):   # S-LoRA targets llama-family linears only
         cfg = self.config
         B, T = input_ids.shape
         block_size = k_cache.shape[-2]

@@ -248,6 +248,7 @@ class LlamaModel:
                 fresh_prefill: bool = False,
                 input_embeds: Optional[jax.Array] = None,
                 embeds_mask: Optional[jax.Array] = None,
+                adapter_ids: Optional[jax.Array] = None,
                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """One forward step.
 
@@ -282,20 +283,33 @@ class LlamaModel:
         lp = params['layers']
         has_bias = 'bq' in lp
         has_qknorm = 'q_norm' in lp
+        # S-LoRA: slot stacks attached by the agent as params['lora'] ride the
+        # same layer scan; per-row adapter_ids gather each row's low-rank pair.
+        lora = params.get('lora')
 
         from ..nn.linear import linear as proj
+
+        def lin(x_, w, lw, name, bias=None):
+            y = proj(x_, w[name], bias)
+            if lw is not None and name in lw:
+                a = lw[name]['a'][adapter_ids]                 # [B, in, rp]
+                b = lw[name]['b'][adapter_ids]                 # [B, rp, out]
+                t = jnp.einsum('bth,bhr->btr', x_.astype(jnp.float32), a)
+                y = y + jnp.einsum('btr,bro->bto', t, b).astype(y.dtype)
+            return y
 
         # The FULL caches ride in the scan carry; each layer scatters its new KV into
         # its own region (layer-offset slots) and the attention kernels index the
         # region directly.  This keeps the cache update truly in-place — slicing a
         # layer's cache out and re-inserting it would make XLA allocate a second
         # full-cache buffer for the scan outputs.
-        def layer_fn(carry, w):
+        def layer_fn(carry, xs):
+            w, lw = xs if lora is not None else (xs, None)
             h, k_cache, v_cache, layer = carry
             x = rms_norm(h, w['attn_norm'], cfg.rms_norm_eps)
-            q = proj(x, w['wq'], w.get('bq') if has_bias else None)
-            k = proj(x, w['wk'], w.get('bk') if has_bias else None)
-            v = proj(x, w['wv'], w.get('bv') if has_bias else None)
+            q = lin(x, w, lw, 'wq', w.get('bq') if has_bias else None)
+            k = lin(x, w, lw, 'wk', w.get('bk') if has_bias else None)
+            v = lin(x, w, lw, 'wv', w.get('bv') if has_bias else None)
             q = q.reshape(B, T, cfg.num_attention_heads, D)
             k = k.reshape(B, T, cfg.num_key_value_heads, D)
             v = v.reshape(B, T, cfg.num_key_value_heads, D)
@@ -312,13 +326,19 @@ class LlamaModel:
                                    window_size=cfg.sliding_window,
                                    chunk_kv=(k, v), fresh_prefill=fresh_prefill)
             attn = attn.reshape(B, T, self.q_out)
-            h = h + proj(attn, w['wo'])
+            h = h + lin(attn, w, lw, 'wo')
             x = rms_norm(h, w['mlp_norm'], cfg.rms_norm_eps)
-            h = h + self._mlp(w, x)
+            if lw is not None and 'w_gate' in w:
+                act = jax.nn.silu(lin(x, w, lw, 'w_gate').astype(jnp.float32))
+                act = act * lin(x, w, lw, 'w_up').astype(jnp.float32)
+                h = h + lin(act.astype(x.dtype), w, lw, 'w_down')
+            else:
+                h = h + self._mlp(w, x)
             return (h, k_cache, v_cache, layer + 1), None
 
+        xs = lp if lora is None else (lp, lora)
         (hidden, k_cache, v_cache, _), _ = jax.lax.scan(
-            layer_fn, (hidden, k_cache, v_cache, jnp.int32(0)), lp)
+            layer_fn, (hidden, k_cache, v_cache, jnp.int32(0)), xs)
         hidden = rms_norm(hidden, params['final_norm'], cfg.rms_norm_eps)
 
         lm_head = params.get('lm_head')

@@ -52,6 +52,7 @@ class SamplingParams:
     ignore_eos: bool = False
     logprobs: int = -1       # -1 disabled, else top-k logprobs to return
     response_format: Optional[dict] = None   # {'type': 'json_object'} guided decoding
+    adapter_name: Optional[str] = None       # S-LoRA adapter for this request
 
     @classmethod
     def from_gen_config(cls, gen_config: GenerationConfig, eos_token_ids: List[int],
@@ -82,6 +83,7 @@ class SamplingParams:
             ignore_eos=gen_config.ignore_eos,
             logprobs=gen_config.logprobs if gen_config.logprobs is not None else -1,
             response_format=gen_config.response_format,
+            adapter_name=getattr(gen_config, 'adapter_name', None),
         )
 
 
@@ -116,6 +118,7 @@ class SchedulerSequence:
         # multimodal embedding spans [(abs_offset, np [n, H])]; survive preemption
         # (re-prefill re-applies them at the same absolute positions)
         self.mm_spans: list = []
+        self.adapter_slot: int = 0             # S-LoRA slot (0 = no adapter)
 
     # -- token accounting -------------------------------------------------------------
     @property
