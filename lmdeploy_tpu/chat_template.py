@@ -38,7 +38,10 @@ class ChatTemplateConfig:
     capability: Optional[str] = None
 
     def chat_template(self, tokenizer=None):
-        if self.model_name and self.model_name in MODELS:
+        if self.model_name:
+            if self.model_name not in MODELS:
+                raise ValueError(f'unknown chat template {self.model_name!r}; '
+                                 f'available: {sorted(MODELS)}')
             tmpl = MODELS[self.model_name]()
         else:
             tmpl = HFChatTemplate(tokenizer) if tokenizer is not None else BaseChatTemplate()
@@ -270,6 +273,72 @@ class HFChatTemplate(BaseChatTemplate):
             return BaseChatTemplate.messages2prompt(self, messages, sequence_start)
 
 
+@register_template('llava-v1')
+class LlavaV1(Vicuna):
+    """llava-1.5 (vicuna wrapper; ``<image>`` markers stay inline).
+
+    Reference: model.py llava-v1 (``:286``)."""
+    meta_instruction = ("A chat between a curious human and an artificial "
+                        "intelligence assistant. The assistant gives helpful, "
+                        "detailed, and polite answers to the human's questions.")
+
+
+@register_template('llava-chatml')
+class LlavaChatML(ChatML):
+    """Reference: model.py llava-chatml (``:723``)."""
+    meta_instruction = 'Answer the questions.'
+
+
+@register_template('codellama')
+class CodeLlama(Llama2):
+    """Reference: model.py codellama (``:348``) — llama2 wrapping, no default
+    system prompt (completion/infilling callers set their own)."""
+    meta_instruction = None
+
+
+@register_template('chatglm')
+class ChatGLM(BaseChatTemplate):
+    """Reference: model.py chatglm (``:393``)."""
+    user = '<|user|>\n'
+    eoh = ''
+    assistant = '<|assistant|>\n'
+    eoa = ''
+    system = '<|system|>\n'
+    eosys = ''
+
+
+@register_template('cogvlm')
+class CogVLM(BaseChatTemplate):
+    """Reference: model.py cogvlm (``:200``)."""
+    user = 'Question: '
+    eoh = ' '
+    assistant = 'Answer:'
+    eoa = '</s>'
+
+
+@register_template('internvl-zh')
+class InternVLZh(BaseChatTemplate):
+    """Reference: model.py internvl-zh (``:469``)."""
+    user = '<human>: '
+    eoh = ' '
+    assistant = '<bot>: '
+    eoa = '</s>'
+
+
+@register_template('deepseek-vl')
+class DeepSeekVL(BaseChatTemplate):
+    """Reference: model.py deepseek-vl (``:500``)."""
+    meta_instruction = ('You are a helpful language and vision assistant. '
+                        'You are able to understand the visual content that '
+                        'the user provides, and assist the user with a '
+                        'variety of tasks using natural language.')
+    eosys = '\n\n'
+    user = 'User: '
+    eoh = '\n\n'
+    assistant = 'Assistant: '
+    eoa = '<\uff5cend\u2581of\u2581sentence\uff5c>'
+
+
 _NAME_HINTS = [
     ('llama-2', 'llama2'), ('llama2', 'llama2'),
     ('llama-3', 'llama3'), ('llama3', 'llama3'),
@@ -277,9 +346,14 @@ _NAME_HINTS = [
     ('internlm2', 'internlm2'), ('internlm3', 'internlm2'),
     ('gemma', 'gemma'),
     ('tinyllama', 'chatml'),
-    ('deepseek-r1', 'deepseek-r1'), ('deepseek', 'deepseek'),
+    ('deepseek-r1', 'deepseek-r1'), ('deepseek-vl', 'deepseek-vl'),
+    ('deepseek', 'deepseek'),
     ('mistral', 'mistral'), ('mixtral', 'mistral'),
     ('vicuna', 'vicuna'), ('baichuan2', 'baichuan2'), ('phi-3', 'phi-3'),
+    ('llava-v1.5', 'llava-v1'), ('llava', 'llava-v1'),
+    ('codellama', 'codellama'), ('code-llama', 'codellama'),
+    ('chatglm', 'chatglm'), ('glm-4', 'chatglm'),
+    ('cogvlm', 'cogvlm'), ('internvl', 'internvl-zh'),
 ]
 
 
