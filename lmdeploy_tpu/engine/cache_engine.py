@@ -51,8 +51,21 @@ class CacheEngine:
             z = jnp.zeros(shape, dtype)
             if sharding is not None:
                 z = jax.device_put(z, sharding)
+            if self.cache_config.quant_policy == QuantPolicy.KV_INT8:
+                # per-token scales ride with the pages as one pytree node
+                from ..ops.kv_quant import QuantKV
+                s = jnp.zeros(shape[:-1], jnp.float32)
+                if mesh is not None and cache_spec is not None:
+                    from jax.sharding import PartitionSpec
+                    s = jax.device_put(s, jax.NamedSharding(
+                        mesh, PartitionSpec(*cache_spec[:-1])))
+                return QuantKV(z, s)
             return z
 
+        if self.cache_config.quant_policy == QuantPolicy.KV_INT4:
+            raise NotImplementedError(
+                'quant_policy=8 (kv int4) is not implemented yet; use 4 (int8 '
+                'per-token scales) or 16 (fp8)')
         self.k_cache = alloc()
         self.v_cache = alloc()
 
@@ -72,8 +85,12 @@ class CacheEngine:
         if policy in (QuantPolicy.KV_INT8, QuantPolicy.KV_FP8):
             itemsize = 1
         padded_d = ((cfg.cache_head_dim + 127) // 128) * 128
-        return (2 * cfg.num_layers * self.cache_config.block_size *
-                cfg.num_key_value_heads * padded_d * itemsize)
+        per = (2 * cfg.num_layers * self.cache_config.block_size *
+               cfg.num_key_value_heads * padded_d * itemsize)
+        if policy == QuantPolicy.KV_INT8:   # + per-token f32 scales
+            per += (2 * cfg.num_layers * self.cache_config.block_size *
+                    cfg.num_key_value_heads * 4)
+        return per
 
     def _derive_num_blocks(self) -> int:
         """Free-HBM -> block count, after weights are resident (call post weight load)."""
@@ -108,6 +125,9 @@ class CacheEngine:
         padded_d = ((cfg.cache_head_dim + 127) // 128) * 128
         per_block = (2 * cfg.num_layers * self.cache_config.block_size *
                      cfg.num_key_value_heads * padded_d * itemsize)
+        if self.cache_config.quant_policy == QuantPolicy.KV_INT8:
+            per_block += (2 * cfg.num_layers * self.cache_config.block_size *
+                          cfg.num_key_value_heads * 4)
         num = max(budget // per_block, 16)
         return int(num)
 

@@ -589,7 +589,12 @@ class ModelAgent:
                 from ..parallel.mesh import make_llama_shardings
                 shardings = make_llama_shardings(self.model)
             from ..weight_loader import put_params
-            self.params = put_params(self._host_params, shardings, self.mesh)
+            host = dict(self._host_params)
+            lora = host.pop('lora', None)       # S-LoRA stacks: not in the
+            self.params = put_params(host, shardings, self.mesh)   # model spec
+            if lora is not None:
+                self.params['lora'] = jax.tree_util.tree_map(jax.device_put,
+                                                             lora)
             self._host_params = None
         cfg = self.model_config
         cc = self.cache_config
@@ -597,8 +602,17 @@ class ModelAgent:
                  self.cache_engine.num_blocks, cc.block_size,
                  self.cache_engine.padded_head_dim)
         dtype = self.cache_engine._cache_dtype()
-        self.cache_engine.k_cache = jnp.zeros(shape, dtype)
-        self.cache_engine.v_cache = jnp.zeros(shape, dtype)
+
+        def fresh_cache():
+            z = jnp.zeros(shape, dtype)
+            from ..messages import QuantPolicy
+            if cc.quant_policy == QuantPolicy.KV_INT8:
+                from ..ops.kv_quant import QuantKV
+                return QuantKV(z, jnp.zeros(shape[:-1], jnp.float32))
+            return z
+
+        self.cache_engine.k_cache = fresh_cache()
+        self.cache_engine.v_cache = fresh_cache()
         self.token_counts = jnp.zeros((self.max_batch + 1, cfg.vocab_size),
                                       jnp.int16)
         self.decode_state = make_initial_state(self.max_batch,
@@ -661,10 +675,8 @@ class ModelAgent:
         params_s = sds(self.params)
         cos_s = jax.ShapeDtypeStruct(self.rope_cos.shape, self.rope_cos.dtype)
         sin_s = jax.ShapeDtypeStruct(self.rope_sin.shape, self.rope_sin.dtype)
-        kc_s = jax.ShapeDtypeStruct(self.cache_engine.k_cache.shape,
-                                    self.cache_engine.k_cache.dtype)
-        vc_s = jax.ShapeDtypeStruct(self.cache_engine.v_cache.shape,
-                                    self.cache_engine.v_cache.dtype)
+        kc_s = sds(self.cache_engine.k_cache)   # handles QuantKV pytrees too
+        vc_s = sds(self.cache_engine.v_cache)
         state_s = sds(self.decode_state)
         for bsz in (batch_sizes or [self.max_batch]):
             B = bucketize(bsz, self.batch_buckets)

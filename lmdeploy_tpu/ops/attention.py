@@ -51,20 +51,37 @@ def fill_kv_cache(k_cache: jax.Array, v_cache: jax.Array, k_new: jax.Array,
     layout that conflicts with the attention kernel's, and it then keeps TWO copies
     of the multi-GB cache per step.)
     """
+    from .kv_quant import QuantKV, quantize_rows
+
     L, h, nb, bs, d = k_cache.shape
     if k_new.shape[-1] < d:       # cache head_dim is lane-padded; zero-fill the tail
         pad = [(0, 0)] * (k_new.ndim - 1) + [(0, d - k_new.shape[-1])]
         k_new = jnp.pad(k_new, pad)
         v_new = jnp.pad(v_new, pad)
-    k_flat = k_cache.reshape(L * h * nb * bs, d)
-    v_flat = v_cache.reshape(L * h * nb * bs, d)
     rows = ((layer * h + jnp.arange(h, dtype=jnp.int32))[:, None] * (nb * bs)
             + slot_mapping[None, :])                               # [Hkv, N]
     n = slot_mapping.shape[0]
-    k_upd = jnp.swapaxes(k_new, 0, 1).reshape(h * n, d).astype(k_cache.dtype)
-    v_upd = jnp.swapaxes(v_new, 0, 1).reshape(h * n, d).astype(v_cache.dtype)
-    k_flat = k_flat.at[rows.reshape(-1)].set(k_upd)
-    v_flat = v_flat.at[rows.reshape(-1)].set(v_upd)
+    k_upd = jnp.swapaxes(k_new, 0, 1).reshape(h * n, d)
+    v_upd = jnp.swapaxes(v_new, 0, 1).reshape(h * n, d)
+
+    if isinstance(k_cache, QuantKV):
+        # per-token int8: quantize each new row online, scatter data + scale
+        k_upd, k_sc = quantize_rows(k_upd)
+        v_upd, v_sc = quantize_rows(v_upd)
+        flat_rows = rows.reshape(-1)
+
+        def upd(cache, q_rows, scales):
+            data = cache.data.reshape(L * h * nb * bs, d).at[flat_rows].set(q_rows)
+            scale = cache.scale.reshape(L * h * nb * bs).at[flat_rows].set(scales)
+            return QuantKV(data.reshape(L, h, nb, bs, d),
+                           scale.reshape(L, h, nb, bs))
+
+        return upd(k_cache, k_upd, k_sc), upd(v_cache, v_upd, v_sc)
+
+    k_flat = k_cache.reshape(L * h * nb * bs, d)
+    v_flat = v_cache.reshape(L * h * nb * bs, d)
+    k_flat = k_flat.at[rows.reshape(-1)].set(k_upd.astype(k_cache.dtype))
+    v_flat = v_flat.at[rows.reshape(-1)].set(v_upd.astype(v_cache.dtype))
     return k_flat.reshape(L, h, nb, bs, d), v_flat.reshape(L, h, nb, bs, d)
 
 
@@ -78,10 +95,16 @@ def paged_attention_reference(
     scale: float,
     logit_softcap: Optional[float] = None,
     window_size: Optional[int] = None,
+    k_scale: Optional[jax.Array] = None,   # [Hkv, NB, BS] per-token int8 scales
+    v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Attention of chunk queries against the paged cache (which already contains the
     chunk's own K/V — call fill_kv_cache first).  Pure-XLA reference path.
     k_cache/v_cache here are one layer's [Hkv, NB, BS, D].
+
+    With ``k_scale/v_scale`` the cache pages are per-token int8; scales are
+    gathered alongside and dequantization happens on the gathered rows only
+    (never on the full cache).
 
     Query i of row b has absolute position ``history_lens[b] + i`` and attends to all
     cache positions ``j <= pos`` (causal), optionally windowed.  Returns [B, T, Hq, D].
@@ -95,6 +118,11 @@ def paged_attention_reference(
     # gather KV: [Hkv, B, W, bs, Dp] -> [Hkv, B, S, D] (drop lane padding if any)
     k = k_cache[:, block_tables].reshape(Hkv, B, S, -1)[..., :D]
     v = v_cache[:, block_tables].reshape(Hkv, B, S, -1)[..., :D]
+    if k_scale is not None:
+        k = k.astype(jnp.float32) * k_scale[:, block_tables].reshape(
+            Hkv, B, S)[..., None]
+        v = v.astype(jnp.float32) * v_scale[:, block_tables].reshape(
+            Hkv, B, S)[..., None]
 
     qg = q.reshape(B, T, Hkv, G, D)
     scores = jnp.einsum('bthgd,hbsd->bhgts', qg.astype(jnp.float32),
@@ -127,7 +155,27 @@ def paged_attention(q, k_cache, v_cache, block_tables, history_lens, q_lens, sca
     * otherwise (chunked continuation, prefix-cache hits, CPU tests) -> XLA reference
       over a dynamic layer slice
     """
+    from .kv_quant import QuantKV
+
     T = q.shape[1]
+    if isinstance(k_cache, QuantKV):
+        # per-token int8 cache: fresh prefill still takes the flash kernel (it
+        # attends over the chunk's raw K/V, untouched cache); every cached path
+        # uses the gather+dequant reference (decode-kernel scale DMA is a later
+        # optimization).
+        if (_on_tpu() and fresh_prefill and chunk_kv is not None
+                and logit_softcap is None and window_size is None and T >= 128):
+            return _flash_prefill(q, chunk_kv[0], chunk_kv[1], scale)
+        k_l = jax.tree_util.tree_map(
+            lambda x: jax.lax.dynamic_index_in_dim(x, layer, 0, keepdims=False),
+            k_cache)
+        v_l = jax.tree_util.tree_map(
+            lambda x: jax.lax.dynamic_index_in_dim(x, layer, 0, keepdims=False),
+            v_cache)
+        return paged_attention_reference(
+            q, k_l.data, v_l.data, block_tables, history_lens, q_lens, scale,
+            logit_softcap, window_size, k_scale=k_l.scale, v_scale=v_l.scale)
+
     if _on_tpu() and window_size is None:
         if T == 1:
             from .pallas.paged_decode import paged_decode_attention
