@@ -67,7 +67,8 @@ class Engine:
             self.spec = SpecExtension(
                 self.model_agent, speculative_config.model,
                 speculative_config.num_speculative_tokens,
-                draft_empty_init=self.configs.misc.empty_init)
+                draft_empty_init=self.configs.misc.empty_init,
+                method=speculative_config.method or 'draft_model')
         from ..metrics import MetricsAggregator
         self.metrics = MetricsAggregator()
         self._requests: Dict[int, _ActiveRequest] = {}

@@ -38,15 +38,26 @@ class SpecExtension:
     """Attaches a draft model + caches + the jitted spec step to a ModelAgent."""
 
     def __init__(self, agent, draft_model_path: str, num_speculative_tokens: int = 4,
-                 draft_empty_init: bool = False):
+                 draft_empty_init: bool = False, method: str = 'draft_model'):
         import jax
         import jax.numpy as jnp
 
         self.agent = agent
         self.k = num_speculative_tokens
+        self.method = method
         self.draft_config = ModelConfig.from_pretrained(draft_model_path,
                                                         dtype=agent.model_config.dtype)
-        self.draft_model = build_model(self.draft_config)
+        if method == 'eagle':
+            from ..models.eagle import EagleHead
+            self.draft_model = EagleHead(self.draft_config)
+            # feature buffer: last accepted pre-norm target feature per row.
+            # Fresh rows start at zero — that only lowers the first step's
+            # acceptance rate; rejection sampling keeps outputs exact.
+            self.hidden = jnp.zeros(
+                (agent.max_batch, agent.model_config.hidden_size),
+                agent.model_config.jnp_dtype())
+        else:
+            self.draft_model = build_model(self.draft_config)
         if draft_empty_init:
             self.draft_params = self.draft_model.init_params(jax.random.PRNGKey(1))
         else:
@@ -54,9 +65,12 @@ class SpecExtension:
             self.draft_params = load_model_params(self.draft_model, draft_model_path)
         dc = self.draft_config
         padded_d = ((dc.head_dim + 127) // 128) * 128
-        shape = (dc.num_layers, dc.num_key_value_heads, agent.num_blocks,
+        n_draft_layers = 1 if method == 'eagle' else dc.num_layers
+        shape = (n_draft_layers, dc.num_key_value_heads, agent.num_blocks,
                  agent.cache_config.block_size, padded_d)
         dtype = agent.cache_engine.k_cache.dtype
+        if dtype == jnp.int8:    # quantized target cache: draft stays unquantized
+            dtype = agent.model_config.jnp_dtype()
         self.draft_k = jnp.zeros(shape, dtype)
         self.draft_v = jnp.zeros(shape, dtype)
         cos, sin = make_rope_table(dc.rope_dim, agent.max_model_len, dc.rope_theta,
@@ -66,6 +80,28 @@ class SpecExtension:
         self._fns = {}
 
     # -- jitted spec step ---------------------------------------------------------------
+    @staticmethod
+    def _masked_dist(logits, st, counts, greedy_onehot=True):
+        """Per-row sampling distribution matching ops/sampling semantics."""
+        import jax
+        import jax.numpy as jnp
+        si = SamplingInputs(
+            temperature=st['temperature'], top_k=st['top_k'], top_p=st['top_p'],
+            min_p=st['min_p'], repetition_penalty=st['repetition_penalty'],
+            frequency_penalty=st['frequency_penalty'],
+            presence_penalty=st['presence_penalty'], do_sample=st['do_sample'],
+            seeds=st['seed'])
+        logits = apply_penalties(logits.astype(jnp.float32), counts, si)
+        scaled = logits / si.temperature[:, None]
+        keep = _top_k_p_min_p_mask(scaled, si)
+        masked = jnp.where(keep, scaled, -jnp.inf)
+        dist = jax.nn.softmax(masked, axis=-1)
+        if greedy_onehot:
+            onehot = jax.nn.one_hot(jnp.argmax(logits, -1), logits.shape[-1],
+                                    dtype=jnp.float32)
+            dist = jnp.where(si.do_sample[:, None], dist, onehot)
+        return dist
+
     def _get_fn(self, B: int):
         import jax
         import jax.numpy as jnp
@@ -82,24 +118,7 @@ class SpecExtension:
         row_fields = [f.name for f in dataclasses.fields(DecodeState)
                       if f.name != 'token_counts']
 
-        def masked_dist(logits, st, counts, greedy_onehot=True):
-            """Per-row sampling distribution matching ops/sampling semantics."""
-            si = SamplingInputs(
-                temperature=st['temperature'], top_k=st['top_k'], top_p=st['top_p'],
-                min_p=st['min_p'], repetition_penalty=st['repetition_penalty'],
-                frequency_penalty=st['frequency_penalty'],
-                presence_penalty=st['presence_penalty'], do_sample=st['do_sample'],
-                seeds=st['seed'])
-            logits = apply_penalties(logits.astype(jnp.float32), counts, si)
-            scaled = logits / si.temperature[:, None]
-            keep = _top_k_p_min_p_mask(scaled, si)
-            masked = jnp.where(keep, scaled, -jnp.inf)
-            dist = jax.nn.softmax(masked, axis=-1)
-            if greedy_onehot:
-                onehot = jax.nn.one_hot(jnp.argmax(logits, -1), logits.shape[-1],
-                                        dtype=jnp.float32)
-                dist = jnp.where(si.do_sample[:, None], dist, onehot)
-            return dist
+        masked_dist = self._masked_dist
 
         def run(params, dparams, rope_cos, rope_sin, dcos, dsin,
                 kc, vc, dkc, dvc, state):
@@ -178,6 +197,108 @@ class SpecExtension:
         self._fns[B] = fn
         return fn
 
+    def _get_fn_eagle(self, B: int):
+        """EAGLE spec step: feature-conditioned 1-layer head instead of a full
+        draft model.  Same accept/resample machinery; additionally threads the
+        per-row conditioning feature — initialized from the previous verify's
+        pre-norm hidden at the last accepted position."""
+        import jax
+        import jax.numpy as jnp
+
+        key = ('eagle', B)
+        fn = self._fns.get(key)
+        if fn is not None:
+            return fn
+        agent = self.agent
+        target = agent.model
+        eagle = self.draft_model
+        K = self.k
+        GOLDEN = np.uint32(0x9E3779B9)
+        from .decode_state import DecodeState
+        row_fields = [f.name for f in dataclasses.fields(DecodeState)
+                      if f.name != 'token_counts']
+        masked_dist = self._masked_dist
+
+        def run(params, dparams, rope_cos, rope_sin, kc, vc, dkc, dvc, state,
+                hidden_full):
+            sub = {n: getattr(state, n)[:B] for n in row_fields}
+            counts = state.token_counts[:B]
+            act = sub['active']
+            q1 = act.astype(jnp.int32)
+
+            def draft_step(carry, i):
+                dkc, dvc, tok, dpos, h_cond = carry
+                logits, h_new, dkc, dvc = eagle.step(
+                    dparams, params, h_cond, tok,
+                    jnp.clip(dpos, 0, agent.max_model_len - 1),
+                    dkc, dvc, sub['tables'], q1, rope_cos, rope_sin,
+                    agent.max_model_len)
+                dist = masked_dist(logits, sub, counts)
+                seeds = sub['seed'] + (sub['step_no'].astype(jnp.uint32)
+                                       + 1 + i.astype(jnp.uint32)) * GOLDEN
+                toks = jax.vmap(lambda s, p: jax.random.choice(
+                    jax.random.key(s), logits.shape[-1], p=p))(seeds, dist)
+                toks = toks.astype(jnp.int32)
+                return (dkc, dvc, toks, dpos + q1, h_new), (toks, dist)
+
+            (dkc, dvc, _, _, _), (draft_toks, draft_dists) = jax.lax.scan(
+                draft_step,
+                (dkc, dvc, sub['token'], sub['position'], hidden_full[:B]),
+                jnp.arange(K))
+            draft_toks = jnp.swapaxes(draft_toks, 0, 1)
+            draft_dists = jnp.swapaxes(draft_dists, 0, 1)
+
+            chunk = jnp.concatenate([sub['token'][:, None], draft_toks], axis=1)
+            positions = sub['position'][:, None] + \
+                jnp.arange(K + 1, dtype=jnp.int32)[None, :]
+            meta = AttnMeta(block_tables=sub['tables'],
+                            history_lens=sub['position'],
+                            q_lens=q1 * (K + 1))
+            logits_all, kc, vc, hidden_all = target.forward(
+                params, chunk, jnp.clip(positions, 0, agent.max_model_len - 1),
+                kc, vc, meta, rope_cos, rope_sin, return_all_logits=True,
+                return_hidden=True)
+            tgt_dists = jax.vmap(
+                lambda lg: masked_dist(lg, sub, counts),
+                in_axes=1, out_axes=1)(logits_all)
+
+            step_key = jax.random.fold_in(
+                jax.random.key(0),
+                jnp.sum(sub['seed'].astype(jnp.uint32))
+                + jnp.sum(sub['step_no'].astype(jnp.uint32)))
+            out_toks, n_emitted = reject_sample(tgt_dists, draft_dists,
+                                                draft_toks, step_key)
+            n_emitted = jnp.where(act, n_emitted, 0)
+
+            last_idx = jnp.clip(n_emitted - 1, 0, K)
+            new_token = jnp.take_along_axis(out_toks, last_idx[:, None],
+                                            axis=1)[:, 0]
+            new_token = jnp.where(act, new_token, sub['token'])
+            # conditioning feature for the NEXT round: target hidden at the
+            # last position whose NEXT token is known = accepted count - 1
+            new_h = jnp.take_along_axis(
+                hidden_all, last_idx[:, None, None], axis=1)[:, 0]
+            hidden_full = hidden_full.at[:B].set(
+                jnp.where(act[:, None], new_h, hidden_full[:B]))
+            counts_upd = state.token_counts
+            emit_mask = (jnp.arange(K + 1, dtype=jnp.int32)[None, :]
+                         < n_emitted[:, None])
+            rows = jnp.broadcast_to(jnp.arange(B)[:, None], (B, K + 1))
+            counts_upd = counts_upd.at[rows.reshape(-1),
+                                       out_toks.reshape(-1)].add(
+                emit_mask.reshape(-1).astype(counts_upd.dtype))
+            sub = dict(sub, token=new_token,
+                       position=sub['position'] + n_emitted,
+                       step_no=sub['step_no'] + n_emitted)
+            state = dataclasses.replace(
+                state, token_counts=counts_upd,
+                **{n: getattr(state, n).at[:B].set(sub[n]) for n in row_fields})
+            return kc, vc, dkc, dvc, state, hidden_full, out_toks, n_emitted
+
+        fn = jax.jit(run, donate_argnums=(4, 5, 6, 7, 8, 9))
+        self._fns[key] = fn
+        return fn
+
     def spec_decode(self, num_rows: int) -> Tuple[np.ndarray, np.ndarray]:
         """Run one speculative step over rows [0, num_rows).
 
@@ -187,13 +308,21 @@ class SpecExtension:
         from ..config import bucketize
         agent = self.agent
         B = bucketize(num_rows, agent.batch_buckets)
-        fn = self._get_fn(B)
-        (kc, vc, self.draft_k, self.draft_v, agent.decode_state, out_toks,
-         n_emitted) = fn(
-            agent.params, self.draft_params, agent.rope_cos, agent.rope_sin,
-            self.draft_cos, self.draft_sin,
-            agent.cache_engine.k_cache, agent.cache_engine.v_cache,
-            self.draft_k, self.draft_v, agent.decode_state)
+        if self.method == 'eagle':
+            fn = self._get_fn_eagle(B)
+            (kc, vc, self.draft_k, self.draft_v, agent.decode_state,
+             self.hidden, out_toks, n_emitted) = fn(
+                agent.params, self.draft_params, agent.rope_cos, agent.rope_sin,
+                agent.cache_engine.k_cache, agent.cache_engine.v_cache,
+                self.draft_k, self.draft_v, agent.decode_state, self.hidden)
+        else:
+            fn = self._get_fn(B)
+            (kc, vc, self.draft_k, self.draft_v, agent.decode_state, out_toks,
+             n_emitted) = fn(
+                agent.params, self.draft_params, agent.rope_cos, agent.rope_sin,
+                self.draft_cos, self.draft_sin,
+                agent.cache_engine.k_cache, agent.cache_engine.v_cache,
+                self.draft_k, self.draft_v, agent.decode_state)
         agent.cache_engine.swap_caches(kc, vc)
         agent.token_counts = agent.decode_state.token_counts
         return np.asarray(out_toks), np.asarray(n_emitted)

@@ -132,6 +132,8 @@ class SpeculativeConfig:
     method 'draft_model': a smaller checkpoint proposes num_speculative_tokens
     per step; the target verifies them in one forward (exact output distribution
     via rejection sampling).
+    method 'eagle': a 1-layer EAGLE head conditioned on the target's pre-norm
+    features proposes instead (models/eagle.py); same exactness guarantee.
     """
 
     method: str = 'draft_model'

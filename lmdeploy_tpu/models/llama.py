@@ -249,6 +249,7 @@ class LlamaModel:
                 input_embeds: Optional[jax.Array] = None,
                 embeds_mask: Optional[jax.Array] = None,
                 adapter_ids: Optional[jax.Array] = None,
+                return_hidden: bool = False,
                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """One forward step.
 
@@ -339,6 +340,7 @@ class LlamaModel:
         xs = lp if lora is None else (lp, lora)
         (hidden, k_cache, v_cache, _), _ = jax.lax.scan(
             layer_fn, (hidden, k_cache, v_cache, jnp.int32(0)), xs)
+        hidden_prenorm = hidden        # EAGLE conditions on pre-final-norm features
         hidden = rms_norm(hidden, params['final_norm'], cfg.rms_norm_eps)
 
         lm_head = params.get('lm_head')
@@ -352,6 +354,8 @@ class LlamaModel:
             return logits
 
         if return_all_logits:
+            if return_hidden:
+                return head(hidden), k_cache, v_cache, hidden_prenorm
             return head(hidden), k_cache, v_cache
         last_idx = jnp.maximum(meta.q_lens - 1, 0)
         last_hidden = jnp.take_along_axis(

@@ -53,6 +53,7 @@ class AsyncEngine:
                  chat_template_config: Optional[ChatTemplateConfig] = None,
                  max_log_len: Optional[int] = None,
                  mesh=None,
+                 speculative_config=None,
                  **kwargs):
         self.model_path = model_path
         self.backend_config = backend_config or TpuEngineConfig()
@@ -61,7 +62,8 @@ class AsyncEngine:
                                                self.tokenizer)
         self.engine = Engine.from_pretrained(model_path,
                                              engine_config=self.backend_config,
-                                             mesh=mesh, tokenizer=self.tokenizer)
+                                             mesh=mesh, tokenizer=self.tokenizer,
+                                             speculative_config=speculative_config)
         self.instance = self.engine.create_instance()
         self._session_counter = 0
         self._session_locks: Dict[int, asyncio.Lock] = {}

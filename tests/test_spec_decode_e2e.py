@@ -107,3 +107,98 @@ def test_spec_concurrent_batch(tiny_model_dir):
     finally:
         spec.close()
     assert list(got) == expect
+
+
+@pytest.fixture(scope='module')
+def eagle_dir(tmp_path_factory):
+    """Random EAGLE head checkpoint matching the tiny llama geometry."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    path = tmp_path_factory.mktemp('tiny_eagle')
+    cfg = {'architectures': ['LlamaForCausalLM'], 'model_type': 'llama',
+           'hidden_size': 64, 'intermediate_size': 128,
+           'num_hidden_layers': 1, 'num_attention_heads': 4,
+           'num_key_value_heads': 2, 'head_dim': 16, 'vocab_size': 256,
+           'max_position_embeddings': 512, 'rms_norm_eps': 1e-6,
+           'rope_theta': 10000.0, 'torch_dtype': 'float32'}
+    with open(path / 'config.json', 'w') as f:
+        json.dump(cfg, f)
+    rng = np.random.RandomState(21)
+    H, I, nh, nkv, hd = 64, 128, 4, 2, 16
+    t = {
+        'fc.weight': rng.randn(H, 2 * H) * 0.05,
+        'layers.0.self_attn.q_proj.weight': rng.randn(nh * hd, H) * 0.05,
+        'layers.0.self_attn.k_proj.weight': rng.randn(nkv * hd, H) * 0.05,
+        'layers.0.self_attn.v_proj.weight': rng.randn(nkv * hd, H) * 0.05,
+        'layers.0.self_attn.o_proj.weight': rng.randn(H, nh * hd) * 0.05,
+        'layers.0.post_attention_layernorm.weight': np.ones(H),
+        'layers.0.mlp.gate_proj.weight': rng.randn(I, H) * 0.05,
+        'layers.0.mlp.up_proj.weight': rng.randn(I, H) * 0.05,
+        'layers.0.mlp.down_proj.weight': rng.randn(H, I) * 0.05,
+    }
+    t = {k: np.ascontiguousarray(v.astype(np.float32)) for k, v in t.items()}
+    save_file(t, str(path / 'model.safetensors'))
+    return str(path)
+
+
+def test_eagle_greedy_matches_plain(tiny_model_dir, eagle_dir):
+    """A RANDOM eagle head proposes garbage; rejection sampling must still
+    reproduce the plain greedy output token-for-token."""
+    from lmdeploy_tpu.messages import SpeculativeConfig
+
+    prompt = [1, 17, 42, 99, 7, 23, 55, 12]
+    plain = _engine(tiny_model_dir)
+    try:
+        expect = _gen(plain, 1, prompt, 12)
+    finally:
+        plain.close()
+
+    spec = _engine(tiny_model_dir,
+                   SpeculativeConfig(method='eagle', model=eagle_dir,
+                                     num_speculative_tokens=3))
+    try:
+        got = _gen(spec, 1, prompt, 12)
+        assert spec.spec.method == 'eagle'
+        assert spec.spec.draft_k.shape[0] == 1        # one draft layer
+    finally:
+        spec.close()
+    assert got == expect, (got, expect)
+
+
+def test_eagle_concurrent_batch(tiny_model_dir, eagle_dir):
+    from lmdeploy_tpu.messages import GenerationConfig, SpeculativeConfig
+
+    rng = np.random.RandomState(8)
+    prompts = [rng.randint(3, 250, size=n).tolist() for n in (5, 11)]
+    plain = _engine(tiny_model_dir)
+    try:
+        expect = [_gen(plain, 40 + i, p, 6) for i, p in enumerate(prompts)]
+    finally:
+        plain.close()
+
+    spec = _engine(tiny_model_dir,
+                   SpeculativeConfig(method='eagle', model=eagle_dir,
+                                     num_speculative_tokens=2))
+
+    async def run():
+        inst = spec.create_instance()
+
+        async def one(sid, p):
+            from lmdeploy_tpu.messages import GenerationConfig as GC
+            out = await inst.async_infer(sid, p, GC(max_new_tokens=6,
+                                                    ignore_eos=True))
+            await inst.async_end(sid)
+            return out.token_ids
+
+        return await asyncio.gather(*[one(50 + i, p)
+                                      for i, p in enumerate(prompts)])
+
+    loop = asyncio.new_event_loop()
+    try:
+        got = loop.run_until_complete(run())
+    finally:
+        loop.close()
+        spec.close()
+    assert [list(g) for g in got] == [list(e) for e in expect]
