@@ -135,3 +135,49 @@ class CacheEngine:
         """Adopt updated (donated-through) cache arrays after a step."""
         self.k_cache = k_cache
         self.v_cache = v_cache
+
+    # -- host swap (reference: cache_engine swap_in/swap_out + cpu blocks) -------------
+    def ensure_host_pool(self, num_cpu_blocks: int):
+        """Allocate host-RAM KV block storage (numpy), lazily on first swap."""
+        import jax
+        if getattr(self, 'host_k', None) is not None or num_cpu_blocks <= 0:
+            return
+
+        def host_like(dev):
+            return jax.tree_util.tree_map(
+                lambda x: np.zeros((x.shape[0], x.shape[1], num_cpu_blocks)
+                                   + x.shape[3:], x.dtype), dev)
+
+        self.host_k = host_like(self.k_cache)
+        self.host_v = host_like(self.v_cache)
+
+    def swap_out(self, pairs):
+        """Copy device blocks to host slots: pairs = [(dev_id, host_id), ...]."""
+        import jax
+        dev_ids = [p[0] for p in pairs]
+        host_ids = [p[1] for p in pairs]
+
+        def copy(dev, host):
+            def leaf(d, h):
+                h[:, :, host_ids] = np.asarray(d[:, :, dev_ids])
+                return h
+            return jax.tree_util.tree_map(leaf, dev, host)
+
+        self.host_k = copy(self.k_cache, self.host_k)
+        self.host_v = copy(self.v_cache, self.host_v)
+
+    def swap_in(self, pairs):
+        """Copy host slots back into device blocks: pairs = [(host_id, dev_id)]."""
+        import jax
+        import jax.numpy as jnp
+        host_ids = [p[0] for p in pairs]
+        dev_ids = np.asarray([p[1] for p in pairs])
+
+        def copy(host, dev):
+            def leaf(h, d):
+                return d.at[:, :, jnp.asarray(dev_ids)].set(
+                    jnp.asarray(h[:, :, host_ids]))
+            return jax.tree_util.tree_map(leaf, host, dev)
+
+        self.k_cache = copy(self.host_k, self.k_cache)
+        self.v_cache = copy(self.host_v, self.v_cache)

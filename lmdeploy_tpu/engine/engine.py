@@ -218,6 +218,23 @@ class Engine:
             trace = os.environ.get('LMDEPLOY_TPU_TRACE_STEPS') == '1'
             t_sched = time.perf_counter()
             out = self.scheduler.schedule()
+            if out.is_empty and self.scheduler.waiting:
+                # finished-but-undrained sequences may still pin blocks; release
+                # them and retry before concluding the head request cannot fit
+                self._cleanup_stopped()
+                out2 = self.scheduler.schedule()
+                out2.swap_out = out.swap_out + out2.swap_out
+                out2.swap_in = out.swap_in + out2.swap_in
+                out = out2
+            # apply host<->device KV swaps BEFORE the step (and even when the
+            # step itself is empty — swap-outs from preemption must land)
+            if out.swap_out or out.swap_in:
+                ce = self.model_agent.cache_engine
+                ce.ensure_host_pool(self.configs.cache.num_cpu_blocks)
+                if out.swap_out:
+                    ce.swap_out(out.swap_out)
+                if out.swap_in:
+                    ce.swap_in(out.swap_in)
             if out.is_empty:
                 # forward-progress invariant (TurboMind engine.cc:611): if nothing can
                 # run and nothing is running, fail the head-of-line request with OOM
@@ -268,6 +285,22 @@ class Engine:
                 raise
             self._cleanup_stopped()
 
+    def _apply_pending_swaps(self):
+        """Drain swap ops queued by preemptions that happened after schedule()
+        (capacity extension) and apply them before any step touches the cache."""
+        out_ops = getattr(self.scheduler, '_swap_out_ops', None)
+        in_ops = getattr(self.scheduler, '_swap_in_ops', None)
+        if not out_ops and not in_ops:
+            return
+        ce = self.model_agent.cache_engine
+        ce.ensure_host_pool(self.configs.cache.num_cpu_blocks)
+        if out_ops:
+            ce.swap_out(list(out_ops))
+            out_ops.clear()
+        if in_ops:
+            ce.swap_in(list(in_ops))
+            in_ops.clear()
+
     async def _decode_run(self, seqs, loop):
         """Multi-step device decode run (see engine/decode_state.py).
 
@@ -304,6 +337,7 @@ class Engine:
                 continue
             if self.scheduler.extend_decode_capacity(seq, k, exclude=survivors):
                 survivors.append(seq)
+        self._apply_pending_swaps()   # victims' blocks may be reused this step
         # deactivate rows of anything preempted/stopped but still holding a slot
         inactive_slots = [
             s.batch_slot for s in self.scheduler.seq_manager.all_sequences()
@@ -352,6 +386,7 @@ class Engine:
                 continue
             if self.scheduler.extend_decode_capacity(seq, k1, exclude=survivors):
                 survivors.append(seq)
+        self._apply_pending_swaps()
         inactive = [s.batch_slot for s in self.scheduler.seq_manager.all_sequences()
                     if s.batch_slot >= 0 and s.status != MessageStatus.RUNNING]
         if inactive:

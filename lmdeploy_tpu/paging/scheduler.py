@@ -37,6 +37,10 @@ class SchedulerOutput:
     is_prefill: bool
     prefill_chunks: List[PrefillChunk] = field(default_factory=list)
     decode_seqs: List[SchedulerSequence] = field(default_factory=list)
+    # host<->device KV block copies the engine must apply around this step
+    # (reference: blocks_to_swap_out / blocks_to_swap_in)
+    swap_out: List[tuple] = field(default_factory=list)   # (dev_id, host_id)
+    swap_in: List[tuple] = field(default_factory=list)    # (host_id, dev_id)
 
     @property
     def is_empty(self) -> bool:
@@ -70,6 +74,11 @@ class Scheduler:
         self.seq_manager = SequenceManager(cache_config.block_size)
         self._step_count = 0
         self.num_preemptions = 0
+        # host KV pool: preemption swaps blocks to host RAM instead of
+        # recomputing when cpu blocks are configured (reference: swap eviction)
+        self.host_pool: List[int] = list(range(cache_config.num_cpu_blocks))
+        self._swap_out_ops: List[tuple] = []
+        self._swap_in_ops: List[tuple] = []
 
     # -- session CRUD ------------------------------------------------------------------
     def add_session(self, session_id: int):
@@ -92,6 +101,9 @@ class Scheduler:
             self.block_trie.release_seq(seq)
         else:
             self.block_manager.free_seq(seq)
+        if getattr(seq, 'host_blocks', None):
+            self.host_pool.extend(seq.host_blocks)
+            seq.host_blocks = []
         seq.status = MessageStatus.ENDED
         seq.logical_blocks = []
 
@@ -134,17 +146,33 @@ class Scheduler:
         self._step_count += 1
         if self.waiting:
             out = self._schedule_prefill()
-            if not out.is_empty:
-                return out
-        return self._schedule_decoding()
+            if not out.is_empty or self._swap_out_ops or self._swap_in_ops:
+                return self._attach_swaps(out)
+        return self._attach_swaps(self._schedule_decoding())
+
+    def _attach_swaps(self, out: SchedulerOutput) -> SchedulerOutput:
+        out.swap_out, self._swap_out_ops = self._swap_out_ops, []
+        out.swap_in, self._swap_in_ops = self._swap_in_ops, []
+        return out
 
     def _schedule_prefill(self) -> SchedulerOutput:
+        out = self._schedule_prefill_pass(self.waiting)
+        if out.is_empty and not self.running and len(self.waiting) > 1:
+            # head-of-line livelock break: the FCFS head cannot fit while other
+            # WAITING seqs (e.g. mid-chunked-prefill, still holding blocks) could
+            # finish and release space.  Admit whatever fits, bypassing the head
+            # — only in this nothing-else-would-run state, so FCFS is preserved
+            # in the normal case.
+            out = self._schedule_prefill_pass(self.waiting[1:])
+        return out
+
+    def _schedule_prefill_pass(self, candidates) -> SchedulerOutput:
         token_budget = self.scheduler_config.max_prefill_token_num
         max_batch = self.scheduler_config.max_prefill_batch
         running_count = len(self.running)
         chunks: List[PrefillChunk] = []
         import time as _time
-        for seq in self.waiting:
+        for seq in candidates:
             if len(chunks) >= max_batch or token_budget <= 0:
                 break
             if running_count + len(chunks) >= self.scheduler_config.max_batch_size:
@@ -154,6 +182,16 @@ class Scheduler:
                 # multimodal prompts repeat one placeholder id for every image,
                 # so token-hash prefix matching would alias different images
                 self.block_trie.match_prefix(seq)
+            if getattr(seq, 'host_blocks', None):
+                # swapped-out seq: re-allocate device blocks, copy KV back
+                if not self.block_manager.allocate_for_seq(seq, num_new_tokens=1):
+                    if not self._try_preempt_for(seq, 1):
+                        break
+                self._swap_in_ops.extend(
+                    zip(seq.host_blocks,
+                        seq.logical_blocks[:len(seq.host_blocks)]))
+                self.host_pool.extend(seq.host_blocks)
+                seq.host_blocks = []
             num_new = min(seq.num_uncomputed, token_budget)
             if num_new <= 0:
                 continue
@@ -227,10 +265,27 @@ class Scheduler:
 
     def _preempt(self, seq: SchedulerSequence):
         self.num_preemptions += 1
+        # resumed sequences get DIFFERENT physical blocks; invalidate the
+        # device-table sync marker (it compares lengths, which may match)
+        seq._synced_blocks = -1
+        # swap eviction: park the victim's KV blocks in host RAM; resume is a
+        # cheap copy-back instead of a full re-prefill.  Prefix-cached blocks
+        # are shared (ref-counted) so swap applies only without the trie.
+        n = len(seq.logical_blocks)
+        if (self.block_trie is None and len(self.host_pool) >= n > 0
+                and not getattr(seq, 'host_blocks', None)):
+            host_ids = [self.host_pool.pop() for _ in range(n)]
+            self._swap_out_ops.extend(zip(seq.logical_blocks, host_ids))
+            seq.host_blocks = host_ids
+            self.block_manager.free_seq(seq)
+            seq.logical_blocks = []
+            seq.status = MessageStatus.WAITING
+            return
         if self.block_trie is not None:
             self.block_trie.release_seq(seq)
         else:
             self.block_manager.free_seq(seq)
+        seq.host_blocks = []
         seq.reset_computed()
         seq.status = MessageStatus.WAITING
 

@@ -119,6 +119,7 @@ class SchedulerSequence:
         # (re-prefill re-applies them at the same absolute positions)
         self.mm_spans: list = []
         self.adapter_slot: int = 0             # S-LoRA slot (0 = no adapter)
+        self.host_blocks: list = []            # swapped-out KV block host slots
 
     # -- token accounting -------------------------------------------------------------
     @property
