@@ -69,6 +69,8 @@ class ModelConfig:
     first_k_dense_replace: int = 0
     routed_scaling_factor: float = 1.0
     scoring_func: str = 'softmax'
+    n_group: int = 0
+    topk_group: int = 0
     # misc
     hf_config: Optional[Dict[str, Any]] = None
     quantization_config: Optional[Dict[str, Any]] = None
@@ -167,6 +169,8 @@ class ModelConfig:
             num_shared_experts=cfg.get('n_shared_experts', 0) or 0,
             routed_scaling_factor=cfg.get('routed_scaling_factor', 1.0),
             scoring_func=cfg.get('scoring_func', 'softmax'),
+            n_group=cfg.get('n_group', 0) or 0,
+            topk_group=cfg.get('topk_group', 0) or 0,
         )
 
     @classmethod

@@ -281,11 +281,29 @@ class DeepseekV2Model(LlamaModel):
         logits = jnp.dot(xf, w['router'], preferred_element_type=jnp.float32)
         if cfg.scoring_func == 'sigmoid':                        # v3
             scores = jax.nn.sigmoid(logits)
-            _, top_idx = jax.lax.top_k(scores + w['router_bias'][None, :], k)
-            top_w = jnp.take_along_axis(scores, top_idx, axis=-1)
+            choice = scores + w['router_bias'][None, :]
         else:                                                    # v2 softmax
             scores = jax.nn.softmax(logits, axis=-1)
-            top_w, top_idx = jax.lax.top_k(scores, k)
+            choice = scores
+        # group-limited routing: score groups (v3: sum of top-2 per group,
+        # v2: group max), keep topk_group groups, mask the rest out of the
+        # expert top-k (reference: deepseek_v2.py n_group/topk_group)
+        ng, tg = cfg.n_group, cfg.topk_group
+        if ng > 1 and 0 < tg < ng:
+            gsz = E // ng
+            grouped = choice.reshape(-1, ng, gsz)
+            if cfg.scoring_func == 'sigmoid':
+                g2, _ = jax.lax.top_k(grouped, min(2, gsz))
+                gscore = g2.sum(-1)
+            else:
+                gscore = grouped.max(-1)
+            _, gidx = jax.lax.top_k(gscore, tg)                  # [N, tg]
+            gmask = jnp.zeros_like(gscore, dtype=bool)
+            gmask = gmask.at[jnp.arange(gmask.shape[0])[:, None], gidx].set(True)
+            choice = jnp.where(
+                jnp.repeat(gmask, gsz, axis=-1), choice, -jnp.inf)
+        _, top_idx = jax.lax.top_k(choice, k)
+        top_w = jnp.take_along_axis(scores, top_idx, axis=-1)
         if cfg.norm_topk_prob:
             top_w = top_w / (top_w.sum(-1, keepdims=True) + 1e-20)
         top_w = top_w * cfg.routed_scaling_factor

@@ -287,3 +287,43 @@ def test_deepseek_multiturn_and_batch(ds_engine):
     expect = dense_mla_greedy(ds_engine.model_agent.params,
                               ds_engine.model_config, long_prompt, 5)
     assert got == expect
+
+
+def test_group_limited_routing():
+    """n_group/topk_group restricts expert choice to the best groups."""
+    import jax.numpy as jnp
+
+    from lmdeploy_tpu.config import ModelConfig
+    from lmdeploy_tpu.models.deepseek import DeepseekV2Model
+
+    cfg = dict(DS_CFG)
+    cfg.update(n_group=2, topk_group=1, num_experts_per_tok=2)
+    mc = ModelConfig.from_hf_config(cfg, dtype='float32')
+    mc.num_key_value_heads = 1
+    model = DeepseekV2Model(mc)
+
+    rng = np.random.RandomState(0)
+    H, E, Ie = 64, 4, 32
+    x = jnp.asarray(rng.randn(1, 3, H).astype(np.float32))
+    w = {
+        'router': jnp.asarray(rng.randn(H, E).astype(np.float32)),
+        'router_bias': jnp.zeros(E),
+        'we_gate': jnp.asarray(rng.randn(E, H, Ie).astype(np.float32) * 0.05),
+        'we_up': jnp.asarray(rng.randn(E, H, Ie).astype(np.float32) * 0.05),
+        'we_down': jnp.asarray(rng.randn(E, Ie, H).astype(np.float32) * 0.05),
+    }
+    out = model._moe_mlp(w, x)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # numpy reference: with 2 groups of 2 experts and topk_group=1, both
+    # selected experts must come from the group with the higher max score
+    logits = np.asarray(x).reshape(-1, H) @ np.asarray(w['router'])
+    sc = np.exp(logits - logits.max(-1, keepdims=True))
+    sc /= sc.sum(-1, keepdims=True)
+    grp = sc.reshape(-1, 2, 2)
+    best_grp = grp.max(-1).argmax(-1)                     # [N]
+    # recompute what the model selected by re-running its masked top-k
+    choice = np.where(np.repeat(
+        np.eye(2, dtype=bool)[best_grp], 2, axis=-1), sc, -np.inf)
+    sel = np.argsort(-choice, -1)[:, :2]
+    assert (sel // 2 == best_grp[:, None]).all()
