@@ -74,6 +74,10 @@ class LlamaModel:
             self.group_size = qcfg.get('group_size') or qcfg.get('q_group_size', 128)
         elif method in ('smooth_quant', 'w8a8'):
             self.quant_method = 'w8a8'
+        elif method in ('fp8', 'fbgemm_fp8'):
+            # weight-only fp8-e4m3 with per-output-channel (or per-tensor)
+            # scales; block-wise scale grids (DeepSeek-V3 native) next round
+            self.quant_method = 'fp8'
 
     # -- parameter allocation ----------------------------------------------------------
     def _linear_shape(self, L: int, K: int, N: int):
@@ -85,6 +89,9 @@ class LlamaModel:
                     'zeros': jax.ShapeDtypeStruct((L, K // gs, N), jnp.float32)}
         if self.quant_method == 'w8a8':
             return {'w8': jax.ShapeDtypeStruct((L, K, N), jnp.int8),
+                    'scale': jax.ShapeDtypeStruct((L, N), jnp.float32)}
+        if self.quant_method == 'fp8':
+            return {'w8': jax.ShapeDtypeStruct((L, K, N), jnp.float8_e4m3fn),
                     'scale': jax.ShapeDtypeStruct((L, N), jnp.float32)}
         return (L, K, N)
 
@@ -223,6 +230,32 @@ class LlamaModel:
                      lambda x: np.ascontiguousarray(x.T).astype(np.int8), None),
                     (f'model.layers.{{}}.{hf}.scale', ('layers', name, 'scale'),
                      lambda x: x.reshape(-1).astype('float32'), None),
+                ]
+        elif self.quant_method == 'fp8':
+            import ml_dtypes
+
+            def fp8_T(x):
+                return np.ascontiguousarray(
+                    np.swapaxes(x, -1, -2)).astype(ml_dtypes.float8_e4m3fn)
+
+            N_out = {'wq': q_out, 'wk': kv_out, 'wv': kv_out,
+                     'wo': cfg.hidden_size, 'w_gate': I, 'w_up': I,
+                     'w_down': cfg.hidden_size}
+
+            def scale_vec(name):
+                def f(x):   # [N,1] per-channel or scalar per-tensor
+                    v = np.asarray(x, np.float32).reshape(-1)
+                    if v.size == 1:
+                        v = np.full(N_out[name], v[0], np.float32)
+                    return v
+                return f
+
+            for hf, name in hf_linears:
+                per_layer += [
+                    (f'model.layers.{{}}.{hf}.weight', ('layers', name, 'w8'),
+                     fp8_T, None),
+                    (f'model.layers.{{}}.{hf}.weight_scale',
+                     ('layers', name, 'scale'), scale_vec(name), None),
                 ]
         else:
             for hf, name in hf_linears:

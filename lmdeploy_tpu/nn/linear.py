@@ -7,7 +7,12 @@ blocked_fp8 variants behind one build_linear API) and TurboMind's LlamaLinear
 A weight leaf is either a plain jax.Array [K, N] (dense) or a dict:
   {'packed': u8[K/2, N], 'scales': f32[K/gs, N], 'zeros': f32[K/gs, N]}  (w4a16)
   {'w8': i8[K, N], 'scale': f32[N]}                                      (w8a8)
-Dispatch is static (pytree structure), so one jitted step handles either.
+  {'w8': fp8_e4m3[K, N], 'scale': f32[N]}                      (fp8 weight-only)
+Dispatch is static (pytree structure + w8 dtype), so one jitted step handles
+any of them.  fp8 weight-only: weights stream from HBM at 1 byte/element and
+are widened to the activation dtype on the fly (VPU convert) before a normal
+MXU matmul — a pure bandwidth optimization with per-output-channel scales
+applied after the matmul.
 """
 from __future__ import annotations
 
@@ -37,7 +42,10 @@ def linear(x: jax.Array, w: Any, bias: Optional[jax.Array] = None) -> jax.Array:
     if 'packed' in w:
         y = _w4a16(x, w)
     elif 'w8' in w:
-        y = _w8a8(x, w)
+        if w['w8'].dtype == jnp.float8_e4m3fn:
+            y = _w_fp8(x, w)
+        else:
+            y = _w8a8(x, w)
     else:
         raise ValueError(f'unknown quantized weight leaf: {list(w)}')
     if bias is not None:
@@ -76,4 +84,14 @@ def _w8a8(x: jax.Array, w: dict) -> jax.Array:
     acc = jax.lax.dot_general(xq, w['w8'], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * a_scale * w['scale'][None, :]
+    return y.reshape(*lead, -1).astype(x.dtype)
+
+
+def _w_fp8(x: jax.Array, w: dict) -> jax.Array:
+    """fp8-e4m3 weight-only: widen weights, dense matmul, per-column scale."""
+    lead = x.shape[:-1]
+    x2d = x.reshape(-1, x.shape[-1])
+    y = jnp.dot(x2d, w['w8'].astype(x.dtype),
+                preferred_element_type=jnp.float32)
+    y = y * w['scale'][None, :]
     return y.reshape(*lead, -1).astype(x.dtype)

@@ -25,15 +25,38 @@ def _np_dtype(name: str):
 
 
 def iter_safetensors(model_path: str):
-    """Yield (name, np_array) over all safetensors shards of a checkpoint."""
+    """Yield (name, np_array) over all safetensors shards of a checkpoint.
+
+    The numpy backend cannot materialize fp8 tensors (it looks up
+    np.float8_e4m3fn); those go through a torch handle and a byte-view back
+    into the ml_dtypes fp8 numpy type.
+    """
     from safetensors import safe_open
     files = sorted(glob.glob(os.path.join(model_path, '*.safetensors')))
     if not files:
         raise FileNotFoundError(f'no *.safetensors under {model_path}')
     for path in files:
         with safe_open(path, framework='np') as f:
+            torch_f = None
             for name in f.keys():
-                yield name, f.get_tensor(name)
+                try:
+                    yield name, f.get_tensor(name)
+                except Exception:
+                    import ml_dtypes
+                    import torch
+                    if torch_f is None:
+                        torch_f = safe_open(path, framework='pt')
+                    t = torch_f.get_tensor(name)
+                    if t.dtype == torch.float8_e4m3fn:
+                        yield name, t.view(torch.uint8).numpy().view(
+                            ml_dtypes.float8_e4m3fn)
+                    elif t.dtype == torch.float8_e5m2:
+                        yield name, t.view(torch.uint8).numpy().view(
+                            ml_dtypes.float8_e5m2)
+                    elif t.dtype == torch.bfloat16:
+                        yield name, t.float().numpy().astype(ml_dtypes.bfloat16)
+                    else:
+                        yield name, t.numpy()
 
 
 def _alloc_tree(shapes: Dict[str, Any], dtype) -> Dict[str, Any]:
@@ -42,8 +65,11 @@ def _alloc_tree(shapes: Dict[str, Any], dtype) -> Dict[str, Any]:
         if isinstance(v, dict):
             out[k] = _alloc_tree(v, dtype)
         elif hasattr(v, 'shape') and hasattr(v, 'dtype'):   # jax.ShapeDtypeStruct
-            out[k] = np.zeros(v.shape, dtype=np.dtype(str(v.dtype))
-                              if 'bfloat16' not in str(v.dtype) else dtype)
+            # use the dtype object directly: np.dtype(str(...)) round-trips
+            # fail for ml_dtypes types (fp8); bfloat16 leaves follow the model
+            # dtype (they may be loaded as fp16/fp32 checkpoints)
+            dt = dtype if 'bfloat16' in str(v.dtype) else v.dtype
+            out[k] = np.zeros(v.shape, dtype=dt)
         else:
             out[k] = np.zeros(v, dtype=dtype)
     return out
