@@ -102,19 +102,24 @@ class ModelConfig:
         """Build from a raw HF config dict. Per-arch adjustments live in models/registry."""
         archs = cfg.get('architectures') or ['LlamaForCausalLM']
         vision = None
-        if 'vision_config' in cfg and 'text_config' in cfg:
-            # composite VLM config (llava family): the LM geometry lives in
-            # text_config; keep the outer arch for registry dispatch and stash
-            # the vision bits for the model builder.
+        if 'vision_config' in cfg and ('text_config' in cfg or 'llm_config' in cfg):
+            # composite VLM config: llava family nests the LM as text_config,
+            # InternVL as llm_config; keep the outer arch for registry dispatch
+            # and stash the vision bits for the model builder.
+            inner = cfg.get('text_config') or cfg.get('llm_config')
             vision = {
                 'vision_config': cfg['vision_config'],
-                'image_token_index': cfg.get('image_token_index', 32000),
+                'image_token_index': cfg.get('image_token_index',
+                                             32000 if 'text_config' in cfg
+                                             else None),
                 'vision_feature_layer': cfg.get('vision_feature_layer', -2),
                 'vision_feature_select_strategy':
                     cfg.get('vision_feature_select_strategy', 'default'),
                 'projector_hidden_act': cfg.get('projector_hidden_act', 'gelu'),
+                'downsample_ratio': cfg.get('downsample_ratio', 0.5),
+                'llm_architectures': inner.get('architectures'),
             }
-            cfg = dict(cfg['text_config'])
+            cfg = dict(inner)
             cfg['architectures'] = archs
             if 'torch_dtype' not in cfg:
                 cfg['torch_dtype'] = 'bfloat16'

@@ -150,9 +150,19 @@ class Engine:
             if not getattr(agent, 'is_vl', False):
                 raise ValueError('images supplied but the model is not a VLM')
             from ..vl.processor import expand_image_tokens
+            tok_id = agent.model.image_token_index
+            if tok_id is None:
+                # InternVL-style checkpoints: the placeholder is a tokenizer
+                # token (<IMG_CONTEXT>), not a config field
+                assert self.tokenizer is not None, \
+                    'image placeholder resolution requires a tokenizer'
+                ids = self.tokenizer.encode(agent.model.image_marker,
+                                            add_bos=False,
+                                            add_special_tokens=False)
+                tok_id = agent.model.image_token_index = ids[-1]
             mm_embeds = agent.encode_images(mm_data)
             token_ids, mm_offsets = expand_image_tokens(
-                list(token_ids), agent.model.image_token_index,
+                list(token_ids), tok_id,
                 agent.model.num_image_tokens, len(mm_embeds))
         self.add_session(session_id)
         session = self.scheduler.seq_manager.get_session(session_id)

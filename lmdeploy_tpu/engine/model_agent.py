@@ -148,8 +148,11 @@ class ModelAgent:
             else:
                 self.vis_params = jax.tree_util.tree_map(jax.device_put, vis_np)
             self._encode_fn = jax.jit(self.model.encode_images)
-            from ..vl.processor import ImageProcessor
-            self.image_processor = ImageProcessor(self.model.tower.image_size)
+            from ..vl.processor import CLIP_MEAN, CLIP_STD, ImageProcessor
+            self.image_processor = ImageProcessor(
+                self.model.tower.image_size,
+                mean=getattr(self.model, 'image_mean', CLIP_MEAN),
+                std=getattr(self.model, 'image_std', CLIP_STD))
 
     # -- slot management ---------------------------------------------------------------
     def assign_slot(self, seq) -> int:

@@ -89,6 +89,14 @@ register_model('LlavaForConditionalGeneration')(_llava)
 register_model('LlavaNextForConditionalGeneration')(_llava)
 
 
+def _internvl(config: ModelConfig):
+    from .internvl import build_internvl
+    return build_internvl(config)
+
+
+register_model('InternVLChatModel')(_internvl)
+
+
 def build_model(config: ModelConfig):
     builder = _REGISTRY.get(config.hf_arch)
     if builder is None:

@@ -182,3 +182,165 @@ def _layer_norm(x, w, b, eps):
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.var(x32, axis=-1, keepdims=True)
     return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w + b
+
+
+class InternViTTower:
+    """InternViT encoder (InternVL family): fused-qkv pre-norm ViT with
+    layer-scale, optional QK-RMSNorm (6B variant) and layer_norm/rms_norm
+    selectable per config.  Reference analog: ``lmdeploy/vl/model/internvl.py``
+    (wrapping HF InternVisionModel).
+
+    Output is the patch grid [N, G, G, W] (CLS dropped) — the InternVL model
+    applies pixel-shuffle + the mlp1 projector on top.
+    """
+
+    def __init__(self, vision_config: Dict):
+        vc = vision_config
+        self.image_size = vc.get('image_size', 448)
+        self.patch_size = vc.get('patch_size', 14)
+        self.width = vc.get('hidden_size', 1024)
+        self.heads = vc.get('num_attention_heads', 16)
+        self.mlp_dim = vc.get('intermediate_size', 4096)
+        self.num_layers = vc.get('num_hidden_layers', 24)
+        self.eps = vc.get('layer_norm_eps', 1e-6)
+        self.qk_norm = vc.get('qk_normalization', False)
+        self.rms = vc.get('norm_type', 'layer_norm') == 'rms_norm'
+        self.act = _ACTS.get(vc.get('hidden_act', 'gelu'), jax.nn.gelu)
+        self.grid = self.image_size // self.patch_size
+        self.num_patches = self.grid * self.grid
+
+    def param_shapes(self) -> Dict:
+        P, W, L, H = self.patch_size, self.width, self.num_layers, self.heads
+        D = W // H
+        layers = {
+            'n1_w': (L, W), 'n2_w': (L, W),
+            'wqkv': (L, W, 3 * W), 'bqkv': (L, 3 * W),
+            'wo': (L, W, W), 'bo': (L, W),
+            'ls1': (L, W), 'ls2': (L, W),
+            'fc1': (L, W, self.mlp_dim), 'b1': (L, self.mlp_dim),
+            'fc2': (L, self.mlp_dim, W), 'b2': (L, W),
+        }
+        if not self.rms:
+            layers.update(n1_b=(L, W), n2_b=(L, W))
+        if self.qk_norm:
+            layers.update(q_norm=(L, W), k_norm=(L, W))
+        return {
+            'patch_embed': (P * P * 3, W), 'patch_bias': (W,),
+            'class_embed': (W,),
+            'pos_embed': (self.num_patches + 1, W),
+            'layers': layers,
+        }
+
+    def init_params(self, dtype=jnp.float32):
+        rng = np.random.default_rng(5)
+
+        def mk(name, shape):
+            if name.startswith(('n1_w', 'n2_w')) or 'norm' in name or \
+                    name.startswith('ls'):
+                return jnp.ones(shape, dtype)
+            if name.startswith(('b', 'n1_b', 'n2_b', 'patch_bias')):
+                return jnp.zeros(shape, dtype)
+            return jnp.asarray(rng.normal(0, 0.02, shape), dtype)
+
+        def walk(tree):
+            return {k: walk(v) if isinstance(v, dict) else mk(k, v)
+                    for k, v in tree.items()}
+
+        return walk(self.param_shapes())
+
+    def make_assign_plan(self, prefix: str = 'vision_model.'):
+        P, W = self.patch_size, self.width
+
+        def conv_to_mat(x):
+            return np.ascontiguousarray(
+                np.transpose(x, (2, 3, 1, 0)).reshape(P * P * 3, W))
+
+        def T(x):
+            return np.ascontiguousarray(np.swapaxes(x, -1, -2))
+
+        ident = lambda x: x  # noqa: E731
+        plan = {
+            f'{prefix}embeddings.patch_embedding.weight':
+                (('patch_embed',), conv_to_mat, None),
+            f'{prefix}embeddings.patch_embedding.bias':
+                (('patch_bias',), ident, None),
+            f'{prefix}embeddings.class_embedding':
+                (('class_embed',), lambda x: x.reshape(-1), None),
+            f'{prefix}embeddings.position_embedding':
+                (('pos_embed',), lambda x: x.reshape(-1, W), None),
+        }
+        per_layer = [
+            ('norm1.weight', 'n1_w', ident), ('norm1.bias', 'n1_b', ident),
+            ('norm2.weight', 'n2_w', ident), ('norm2.bias', 'n2_b', ident),
+            ('attn.qkv.weight', 'wqkv', T), ('attn.qkv.bias', 'bqkv', ident),
+            ('attn.proj.weight', 'wo', T), ('attn.proj.bias', 'bo', ident),
+            ('attn.q_norm.weight', 'q_norm', ident),
+            ('attn.k_norm.weight', 'k_norm', ident),
+            ('ls1', 'ls1', ident), ('ls2', 'ls2', ident),
+            ('mlp.fc1.weight', 'fc1', T), ('mlp.fc1.bias', 'b1', ident),
+            ('mlp.fc2.weight', 'fc2', T), ('mlp.fc2.bias', 'b2', ident),
+        ]
+        for hf, name, transform in per_layer:
+            for layer in range(self.num_layers):
+                plan[f'{prefix}encoder.layers.{layer}.{hf}'] = (
+                    ('layers', name, layer), transform, None)
+        return plan
+
+    def _norm(self, x, w, b):
+        if self.rms:
+            x32 = x.astype(jnp.float32)
+            var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+            return (x32 * jax.lax.rsqrt(var + self.eps)).astype(x.dtype) * w
+        return _layer_norm(x, w, b, self.eps)
+
+    def forward(self, params, pixel_values: jax.Array) -> jax.Array:
+        """[N, S, S, 3] -> patch grid [N, G, G, W] (CLS dropped)."""
+        N = pixel_values.shape[0]
+        P, G, W, H = self.patch_size, self.grid, self.width, self.heads
+        D = W // H
+        import math as _math
+        scale = 1.0 / _math.sqrt(D)
+        dtype = params['patch_embed'].dtype
+        x = pixel_values.astype(dtype)
+        x = x.reshape(N, G, P, G, P, 3).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(N, G * G, P * P * 3) @ params['patch_embed'] \
+            + params['patch_bias']
+        cls = jnp.broadcast_to(params['class_embed'], (N, 1, W))
+        x = jnp.concatenate([cls, x], axis=1) + params['pos_embed']
+        S = x.shape[1]
+        lp = params['layers']
+        has_bias = 'n1_b' in lp
+
+        def layer_fn(h, w):
+            y = self._norm(h, w['n1_w'], w.get('n1_b') if has_bias else None)
+            qkv = (y @ w['wqkv'] + w['bqkv']).reshape(N, S, 3, H, D)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            if self.qk_norm:
+                # InternViT-6B: RMSNorm over the FLATTENED head dim
+                def hn(t, wn):
+                    flat = t.reshape(N, S, W).astype(jnp.float32)
+                    var = jnp.mean(flat * flat, -1, keepdims=True)
+                    return ((flat * jax.lax.rsqrt(var + self.eps)) * wn
+                            ).astype(t.dtype).reshape(N, S, H, D)
+                q, k = hn(q, w['q_norm']), hn(k, w['k_norm'])
+            att = jnp.einsum('nqhd,nkhd->nhqk', q, k) * scale
+            att = jax.nn.softmax(att.astype(jnp.float32), -1).astype(h.dtype)
+            o = jnp.einsum('nhqk,nkhd->nqhd', att, v).reshape(N, S, W)
+            h = h + (o @ w['wo'] + w['bo']) * w['ls1']
+            y = self._norm(h, w['n2_w'], w.get('n2_b') if has_bias else None)
+            y = self.act(y @ w['fc1'] + w['b1'])
+            h = h + (y @ w['fc2'] + w['b2']) * w['ls2']
+            return h, None
+
+        x, _ = jax.lax.scan(layer_fn, x, lp)
+        return x[:, 1:].reshape(N, G, G, W)
+
+
+def pixel_shuffle(x: jax.Array, ratio: float) -> jax.Array:
+    """[N, G, G, W] -> [N, G*r, G*r, W/(r*r)] spatial-to-channel fold
+    (InternVL downsampling, ratio typically 0.5 -> 4x fewer tokens)."""
+    N, G, _, W = x.shape
+    s = int(round(1 / ratio))
+    x = x.reshape(N, G // s, s, G // s, s, W)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(N, G // s, G // s, s * s * W)
+    return x

@@ -88,8 +88,12 @@ class AsyncEngine:
         yield self.instance
 
     # -- prompt processing -------------------------------------------------------------
-    @staticmethod
-    def _split_vl_inputs(prompt):
+    @property
+    def _image_marker(self) -> str:
+        model = getattr(self.engine.model_agent, 'model', None)
+        return getattr(model, 'image_marker', '<image>')
+
+    def _split_vl_inputs(self, prompt):
         """Extract images from VLM-style prompts.
 
         Accepts: ``(text, image)`` / ``(text, [images])`` tuples (reference
@@ -101,8 +105,9 @@ class AsyncEngine:
             text, imgs = prompt
             imgs = imgs if isinstance(imgs, (list, tuple)) else [imgs]
             images.extend(imgs)
-            if '<image>' not in text:
-                text = '<image>\n' * len(imgs) + text
+            marker = self._image_marker
+            if marker not in text:
+                text = (marker + '\n') * len(imgs) + text
             return text, images
         if isinstance(prompt, list):
             out_msgs = []
@@ -123,8 +128,9 @@ class AsyncEngine:
                             images.append(part.get('data'))
                             n_imgs += 1
                     text = ''.join(texts)
-                    if n_imgs and '<image>' not in text:
-                        text = '<image>\n' * n_imgs + text
+                    marker = self._image_marker
+                    if n_imgs and marker not in text:
+                        text = (marker + '\n') * n_imgs + text
                     out_msgs.append({**m, 'content': text})
                 else:
                     out_msgs.append(m)

@@ -315,3 +315,160 @@ def test_vl_async_engine_openai_parts(tiny_llava_dir):
         assert n == 5
     finally:
         eng.close()
+
+
+# -- InternVL (InternViT + pixel shuffle + internlm2 LM) -----------------------------
+
+IVL_VISION = {
+    'image_size': 28, 'patch_size': 14, 'hidden_size': 32,
+    'num_attention_heads': 2, 'intermediate_size': 64, 'num_hidden_layers': 2,
+    'layer_norm_eps': 1e-6, 'qk_normalization': True, 'norm_type': 'layer_norm',
+    'hidden_act': 'gelu',
+}
+
+
+@pytest.fixture(scope='module')
+def tiny_internvl_dir(tmp_path_factory):
+    from safetensors.numpy import save_file
+
+    path = tmp_path_factory.mktemp('tiny_internvl')
+    llm_cfg = dict(TINY_CFG)
+    llm_cfg['architectures'] = ['InternLM2ForCausalLM']
+    cfg = {
+        'architectures': ['InternVLChatModel'],
+        'model_type': 'internvl_chat',
+        'llm_config': llm_cfg,
+        'vision_config': dict(IVL_VISION),
+        'downsample_ratio': 0.5,
+        'torch_dtype': 'float32',
+    }
+    with open(path / 'config.json', 'w') as f:
+        json.dump(cfg, f)
+    from tokenizers import Tokenizer, models, pre_tokenizers, decoders, trainers
+    tok = Tokenizer(models.BPE(unk_token=None))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    trainer = trainers.BpeTrainer(
+        vocab_size=256, special_tokens=['<s>', '</s>', '<pad>', '<IMG_CONTEXT>'],
+        initial_alphabet=pre_tokenizers.ByteLevel.alphabet())
+    tok.train_from_iterator(['hello world this is a tiny test corpus ' * 10],
+                            trainer)
+    tok.save(str(path / 'tokenizer.json'))
+    with open(path / 'tokenizer_config.json', 'w') as f:
+        json.dump({'tokenizer_class': 'PreTrainedTokenizerFast',
+                   'bos_token': '<s>', 'eos_token': '</s>',
+                   'model_max_length': 512,
+                   'additional_special_tokens': ['<IMG_CONTEXT>']}, f)
+
+    rng = np.random.RandomState(13)
+    t = TINY_CFG
+    H, I, V = t['hidden_size'], t['intermediate_size'], t['vocab_size']
+    nh, nkv, hd = (t['num_attention_heads'], t['num_key_value_heads'],
+                   t['head_dim'])
+    G = nh // nkv
+    tensors = {
+        'language_model.model.tok_embeddings.weight': rng.randn(V, H) * 0.02,
+        'language_model.model.norm.weight': np.ones(H),
+        'language_model.output.weight': rng.randn(V, H) * 0.02,
+    }
+    for layer in range(t['num_hidden_layers']):
+        p = f'language_model.model.layers.{layer}.'
+        tensors[p + 'attention_norm.weight'] = np.ones(H)
+        tensors[p + 'ffn_norm.weight'] = np.ones(H)
+        tensors[p + 'attention.wqkv.weight'] = \
+            rng.randn(nkv * (G + 2) * hd, H) * 0.02
+        tensors[p + 'attention.wo.weight'] = rng.randn(H, nh * hd) * 0.02
+        tensors[p + 'feed_forward.w1.weight'] = rng.randn(I, H) * 0.02
+        tensors[p + 'feed_forward.w3.weight'] = rng.randn(I, H) * 0.02
+        tensors[p + 'feed_forward.w2.weight'] = rng.randn(H, I) * 0.02
+    # InternViT
+    vc = IVL_VISION
+    W, M, P = vc['hidden_size'], vc['intermediate_size'], vc['patch_size']
+    nP = (vc['image_size'] // P) ** 2
+    tensors.update({
+        'vision_model.embeddings.patch_embedding.weight':
+            rng.randn(W, 3, P, P) * 0.02,
+        'vision_model.embeddings.patch_embedding.bias': np.zeros(W),
+        'vision_model.embeddings.class_embedding': rng.randn(1, 1, W) * 0.02,
+        'vision_model.embeddings.position_embedding':
+            rng.randn(1, nP + 1, W) * 0.02,
+    })
+    for layer in range(vc['num_hidden_layers']):
+        p = f'vision_model.encoder.layers.{layer}.'
+        tensors.update({
+            p + 'norm1.weight': np.ones(W), p + 'norm1.bias': np.zeros(W),
+            p + 'norm2.weight': np.ones(W), p + 'norm2.bias': np.zeros(W),
+            p + 'attn.qkv.weight': rng.randn(3 * W, W) * 0.05,
+            p + 'attn.qkv.bias': np.zeros(3 * W),
+            p + 'attn.proj.weight': rng.randn(W, W) * 0.05,
+            p + 'attn.proj.bias': np.zeros(W),
+            p + 'attn.q_norm.weight': np.ones(W),
+            p + 'attn.k_norm.weight': np.ones(W),
+            p + 'ls1': np.full(W, 0.5), p + 'ls2': np.full(W, 0.5),
+            p + 'mlp.fc1.weight': rng.randn(M, W) * 0.05,
+            p + 'mlp.fc1.bias': np.zeros(M),
+            p + 'mlp.fc2.weight': rng.randn(W, M) * 0.05,
+            p + 'mlp.fc2.bias': np.zeros(W),
+        })
+    # mlp1 projector: LN(C) -> Linear(C->H) -> GELU -> Linear(H->H); C = W*4
+    C = W * 4
+    tensors.update({
+        'mlp1.0.weight': np.ones(C), 'mlp1.0.bias': np.zeros(C),
+        'mlp1.1.weight': rng.randn(H, C) * 0.05, 'mlp1.1.bias': np.zeros(H),
+        'mlp1.3.weight': rng.randn(H, H) * 0.05, 'mlp1.3.bias': np.zeros(H),
+    })
+    tensors = {k: np.ascontiguousarray(np.asarray(v, np.float32))
+               for k, v in tensors.items()}
+    save_file(tensors, str(path / 'model.safetensors'))
+    return str(path)
+
+
+def test_internvl_geometry(tiny_internvl_dir):
+    from lmdeploy_tpu.config import ModelConfig
+    from lmdeploy_tpu.models import build_model
+
+    cfg = ModelConfig.from_pretrained(tiny_internvl_dir, dtype='float32')
+    model = build_model(cfg)
+    # 2x2 patch grid, pixel-shuffled by 0.5 -> 1 token per image
+    assert model.num_image_tokens == 1
+    assert model.image_marker == '<IMG_CONTEXT>'
+    assert model.image_token_index is None      # resolved via tokenizer later
+    from lmdeploy_tpu.models.internlm2 import InternLM2Model
+    assert isinstance(model, InternLM2Model)
+
+
+def test_internvl_engine_matches_dense_reference(tiny_internvl_dir):
+    """Paged engine fed an image == dense internlm2 reference with the
+    projected InternViT feature stuffed at the placeholder position."""
+    from lmdeploy_tpu.engine.engine import Engine
+    from lmdeploy_tpu.messages import GenerationConfig, TpuEngineConfig
+    from lmdeploy_tpu.tokenizer import Tokenizer
+
+    cfg = TpuEngineConfig(dtype='float32', block_size=16, num_gpu_blocks=64,
+                          max_batch_size=4, session_len=256,
+                          max_prefill_token_num=64)
+    tok = Tokenizer(tiny_internvl_dir)
+    eng = Engine.from_pretrained(tiny_internvl_dir, cfg, tokenizer=tok)
+    try:
+        img = np.random.RandomState(9).randint(0, 255, (30, 40, 3), np.uint8)
+        img_tok = tok.encode('<IMG_CONTEXT>', add_bos=False,
+                             add_special_tokens=False)[-1]
+        prompt = [5, img_tok, 17, 23]
+
+        async def run():
+            inst = eng.create_instance()
+            out = await inst.async_infer(
+                1, prompt, GenerationConfig(max_new_tokens=6, ignore_eos=True),
+                mm_data=[img])
+            await inst.async_end(1)
+            return list(out.token_ids)
+
+        got = run_async(run())
+        agent = eng.model_agent
+        embeds = agent.encode_images([img])[0]               # [1, H]
+        expanded = [5, img_tok, 17, 23]                      # 1 token per image
+        expect = _dense_greedy_with_embeds(agent.params, eng.model_config,
+                                           expanded, embeds, 1, 6)
+        assert got == expect
+    finally:
+        eng.close()
