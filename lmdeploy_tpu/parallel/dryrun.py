@@ -147,3 +147,59 @@ def dryrun_moe(n_devices: int, verbose: bool = False):
         print(f'moe dryrun ok: mesh=(dp={dp}, ep={ep}, tp={tp}), '
               f'logits={logits.shape}')
     return logits
+
+
+def dryrun_cp(n_devices: int, verbose: bool = False):
+    """Context-parallel prefill dry-run: the chunk's query/sequence axis is
+    sharded over a 'cp' mesh axis so long-context prefill splits across chips
+    (GSPMD inserts the causal-attention collectives).  Decode stays on the
+    dp/tp axes — CP is a prefill-scaling tool (reference: long-context serving).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ..config import ModelConfig
+    from ..models.llama import AttnMeta, LlamaModel
+    from ..nn.layers import make_rope_table
+
+    cp = min(4, n_devices)
+    cfg = ModelConfig(
+        num_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        hidden_size=64, intermediate_size=128, vocab_size=256, head_dim=8,
+        max_position_embeddings=256, dtype='float32')
+    model = LlamaModel(cfg)
+    mesh = Mesh(np.array(jax.devices()[:cp]).reshape(cp), axis_names=('cp',))
+
+    B, T, BS, NB = 2, 64, 16, 32
+    W = (T + BS - 1) // BS
+    params = model.init_params(jax.random.PRNGKey(0))
+    with mesh:
+        kc = jnp.zeros((cfg.num_layers, cfg.num_key_value_heads, NB, BS,
+                        cfg.head_dim), jnp.float32)
+        vc = jnp.zeros_like(kc)
+        cos, sin = make_rope_table(cfg.head_dim, cfg.max_position_embeddings)
+        rng = np.random.RandomState(0)
+        seq_spec = NamedSharding(mesh, P(None, 'cp'))
+        input_ids = jax.device_put(
+            rng.randint(0, cfg.vocab_size, (B, T)).astype(np.int32), seq_spec)
+        positions = jax.device_put(
+            np.tile(np.arange(T, dtype=np.int32), (B, 1)), seq_spec)
+        tables = jnp.asarray(
+            np.stack([np.arange(1, W + 1), np.arange(W + 1, 2 * W + 1)])
+            .astype(np.int32))
+        meta = AttnMeta(block_tables=tables,
+                        history_lens=jnp.zeros(B, jnp.int32),
+                        q_lens=jnp.full((B,), T, jnp.int32))
+
+        @jax.jit
+        def step(params, kc, vc, ids, pos):
+            return model.forward(params, ids, pos, kc, vc, meta,
+                                 jnp.asarray(cos), jnp.asarray(sin),
+                                 fresh_prefill=True)
+
+        logits, kc, vc = step(params, kc, vc, input_ids, positions)
+        logits.block_until_ready()
+    if verbose:
+        print(f'cp dryrun ok: cp={cp}, logits={logits.shape}')
+    return True

@@ -33,3 +33,8 @@ def test_moe_ep_sharding():
     from lmdeploy_tpu.parallel.dryrun import dryrun_moe
     logits = dryrun_moe(8)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_cp_dryrun():
+    from lmdeploy_tpu.parallel.dryrun import dryrun_cp
+    assert dryrun_cp(8)
