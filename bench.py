@@ -96,7 +96,12 @@ async def main():
     global NEW_TOKENS
     real_new = NEW_TOKENS
     try:
-        NEW_TOKENS = 15          # hits decode-run buckets k=8,4,2,1
+        # Cover EVERY decode-run bucket k, k/2, ..., 1: the prefill step samples
+        # token 1, so 2k decode tokens walk exactly k + k/2 + ... + 1.  (With
+        # the old value 15 the k=1 executable was never compiled in warmup and
+        # its ~10s compile landed inside the measured round — halving the
+        # reported rate.)
+        NEW_TOKENS = 2 * eng.model_agent.decode_run_steps
         w_total, w_dt = await asyncio.wait_for(run_round(eng, BATCH, seed=1),
                                                warmup_timeout)
         warmup_rate = w_total / w_dt

@@ -371,9 +371,7 @@ class Engine:
                                           num_rows, k)
         tokens = step.tokens_np()          # [k, B]
         logprobs = step.logprobs_np()
-        if trace:
-            print(f'[trace] decode_run k={k} rows={num_rows} '
-                  f'{(time.perf_counter()-t0)*1000:.0f}ms', flush=True)
+        t1 = time.perf_counter()
         for i in range(tokens.shape[0]):
             for seq in survivors:
                 if seq.status != MessageStatus.RUNNING:
@@ -385,6 +383,11 @@ class Engine:
                          if s.status == MessageStatus.STOPPED and s.batch_slot >= 0]
         if stopped_slots:
             agent.deactivate_rows(stopped_slots)
+        if trace:
+            t2 = time.perf_counter()
+            print(f'[trace] decode_run k={k} rows={num_rows} '
+                  f'dev={(t1-t0)*1000:.0f}ms drain={(t2-t1)*1000:.0f}ms',
+                  flush=True)
 
     async def _decode_step_spec(self, seqs, loop):
         """One speculative step: K draft proposals + single-pass verification."""

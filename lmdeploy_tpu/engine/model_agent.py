@@ -129,8 +129,11 @@ class ModelAgent:
         self.decode_state.token_counts = self.token_counts
         # host sync once per this many decode steps; larger k amortizes more
         # dispatch/RTT overhead per token at the cost of coarser scheduling
-        # granularity (new arrivals wait up to k steps to join the batch).
-        self.decode_run_steps = int(os.environ.get('LMDEPLOY_TPU_DECODE_RUN', '8'))
+        # granularity (new arrivals wait up to k steps to join the batch; the
+        # engine clamps k to 1 whenever requests are waiting, bounding TTFT).
+        # Measured on 1x v5e (TinyLlama-1.1B bf16 bs64): k=8 -> 2662 tok/s,
+        # k=16 -> 3017, k=32 -> 3122 — 16 is the knee.
+        self.decode_run_steps = int(os.environ.get('LMDEPLOY_TPU_DECODE_RUN', '16'))
 
         # -- vision tower (VLM only) ---------------------------------------------------
         self.is_vl = hasattr(self.model, 'encode_images')
