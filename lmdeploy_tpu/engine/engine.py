@@ -34,6 +34,12 @@ class _ActiveRequest:
     finished: bool = False
 
 
+
+def _is_simple_sampling(p) -> bool:
+    """Greedy with neutral penalties: the decode fast path is exact."""
+    return (not p.do_sample and p.repetition_penalty == 1.0
+            and p.frequency_penalty == 0.0 and p.presence_penalty == 0.0)
+
 class Engine:
     """One engine = one model on one device mesh, continuous batching."""
 
@@ -367,8 +373,11 @@ class Engine:
         trace = os.environ.get('LMDEPLOY_TPU_TRACE_STEPS') == '1'
         t0 = time.perf_counter()
         num_rows = max(s.batch_slot for s in survivors) + 1
+        # greedy fast path: with every row greedy + neutral penalties the whole
+        # sampling pipeline reduces to argmax — a separate leaner executable
+        simple = all(_is_simple_sampling(s.sampling_params) for s in survivors)
         step = await loop.run_in_executor(self._executor, agent.decode_run,
-                                          num_rows, k)
+                                          num_rows, k, simple)
         tokens = step.tokens_np()          # [k, B]
         logprobs = step.logprobs_np()
         t1 = time.perf_counter()

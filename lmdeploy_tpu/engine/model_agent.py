@@ -448,14 +448,18 @@ class ModelAgent:
         self._step_fns = {k: v for k, v in self._step_fns.items()
                           if not (isinstance(k, tuple) and k and k[0] == 'run')}
 
-    def _get_run_fn(self, k: int, B: int):
+    def _get_run_fn(self, k: int, B: int, simple: bool = False):
         import dataclasses
         import jax
         import jax.numpy as jnp
 
-        key = ('run', k, B)
+        key = ('run', k, B, simple)
         fn = self._step_fns.get(key)
         if fn is not None:
+            return fn
+        if simple:
+            fn = self._make_simple_run_fn(k, B)
+            self._step_fns[key] = fn
             return fn
         model = self.model
         GOLDEN = np.uint32(0x9E3779B9)
@@ -507,15 +511,64 @@ class ModelAgent:
         self._step_fns[key] = fn
         return fn
 
-    def decode_run(self, num_rows: int, k: Optional[int] = None) -> StepOutput:
+    def _make_simple_run_fn(self, k: int, B: int):
+        """Greedy fast path: when every active row is greedy with neutral
+        penalties, the sampling pipeline reduces to argmax — skip the
+        seen-token-count gather/scatter, penalty math, top-k/p/min-p masking
+        and gumbel draw entirely.  Token logprob (needed for the streamed
+        logprobs field) is one log-softmax lookup."""
+        import dataclasses
+        import jax
+        import jax.numpy as jnp
+
+        model = self.model
+        from .decode_state import DecodeState
+        row_fields = [f.name for f in dataclasses.fields(DecodeState)
+                      if f.name != 'token_counts']
+
+        def run(params, rope_cos, rope_sin, k_cache, v_cache, state):
+            sub = {n: getattr(state, n)[:B] for n in row_fields}
+
+            def step_fn(carry, _):
+                kc, vc, st = carry
+                act = st['active']
+                q_lens = act.astype(jnp.int32)
+                meta = AttnMeta(block_tables=st['tables'],
+                                history_lens=st['position'], q_lens=q_lens)
+                logits, kc, vc = model.forward(
+                    params, st['token'][:, None],
+                    jnp.clip(st['position'], 0, self.max_model_len - 1)[:, None],
+                    kc, vc, meta, rope_cos, rope_sin,
+                    adapter_ids=st['adapter_id'])
+                tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                lp = (jnp.take_along_axis(logits, tokens[:, None], 1)[:, 0]
+                      - jax.scipy.special.logsumexp(logits, axis=-1))
+                new_token = jnp.where(act, tokens, st['token'])
+                st = dict(st, token=new_token, position=st['position'] + q_lens,
+                          step_no=st['step_no'] + q_lens)
+                return (kc, vc, st), (new_token, lp)
+
+            (k_cache, v_cache, sub), (toks, lps) = jax.lax.scan(
+                step_fn, (k_cache, v_cache, sub), None, length=k)
+            state = dataclasses.replace(
+                state,
+                **{n: getattr(state, n).at[:B].set(sub[n]) for n in row_fields})
+            return k_cache, v_cache, state, toks, lps
+
+        return jax.jit(run, donate_argnums=(3, 4, 5))
+
+    def decode_run(self, num_rows: int, k: Optional[int] = None,
+                   simple: bool = False) -> StepOutput:
         """Dispatch k device-side decode steps over rows [0, num_rows).
 
         Returns tokens [k, B] (fetch once).  Capacity (blocks + table rows) for k
-        more tokens per row must already be ensured by the caller.
+        more tokens per row must already be ensured by the caller.  ``simple``
+        selects the greedy fast path (caller guarantees every active row is
+        greedy with neutral penalties).
         """
         k = k or self.decode_run_steps
         B = bucketize(num_rows, self.batch_buckets)
-        fn = self._get_run_fn(k, B)
+        fn = self._get_run_fn(k, B, simple)
         (k_cache, v_cache, self.decode_state, toks, lps) = fn(
             self.params, self.rope_cos, self.rope_sin,
             self.cache_engine.k_cache, self.cache_engine.v_cache,
