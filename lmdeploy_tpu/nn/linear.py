@@ -21,9 +21,13 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
-# token count above which a quantized matmul switches from the bandwidth-optimized
-# Pallas kernel to dequant + dense XLA matmul (compute-bound regime)
-_DENSE_SWITCH = 256
+# token count at or below which a W4A16 matmul uses the fused Pallas kernel
+# instead of dequant + dense XLA matmul.  Default 0 = always dense: measured on
+# v5e (TinyLlama bs64 decode) the current kernel runs 84 tok/s vs 1705 for
+# dequant+dense — its block schedule needs a rework before it can win the
+# bandwidth-bound regime it was designed for.  Raise via env to re-enable.
+import os as _os
+_DENSE_SWITCH = int(_os.environ.get('LMDEPLOY_TPU_W4_DENSE_SWITCH', '0'))
 _W4_GROUP = 128
 
 
