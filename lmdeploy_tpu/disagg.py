@@ -89,10 +89,11 @@ def import_session_kv(engine, session_id: int, payload: Dict[str, np.ndarray],
         jnp.asarray(payload['v_blocks'], agent.cache_engine.v_cache.dtype))
     agent.cache_engine.swap_caches(k_cache, v_cache)
     agent.insert_decode_rows([seq])
-    # fresh slot: clear the seen-token counts (this row skipped prefill)
+    # fresh slot: clear the seen-token counts + prompt mask (skipped prefill)
+    V = engine.configs.model.vocab_size
     agent._apply_insert(np.asarray([seq.batch_slot], np.int32),
-                        {'token_counts': np.zeros(
-                            (1, engine.configs.model.vocab_size), np.int16)})
+                        {'token_counts': np.zeros((1, V), np.int16),
+                         'prompt_mask': np.zeros((1, V), bool)})
     seq._synced_blocks = len(seq.logical_blocks)
     return seq
 

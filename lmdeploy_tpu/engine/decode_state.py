@@ -41,7 +41,8 @@ class DecodeState:
     do_sample: Any      # [Bmax] bool
     seed: Any           # [Bmax] u32
     adapter_id: Any     # [Bmax] i32 — S-LoRA slot (0 = none)
-    token_counts: Any   # [Bmax, V] i16 — seen-token counts (penalties)
+    token_counts: Any   # [Bmax+1, V] i16 — generated-token counts (freq/presence)
+    prompt_mask: Any    # [Bmax+1, V] bool — tokens present in the prompt (repetition)
 
 
 def register():
@@ -69,6 +70,7 @@ def make_initial_state(max_batch: int, table_width: int, vocab_size: int):
         frequency_penalty=z(jnp.float32), presence_penalty=z(jnp.float32),
         do_sample=z(jnp.bool_), seed=z(jnp.uint32), adapter_id=z(jnp.int32),
         token_counts=jnp.zeros((max_batch, vocab_size), jnp.int16),
+        prompt_mask=jnp.zeros((max_batch, vocab_size), jnp.bool_),
     )
 
 

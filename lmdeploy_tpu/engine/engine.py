@@ -16,8 +16,8 @@ from dataclasses import dataclass
 from typing import Dict, List, Optional
 
 from ..config import EngineConfigBundle
-from ..messages import (EngineOutput, RequestMetrics, ResponseType, ScheduleMetrics,
-                        TpuEngineConfig)
+from ..messages import (EngineOutput, Logprob, RequestMetrics, ResponseType,
+                        ScheduleMetrics, TpuEngineConfig)
 from ..paging.scheduler import Scheduler
 from ..paging.seq import MessageStatus, SamplingParams, SchedulerSequence
 from .model_agent import ModelAgent
@@ -39,6 +39,27 @@ def _is_simple_sampling(p) -> bool:
     """Greedy with neutral penalties: the decode fast path is exact."""
     return (not p.do_sample and p.repetition_penalty == 1.0
             and p.frequency_penalty == 0.0 and p.presence_penalty == 0.0)
+
+
+def _host_driven(seq, spec=None) -> bool:
+    """Rows needing a host-computed per-step logits mask (guided decoding PDA,
+    bad-words) run via the single-step host path instead of device decode runs.
+    With speculative decoding active, top-logprobs requests also go host-side
+    (the spec verify step does not capture top-k logprobs)."""
+    if seq.guided is not None or bool(seq.sampling_params.bad_token_ids):
+        return True
+    return spec is not None and seq.sampling_params.logprobs > 0
+
+
+def _row_top(top, i, seq):
+    """Slice one row's (top_vals, top_ids) when the request asked for them."""
+    if top is None or seq.sampling_params.logprobs <= 0:
+        return None
+    vals, ids = top
+    if vals is None:
+        return None
+    n = min(seq.sampling_params.logprobs, vals.shape[-1])
+    return vals[i, :n], ids[i, :n]
 
 class Engine:
     """One engine = one model on one device mesh, continuous batching."""
@@ -275,6 +296,7 @@ class Engine:
                               flush=True)
                     tokens = step.tokens_np()
                     logprobs = step.logprobs_np()
+                    top = step.top_np()
                     for i, chunk in enumerate(out.prefill_chunks):
                         tok = int(tokens[i]) if chunk.is_last else None
                         self.scheduler.on_prefill_done(chunk, tok)
@@ -284,11 +306,14 @@ class Engine:
                                 seq.metrics.first_token_time = time.time()
                             if seq.guided is not None:
                                 seq.guided.accept_token(int(tokens[i]))
-                            self._post_token(seq, float(logprobs[i]))
-                    # newly RUNNING sequences enter the device decode state
+                            self._post_token(seq, float(logprobs[i]),
+                                             top_logprobs=_row_top(top, i, seq))
+                    # newly RUNNING sequences enter the device decode state;
+                    # host-driven rows (guided/bad-words) stay out of it
                     new_running = [c.seq for c in out.prefill_chunks
                                    if c.is_last
-                                   and c.seq.status == MessageStatus.RUNNING]
+                                   and c.seq.status == MessageStatus.RUNNING
+                                   and not _host_driven(c.seq, self.spec)]
                     if new_running:
                         self.model_agent.insert_decode_rows(new_running)
                         for s in new_running:
@@ -326,14 +351,22 @@ class Engine:
         [k, B] fetch drains the results.
         """
         agent = self.model_agent
-        # guided sequences need a host-computed token mask every step: fall back
-        # to the single-step host-driven path for the whole batch
-        if any(s.guided is not None for s in seqs):
-            await self._decode_step_guided(seqs, loop)
-            return
-        if self.spec is not None:
-            await self._decode_step_spec(seqs, loop)
-            return
+        # rows needing a host-computed token mask every step (guided PDA) or a
+        # per-row bad-words mask leave the device-resident run; everyone else
+        # keeps full-k decode runs — one guided request no longer collapses the
+        # batch (reference: logits_process.py applies masks per-row every step)
+        host_seqs = [s for s in seqs if _host_driven(s, self.spec)]
+        seqs = [s for s in seqs if not _host_driven(s, self.spec)]
+        if seqs:
+            if self.spec is not None:
+                await self._decode_step_spec(seqs, loop)
+            else:
+                await self._decode_run_fast(seqs, loop)
+        if host_seqs:
+            await self._decode_step_host(host_seqs, loop)
+
+    async def _decode_run_fast(self, seqs, loop):
+        agent = self.model_agent
         k = agent.decode_run_steps
         # shorten runs when new requests wait (TTFT) or outputs are nearly done;
         # round k DOWN to a power of two so each (k, B) pair is a stable
@@ -376,18 +409,28 @@ class Engine:
         # greedy fast path: with every row greedy + neutral penalties the whole
         # sampling pipeline reduces to argmax — a separate leaner executable
         simple = all(_is_simple_sampling(s.sampling_params) for s in survivors)
+        # rows requesting OpenAI top_logprobs get a run variant that also emits
+        # per-step top-k logprobs; top_k > 64 widens the candidate set
+        from ..ops.sampling import topk_bucket
+        top_lp = 32 if any(s.sampling_params.logprobs > 0
+                           for s in survivors) else 0
+        kmax = topk_bucket(max(s.sampling_params.top_k for s in survivors),
+                           self.configs.model.vocab_size)
         step = await loop.run_in_executor(self._executor, agent.decode_run,
-                                          num_rows, k, simple)
+                                          num_rows, k, simple, top_lp, kmax)
         tokens = step.tokens_np()          # [k, B]
         logprobs = step.logprobs_np()
+        tops = step.top_np()               # ([k, B, L], [k, B, L]) or None
         t1 = time.perf_counter()
         for i in range(tokens.shape[0]):
+            step_top = None if tops is None else (tops[0][i], tops[1][i])
             for seq in survivors:
                 if seq.status != MessageStatus.RUNNING:
                     continue
                 slot = seq.batch_slot
                 self.scheduler.on_decode_done(seq, int(tokens[i, slot]))
-                self._post_token(seq, float(logprobs[i, slot]))
+                self._post_token(seq, float(logprobs[i, slot]),
+                                 top_logprobs=_row_top(step_top, slot, seq))
         stopped_slots = [s.batch_slot for s in survivors
                          if s.status == MessageStatus.STOPPED and s.batch_slot >= 0]
         if stopped_slots:
@@ -422,7 +465,7 @@ class Engine:
             for s in changed:
                 s._synced_blocks = len(s.logical_blocks)
         num_rows = max(s.batch_slot for s in survivors) + 1
-        out_toks, n_emitted = await loop.run_in_executor(
+        out_toks, n_emitted, out_lps = await loop.run_in_executor(
             self._executor, self.spec.spec_decode, num_rows)
         for seq in survivors:
             slot = seq.batch_slot
@@ -430,7 +473,7 @@ class Engine:
                 if seq.status != MessageStatus.RUNNING:
                     break
                 self.scheduler.on_decode_done(seq, int(out_toks[slot, j]))
-                self._post_token(seq, 0.0)
+                self._post_token(seq, float(out_lps[slot, j]))
         stopped = [s.batch_slot for s in survivors
                    if s.status == MessageStatus.STOPPED and s.batch_slot >= 0]
         if stopped:
@@ -438,8 +481,10 @@ class Engine:
         # continuing rows stay host/device-consistent: every emitted token was
         # appended, so device position == num_computed; no re-sync needed
 
-    async def _decode_step_guided(self, seqs, loop):
-        """Single host-driven decode step (per-step guided-decoding masks)."""
+    async def _decode_step_host(self, seqs, loop):
+        """Single host-driven decode step (per-step guided-decoding / bad-words
+        masks).  These rows are never inserted into the device decode state, so
+        no re-sync is needed afterwards."""
         seqs = [s for s in seqs if s.status == MessageStatus.RUNNING]
         if not seqs:
             return
@@ -447,28 +492,35 @@ class Engine:
                                           self.model_agent.decode, seqs)
         tokens = step.tokens_np()
         logprobs = step.logprobs_np()
+        top = step.top_np()
         for i, seq in enumerate(seqs):
             tok = int(tokens[i])
             self.scheduler.on_decode_done(seq, tok)
             if seq.guided is not None:
                 seq.guided.accept_token(tok)
-            self._post_token(seq, float(logprobs[i]))
-        # keep the device decode state coherent for non-guided rows
-        stopped = [s.batch_slot for s in seqs
-                   if s.status == MessageStatus.STOPPED and s.batch_slot >= 0]
-        if stopped:
-            self.model_agent.deactivate_rows(stopped)
-        running = [s for s in seqs if s.status == MessageStatus.RUNNING]
-        if running:
-            self.model_agent.insert_decode_rows(running)
-            for s in running:
-                s._synced_blocks = len(s.logical_blocks)
+            self._post_token(seq, float(logprobs[i]),
+                             top_logprobs=_row_top(top, i, seq))
 
     # -- token post-processing ----------------------------------------------------------
-    def _post_token(self, seq: SchedulerSequence, logprob: float):
+    def _post_token(self, seq: SchedulerSequence, logprob: float,
+                    top_logprobs=None):
         req = self._requests.get(seq.seq_id)
         p = seq.sampling_params
         last_token = seq.output_ids[-1]
+        if p.logprobs >= 0:
+            # accumulate OpenAI-style per-token logprob dicts (chosen token at
+            # rank 0, then the requested top-k); reference: engine returns
+            # logprobs in EngineOutput, serve layer formats them
+            entry = {last_token: Logprob(logprob=logprob, rank=0)}
+            if top_logprobs is not None:
+                vals, ids = top_logprobs
+                for r in range(len(ids)):
+                    tid = int(ids[r])
+                    if tid not in entry:
+                        entry[tid] = Logprob(logprob=float(vals[r]), rank=r + 1)
+            if not hasattr(seq, 'logprob_list'):
+                seq.logprob_list = []
+            seq.logprob_list.append(entry)
         finish_reason = None
         if last_token in p.stop_token_ids and \
                 len(seq.output_ids) >= max(p.min_new_tokens, 1):
@@ -491,7 +543,11 @@ class Engine:
         ids = seq.output_ids
         if strip_stop and ids and ids[-1] in seq.sampling_params.stop_token_ids:
             ids = ids[:-1]
+        lps = None
+        if seq.sampling_params.logprobs >= 0:
+            lps = list(getattr(seq, 'logprob_list', ()))[:len(ids)]
         out = EngineOutput(status=status, token_ids=list(ids), num_token=len(ids),
+                           logprobs=lps,
                            req_metrics=RequestMetrics(
                                arrival_time=seq.metrics.arrival_time,
                                first_scheduled_time=seq.metrics.first_scheduled_time,

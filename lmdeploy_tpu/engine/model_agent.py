@@ -23,7 +23,8 @@ from ..config import EngineConfigBundle, bucketize, make_buckets
 from ..models import build_model
 from ..models.llama import AttnMeta
 from ..nn.layers import make_rope_table
-from ..ops.sampling import SamplingInputs, sample_logits
+from ..ops.sampling import (TOPK_CANDIDATES, SamplingInputs, sample_logits,
+                            topk_bucket)
 from .cache_engine import CacheEngine
 
 logger = logging.getLogger('lmdeploy_tpu')
@@ -43,8 +44,10 @@ class StepOutput:
     def logprobs_np(self) -> np.ndarray:
         return np.asarray(self._logprobs)
 
-    def top_np(self) -> Tuple[np.ndarray, np.ndarray]:
+    def top_np(self):
         vals, ids = self._top
+        if vals is None:
+            return None
         return np.asarray(vals), np.asarray(ids)
 
 
@@ -105,7 +108,9 @@ class ModelAgent:
         # one extra garbage row for padding slots
         counts_shape = (self.max_batch + 1, cfg.vocab_size)
         self.token_counts = jnp.zeros(counts_shape, jnp.int16)
+        self.prompt_mask = jnp.zeros(counts_shape, jnp.bool_)
         self._free_slots = list(range(self.max_batch))   # lowest-first (min holes)
+        self._pending_deactivate = set()   # slots freed while a step ran
 
         # -- bucket schedules ---------------------------------------------------------
         misc = configs.misc
@@ -125,8 +130,9 @@ class ModelAgent:
         self.decode_state = make_initial_state(self.max_batch,
                                                self.state_table_width,
                                                cfg.vocab_size)
-        # decode state and the prefill path share one token-counts buffer
+        # decode state and the prefill path share the token-counts/prompt-mask buffers
         self.decode_state.token_counts = self.token_counts
+        self.decode_state.prompt_mask = self.prompt_mask
         # host sync once per this many decode steps; larger k amortizes more
         # dispatch/RTT overhead per token at the cost of coarser scheduling
         # granularity (new arrivals wait up to k steps to join the batch; the
@@ -162,11 +168,33 @@ class ModelAgent:
         import heapq
         if seq.batch_slot < 0:
             seq.batch_slot = heapq.heappop(self._free_slots)
+            # a reused slot gets fully re-inserted (active + tables); drop any
+            # stale pending deactivation so it cannot kill the new row
+            self._pending_deactivate.discard(seq.batch_slot)
         return seq.batch_slot
+
+    def _flush_deactivations(self):
+        """Apply deferred row deactivations (see free_slot).  Runs in the
+        worker thread immediately before a step dispatch, so it never races
+        with an in-flight donated decode state."""
+        if self._pending_deactivate and self.decode_state is not None:
+            slots = sorted(self._pending_deactivate)
+            self._pending_deactivate.clear()
+            self.deactivate_rows(slots)
 
     def free_slot(self, seq):
         import heapq
         if seq.batch_slot >= 0:
+            # Record the row for deactivation: a cancelled/ended sequence whose
+            # row stayed active=True would keep decoding through its stale
+            # block table and scatter KV into blocks already freed (and
+            # possibly reallocated to other requests) — silent cross-request
+            # KV corruption.  The actual device update is deferred to the next
+            # step dispatch (``_flush_deactivations``): free_slot can be called
+            # from the asyncio thread while a decode run is executing in the
+            # worker thread, and mutating the donated decode state concurrently
+            # would race with that step.
+            self._pending_deactivate.add(seq.batch_slot)
             heapq.heappush(self._free_slots, seq.batch_slot)
             seq.batch_slot = -1
 
@@ -179,8 +207,9 @@ class ModelAgent:
         model = self.model
 
         def step(params, rope_cos, rope_sin, k_cache, v_cache, token_counts,
-                 input_ids, positions, block_tables, history_lens, q_lens,
-                 slot_rows, reset_rows, valid_mask, sampling, adapter_ids, *mm):
+                 prompt_mask, input_ids, positions, block_tables, history_lens,
+                 q_lens, slot_rows, reset_rows, valid_mask, sampling, adapter_ids,
+                 *mm):
             B, T = input_ids.shape
             meta = AttnMeta(block_tables=block_tables, history_lens=history_lens,
                             q_lens=q_lens)
@@ -193,19 +222,25 @@ class ModelAgent:
 
             rows = token_counts[slot_rows]                       # [B, V]
             rows = jnp.where(reset_rows[:, None], 0, rows)
+            prows = prompt_mask[slot_rows]                       # [B, V]
+            prows = jnp.where(reset_rows[:, None], False, prows)
             if count_inputs:
+                # prompt tokens feed the repetition penalty only (prompt mask);
+                # frequency/presence follow OpenAI semantics — generated only
                 b_idx = jnp.broadcast_to(
                     jnp.arange(B, dtype=jnp.int32)[:, None], (B, T)).reshape(-1)
                 t_valid = (jnp.arange(T, dtype=jnp.int32)[None, :]
                            < q_lens[:, None]).reshape(-1)
-                rows = rows.at[b_idx, input_ids.reshape(-1)].add(
-                    t_valid.astype(rows.dtype))
-            tokens, logprob, top = sample_logits(logits, sampling, rows)
+                prows = prows.at[b_idx, input_ids.reshape(-1)].max(t_valid)
+            tokens, logprob, top = sample_logits(logits, sampling, rows, prows)
             rows = rows.at[jnp.arange(B), tokens].add(valid_mask.astype(rows.dtype))
             token_counts = token_counts.at[slot_rows].set(rows)
-            return k_cache, v_cache, token_counts, tokens, logprob, top
+            if count_inputs:
+                prompt_mask = prompt_mask.at[slot_rows].set(prows)
+            return (k_cache, v_cache, token_counts, prompt_mask, tokens, logprob,
+                    top)
 
-        return jax.jit(step, donate_argnums=(3, 4, 5))
+        return jax.jit(step, donate_argnums=(3, 4, 5, 6))
 
     def _get_step_fn(self, count_inputs: bool, fresh_prefill: bool = False,
                      with_embeds: bool = False):
@@ -281,19 +316,23 @@ class ModelAgent:
             adapter_ids[i] = getattr(seq, 'adapter_slot', 0)
 
         fresh = count_inputs and all(s == 0 for s in chunk_starts)
+        self._flush_deactivations()
         fn = self._get_step_fn(count_inputs, fresh, with_embeds=bool(mm_args))
-        (k_cache, v_cache, self.token_counts, tokens, logprob, top) = fn(
+        (k_cache, v_cache, self.token_counts, self.prompt_mask, tokens, logprob,
+         top) = fn(
             self.params, self.rope_cos, self.rope_sin,
             self.cache_engine.k_cache, self.cache_engine.v_cache, self.token_counts,
-            input_ids, positions, block_tables, history_lens, q_lens,
-            slot_rows, reset_rows, valid_mask, sampling, adapter_ids, *mm_args)
+            self.prompt_mask, input_ids, positions, block_tables, history_lens,
+            q_lens, slot_rows, reset_rows, valid_mask, sampling, adapter_ids,
+            *mm_args)
         self.cache_engine.swap_caches(k_cache, v_cache)
-        # the prefill path donated the shared token-counts buffer; re-point the
-        # decode state at the fresh one
+        # the prefill path donated the shared token-counts/prompt-mask buffers;
+        # re-point the decode state at the fresh ones
         if self.decode_state is not None:
             import dataclasses
-            self.decode_state = dataclasses.replace(self.decode_state,
-                                                    token_counts=self.token_counts)
+            self.decode_state = dataclasses.replace(
+                self.decode_state, token_counts=self.token_counts,
+                prompt_mask=self.prompt_mask)
         return StepOutput(tokens, logprob, top)
 
     @staticmethod
@@ -401,6 +440,7 @@ class ModelAgent:
         # shared with the prefill path — re-point both references afterwards
         self.decode_state = self._get_insert_fn()(self.decode_state, idx, rows)
         self.token_counts = self.decode_state.token_counts
+        self.prompt_mask = self.decode_state.prompt_mask
 
     def insert_decode_rows(self, seqs):
         """Write these RUNNING seqs' rows into the device decode state."""
@@ -448,17 +488,18 @@ class ModelAgent:
         self._step_fns = {k: v for k, v in self._step_fns.items()
                           if not (isinstance(k, tuple) and k and k[0] == 'run')}
 
-    def _get_run_fn(self, k: int, B: int, simple: bool = False):
+    def _get_run_fn(self, k: int, B: int, simple: bool = False,
+                    top_lp: int = 0, kmax: int = TOPK_CANDIDATES):
         import dataclasses
         import jax
         import jax.numpy as jnp
 
-        key = ('run', k, B, simple)
+        key = ('run', k, B, simple, top_lp, kmax)
         fn = self._step_fns.get(key)
         if fn is not None:
             return fn
         if simple:
-            fn = self._make_simple_run_fn(k, B)
+            fn = self._make_simple_run_fn(k, B, top_lp)
             self._step_fns[key] = fn
             return fn
         model = self.model
@@ -466,11 +507,12 @@ class ModelAgent:
 
         from .decode_state import DecodeState
         row_fields = [f.name for f in dataclasses.fields(DecodeState)
-                      if f.name != 'token_counts']
+                      if f.name not in ('token_counts', 'prompt_mask')]
 
         def run(params, rope_cos, rope_sin, k_cache, v_cache, state):
             sub = {n: getattr(state, n)[:B] for n in row_fields}
             full_counts = state.token_counts      # [Bmax+1, V] (shared w/ prefill)
+            pmask = state.prompt_mask[:B]         # fixed during decode
 
             def step_fn(carry, _):
                 kc, vc, st, counts_full = carry
@@ -491,27 +533,30 @@ class ModelAgent:
                     repetition_penalty=st['repetition_penalty'],
                     frequency_penalty=st['frequency_penalty'],
                     presence_penalty=st['presence_penalty'],
-                    do_sample=st['do_sample'], seeds=seeds)
-                tokens, lp, _ = sample_logits(logits, si, counts)
+                    do_sample=st['do_sample'], seeds=seeds,
+                    max_top_logprobs=top_lp)
+                tokens, lp, top = sample_logits(logits, si, counts, pmask,
+                                                kmax=kmax)
                 new_token = jnp.where(act, tokens, st['token'])
                 counts_full = counts_full.at[jnp.arange(B), tokens].add(
                     act.astype(counts_full.dtype))
                 st = dict(st, token=new_token, position=st['position'] + q_lens,
                           step_no=st['step_no'] + q_lens)
-                return (kc, vc, st, counts_full), (new_token, lp)
+                return (kc, vc, st, counts_full), (new_token, lp) + top
 
-            (k_cache, v_cache, sub, full_counts), (toks, lps) = jax.lax.scan(
-                step_fn, (k_cache, v_cache, sub, full_counts), None, length=k)
+            (k_cache, v_cache, sub, full_counts), (toks, lps, tv, ti) = \
+                jax.lax.scan(
+                    step_fn, (k_cache, v_cache, sub, full_counts), None, length=k)
             state = dataclasses.replace(
                 state, token_counts=full_counts,
                 **{n: getattr(state, n).at[:B].set(sub[n]) for n in row_fields})
-            return k_cache, v_cache, state, toks, lps
+            return k_cache, v_cache, state, toks, lps, tv, ti
 
         fn = jax.jit(run, donate_argnums=(3, 4, 5))
         self._step_fns[key] = fn
         return fn
 
-    def _make_simple_run_fn(self, k: int, B: int):
+    def _make_simple_run_fn(self, k: int, B: int, top_lp: int = 0):
         """Greedy fast path: when every active row is greedy with neutral
         penalties, the sampling pipeline reduces to argmax — skip the
         seen-token-count gather/scatter, penalty math, top-k/p/min-p masking
@@ -524,7 +569,7 @@ class ModelAgent:
         model = self.model
         from .decode_state import DecodeState
         row_fields = [f.name for f in dataclasses.fields(DecodeState)
-                      if f.name != 'token_counts']
+                      if f.name not in ('token_counts', 'prompt_mask')]
 
         def run(params, rope_cos, rope_sin, k_cache, v_cache, state):
             sub = {n: getattr(state, n)[:B] for n in row_fields}
@@ -544,38 +589,49 @@ class ModelAgent:
                 lp = (jnp.take_along_axis(logits, tokens[:, None], 1)[:, 0]
                       - jax.scipy.special.logsumexp(logits, axis=-1))
                 new_token = jnp.where(act, tokens, st['token'])
+                if top_lp > 0:
+                    lp_all = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+                    tv, tix = jax.lax.top_k(lp_all, top_lp)
+                else:
+                    tv = jnp.zeros((B, 1), jnp.float32)
+                    tix = jnp.zeros((B, 1), jnp.int32)
                 st = dict(st, token=new_token, position=st['position'] + q_lens,
                           step_no=st['step_no'] + q_lens)
-                return (kc, vc, st), (new_token, lp)
+                return (kc, vc, st), (new_token, lp, tv, tix)
 
-            (k_cache, v_cache, sub), (toks, lps) = jax.lax.scan(
+            (k_cache, v_cache, sub), (toks, lps, tv, ti) = jax.lax.scan(
                 step_fn, (k_cache, v_cache, sub), None, length=k)
             state = dataclasses.replace(
                 state,
                 **{n: getattr(state, n).at[:B].set(sub[n]) for n in row_fields})
-            return k_cache, v_cache, state, toks, lps
+            return k_cache, v_cache, state, toks, lps, tv, ti
 
         return jax.jit(run, donate_argnums=(3, 4, 5))
 
     def decode_run(self, num_rows: int, k: Optional[int] = None,
-                   simple: bool = False) -> StepOutput:
+                   simple: bool = False, top_lp: int = 0,
+                   kmax: int = TOPK_CANDIDATES) -> StepOutput:
         """Dispatch k device-side decode steps over rows [0, num_rows).
 
         Returns tokens [k, B] (fetch once).  Capacity (blocks + table rows) for k
         more tokens per row must already be ensured by the caller.  ``simple``
         selects the greedy fast path (caller guarantees every active row is
-        greedy with neutral penalties).
+        greedy with neutral penalties).  ``top_lp`` > 0 additionally returns the
+        per-step top-``top_lp`` logprobs [k, B, top_lp] (OpenAI top_logprobs);
+        ``kmax`` widens the top-k/p candidate set when a row asks top_k > 64.
         """
         k = k or self.decode_run_steps
         B = bucketize(num_rows, self.batch_buckets)
-        fn = self._get_run_fn(k, B, simple)
-        (k_cache, v_cache, self.decode_state, toks, lps) = fn(
+        self._flush_deactivations()
+        fn = self._get_run_fn(k, B, simple, top_lp, kmax)
+        (k_cache, v_cache, self.decode_state, toks, lps, tv, ti) = fn(
             self.params, self.rope_cos, self.rope_sin,
             self.cache_engine.k_cache, self.cache_engine.v_cache,
             self.decode_state)
         self.cache_engine.swap_caches(k_cache, v_cache)
         self.token_counts = self.decode_state.token_counts
-        return StepOutput(toks, lps, (None, None))
+        self.prompt_mask = self.decode_state.prompt_mask
+        return StepOutput(toks, lps, (tv, ti) if top_lp > 0 else (None, None))
 
     # -- logits / ppl export -------------------------------------------------------------
     def _get_logits_fn(self):
@@ -632,6 +688,7 @@ class ModelAgent:
         self.cache_engine.v_cache = None
         self.decode_state = None
         self.token_counts = None
+        self.prompt_mask = None
         if level >= 2:
             self._host_params = jax.device_get(self.params)
             self.params = None
@@ -674,11 +731,14 @@ class ModelAgent:
         self.cache_engine.v_cache = fresh_cache()
         self.token_counts = jnp.zeros((self.max_batch + 1, cfg.vocab_size),
                                       jnp.int16)
+        self.prompt_mask = jnp.zeros((self.max_batch + 1, cfg.vocab_size),
+                                     jnp.bool_)
         self.decode_state = make_initial_state(self.max_batch,
                                                self.state_table_width,
                                                cfg.vocab_size)
         self.decode_state = dataclasses.replace(self.decode_state,
-                                                token_counts=self.token_counts)
+                                                token_counts=self.token_counts,
+                                                prompt_mask=self.prompt_mask)
         self._slept_level = 0
 
     def update_params(self, named_arrays) -> int:
@@ -746,6 +806,8 @@ class ModelAgent:
         import jax.numpy as jnp
         counts_s = jax.ShapeDtypeStruct(self.token_counts.shape,
                                         self.token_counts.dtype)
+        pmask_s = jax.ShapeDtypeStruct(self.prompt_mask.shape,
+                                       self.prompt_mask.dtype)
         for tok in (prefill_tokens or []):
             T = bucketize(tok, self.chunk_buckets)
             B = min(self.sched_config.max_prefill_batch, self.max_batch)
@@ -765,7 +827,7 @@ class ModelAgent:
                 do_sample=jax.ShapeDtypeStruct((B,), jnp.bool_),
                 seeds=jax.ShapeDtypeStruct((B,), jnp.uint32))
             self._get_step_fn(True, True).lower(
-                params_s, cos_s, sin_s, kc_s, vc_s, counts_s,
+                params_s, cos_s, sin_s, kc_s, vc_s, counts_s, pmask_s,
                 jax.ShapeDtypeStruct((B, T), i32), jax.ShapeDtypeStruct((B, T), i32),
                 jax.ShapeDtypeStruct((B, W), i32), jax.ShapeDtypeStruct((B,), i32),
                 jax.ShapeDtypeStruct((B,), i32), jax.ShapeDtypeStruct((B,), i32),

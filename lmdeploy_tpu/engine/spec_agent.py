@@ -81,7 +81,7 @@ class SpecExtension:
 
     # -- jitted spec step ---------------------------------------------------------------
     @staticmethod
-    def _masked_dist(logits, st, counts, greedy_onehot=True):
+    def _masked_dist(logits, st, counts, pmask=None, greedy_onehot=True):
         """Per-row sampling distribution matching ops/sampling semantics."""
         import jax
         import jax.numpy as jnp
@@ -91,7 +91,7 @@ class SpecExtension:
             frequency_penalty=st['frequency_penalty'],
             presence_penalty=st['presence_penalty'], do_sample=st['do_sample'],
             seeds=st['seed'])
-        logits = apply_penalties(logits.astype(jnp.float32), counts, si)
+        logits = apply_penalties(logits.astype(jnp.float32), counts, si, pmask)
         scaled = logits / si.temperature[:, None]
         keep = _top_k_p_min_p_mask(scaled, si)
         masked = jnp.where(keep, scaled, -jnp.inf)
@@ -116,7 +116,7 @@ class SpecExtension:
         GOLDEN = np.uint32(0x9E3779B9)
         from .decode_state import DecodeState
         row_fields = [f.name for f in dataclasses.fields(DecodeState)
-                      if f.name != 'token_counts']
+                      if f.name not in ('token_counts', 'prompt_mask')]
 
         masked_dist = self._masked_dist
 
@@ -124,6 +124,7 @@ class SpecExtension:
                 kc, vc, dkc, dvc, state):
             sub = {n: getattr(state, n)[:B] for n in row_fields}
             counts = state.token_counts[:B]
+            pmask = state.prompt_mask[:B]
             act = sub['active']
             q1 = act.astype(jnp.int32)
 
@@ -136,7 +137,7 @@ class SpecExtension:
                     dparams, tok[:, None],
                     jnp.clip(dpos, 0, agent.max_model_len - 1)[:, None],
                     dkc, dvc, meta, dcos, dsin)
-                dist = masked_dist(logits, sub, counts)
+                dist = masked_dist(logits, sub, counts, pmask)
                 seeds = sub['seed'] + (sub['step_no'].astype(jnp.uint32)
                                        + 1 + i.astype(jnp.uint32)) * GOLDEN
                 toks = jax.vmap(lambda s, p: jax.random.choice(
@@ -161,7 +162,7 @@ class SpecExtension:
                 params, chunk, jnp.clip(positions, 0, agent.max_model_len - 1),
                 kc, vc, meta, rope_cos, rope_sin, return_all_logits=True)
             tgt_dists = jax.vmap(
-                lambda lg: masked_dist(lg, sub, counts),
+                lambda lg: masked_dist(lg, sub, counts, pmask),
                 in_axes=1, out_axes=1)(logits_all)            # [B, K+1, V]
 
             # (c) accept / resample
@@ -172,6 +173,9 @@ class SpecExtension:
             out_toks, n_emitted = reject_sample(tgt_dists, draft_dists, draft_toks,
                                                 step_key)
             n_emitted = jnp.where(act, n_emitted, 0)
+            lp_all = jax.nn.log_softmax(logits_all.astype(jnp.float32), axis=-1)
+            out_lps = jnp.take_along_axis(lp_all, out_toks[..., None],
+                                          axis=-1)[..., 0]          # [B, K+1]
 
             # (d) state update: advance by the accepted count
             last_idx = jnp.clip(n_emitted - 1, 0, K)
@@ -191,7 +195,7 @@ class SpecExtension:
             state = dataclasses.replace(
                 state, token_counts=counts_upd,
                 **{n: getattr(state, n).at[:B].set(sub[n]) for n in row_fields})
-            return kc, vc, dkc, dvc, state, out_toks, n_emitted
+            return kc, vc, dkc, dvc, state, out_toks, n_emitted, out_lps
 
         fn = jax.jit(run, donate_argnums=(6, 7, 8, 9, 10))
         self._fns[B] = fn
@@ -216,13 +220,14 @@ class SpecExtension:
         GOLDEN = np.uint32(0x9E3779B9)
         from .decode_state import DecodeState
         row_fields = [f.name for f in dataclasses.fields(DecodeState)
-                      if f.name != 'token_counts']
+                      if f.name not in ('token_counts', 'prompt_mask')]
         masked_dist = self._masked_dist
 
         def run(params, dparams, rope_cos, rope_sin, kc, vc, dkc, dvc, state,
                 hidden_full):
             sub = {n: getattr(state, n)[:B] for n in row_fields}
             counts = state.token_counts[:B]
+            pmask = state.prompt_mask[:B]
             act = sub['active']
             q1 = act.astype(jnp.int32)
 
@@ -233,7 +238,7 @@ class SpecExtension:
                     jnp.clip(dpos, 0, agent.max_model_len - 1),
                     dkc, dvc, sub['tables'], q1, rope_cos, rope_sin,
                     agent.max_model_len)
-                dist = masked_dist(logits, sub, counts)
+                dist = masked_dist(logits, sub, counts, pmask)
                 seeds = sub['seed'] + (sub['step_no'].astype(jnp.uint32)
                                        + 1 + i.astype(jnp.uint32)) * GOLDEN
                 toks = jax.vmap(lambda s, p: jax.random.choice(
@@ -259,7 +264,7 @@ class SpecExtension:
                 kc, vc, meta, rope_cos, rope_sin, return_all_logits=True,
                 return_hidden=True)
             tgt_dists = jax.vmap(
-                lambda lg: masked_dist(lg, sub, counts),
+                lambda lg: masked_dist(lg, sub, counts, pmask),
                 in_axes=1, out_axes=1)(logits_all)
 
             step_key = jax.random.fold_in(
@@ -269,6 +274,9 @@ class SpecExtension:
             out_toks, n_emitted = reject_sample(tgt_dists, draft_dists,
                                                 draft_toks, step_key)
             n_emitted = jnp.where(act, n_emitted, 0)
+            lp_all = jax.nn.log_softmax(logits_all.astype(jnp.float32), axis=-1)
+            out_lps = jnp.take_along_axis(lp_all, out_toks[..., None],
+                                          axis=-1)[..., 0]          # [B, K+1]
 
             last_idx = jnp.clip(n_emitted - 1, 0, K)
             new_token = jnp.take_along_axis(out_toks, last_idx[:, None],
@@ -293,7 +301,7 @@ class SpecExtension:
             state = dataclasses.replace(
                 state, token_counts=counts_upd,
                 **{n: getattr(state, n).at[:B].set(sub[n]) for n in row_fields})
-            return kc, vc, dkc, dvc, state, hidden_full, out_toks, n_emitted
+            return kc, vc, dkc, dvc, state, hidden_full, out_toks, n_emitted, out_lps
 
         fn = jax.jit(run, donate_argnums=(4, 5, 6, 7, 8, 9))
         self._fns[key] = fn
@@ -311,18 +319,19 @@ class SpecExtension:
         if self.method == 'eagle':
             fn = self._get_fn_eagle(B)
             (kc, vc, self.draft_k, self.draft_v, agent.decode_state,
-             self.hidden, out_toks, n_emitted) = fn(
+             self.hidden, out_toks, n_emitted, out_lps) = fn(
                 agent.params, self.draft_params, agent.rope_cos, agent.rope_sin,
                 agent.cache_engine.k_cache, agent.cache_engine.v_cache,
                 self.draft_k, self.draft_v, agent.decode_state, self.hidden)
         else:
             fn = self._get_fn(B)
             (kc, vc, self.draft_k, self.draft_v, agent.decode_state, out_toks,
-             n_emitted) = fn(
+             n_emitted, out_lps) = fn(
                 agent.params, self.draft_params, agent.rope_cos, agent.rope_sin,
                 self.draft_cos, self.draft_sin,
                 agent.cache_engine.k_cache, agent.cache_engine.v_cache,
                 self.draft_k, self.draft_v, agent.decode_state)
         agent.cache_engine.swap_caches(kc, vc)
         agent.token_counts = agent.decode_state.token_counts
-        return np.asarray(out_toks), np.asarray(n_emitted)
+        agent.prompt_mask = agent.decode_state.prompt_mask
+        return np.asarray(out_toks), np.asarray(n_emitted), np.asarray(out_lps)

@@ -101,37 +101,53 @@ jax.tree_util.register_dataclass(
 
 
 def apply_penalties(logits: jax.Array, token_counts: jax.Array,
-                    inputs: SamplingInputs) -> jax.Array:
+                    inputs: SamplingInputs,
+                    prompt_mask: Optional[jax.Array] = None) -> jax.Array:
     """Repetition (seen-token), frequency and presence penalties.
 
-    ``token_counts`` is [B, V] int: counts of tokens seen so far (prompt + generated for
-    repetition; generated counts also drive frequency/presency like OpenAI semantics —
-    the engine maintains the counts array on device).
+    ``token_counts`` is [B, V] int: counts of *generated* tokens only — OpenAI
+    semantics for frequency/presence penalties.  ``prompt_mask`` is [B, V] bool
+    marking tokens present in the prompt; repetition penalty covers
+    prompt+generated (HF/reference semantics, logits_process.py
+    _process_repetition_penalty_) while frequency/presence ignore the prompt.
     """
     counts = token_counts.astype(jnp.float32)
-    seen = counts > 0
+    generated = counts > 0
+    seen = generated if prompt_mask is None else (generated | prompt_mask)
 
     rep = inputs.repetition_penalty[:, None]
     penalized = jnp.where(logits > 0, logits / rep, logits * rep)
     logits = jnp.where(seen, penalized, logits)
 
     logits = logits - counts * inputs.frequency_penalty[:, None]
-    logits = logits - seen.astype(jnp.float32) * inputs.presence_penalty[:, None]
+    logits = logits - generated.astype(jnp.float32) * inputs.presence_penalty[:, None]
     return logits
 
 
 # Filtering thresholds are derived from the top KMAX candidates only — a full-vocab
-# jnp.sort is pathologically slow on TPU (minutes for [B, 32k]); lax.top_k(64) plus
+# jnp.sort is pathologically slow on TPU (minutes for [B, 32k]); lax.top_k(kmax) plus
 # elementwise value-threshold masks gives identical results whenever the effective
-# candidate set fits in 64 (top_k is clamped to 64; a top_p nucleus wider than the
-# top-64 mass falls back to no filtering, which only widens the distribution).
+# candidate set fits in kmax.  The default is 64; callers whose batch contains a
+# top_k > 64 request pass a wider (power-of-two bucketed) kmax so the requested
+# distribution is honored exactly (the engine picks the bucket per decode run).
+# A top_p nucleus wider than the top-kmax mass falls back to no filtering, which
+# only widens the distribution.
 TOPK_CANDIDATES = 64
 
 
-def _top_k_p_min_p_mask(logits: jax.Array, inputs: SamplingInputs) -> jax.Array:
+def topk_bucket(max_top_k: int, vocab_size: int) -> int:
+    """Candidate-set width for a batch whose largest top_k is ``max_top_k``."""
+    k = TOPK_CANDIDATES
+    while k < max_top_k and k < vocab_size:
+        k *= 2
+    return min(k, vocab_size)
+
+
+def _top_k_p_min_p_mask(logits: jax.Array, inputs: SamplingInputs,
+                        kmax: int = TOPK_CANDIDATES) -> jax.Array:
     """Combined top-k / top-p / min-p filtering with per-row parameters (sort-free)."""
     B, V = logits.shape
-    kmax = min(TOPK_CANDIDATES, V)
+    kmax = min(kmax, V)
     top_vals, _ = jax.lax.top_k(logits, kmax)                      # [B, kmax] desc
     max_logit = top_vals[:, :1]
 
@@ -166,6 +182,8 @@ def _top_k_p_min_p_mask(logits: jax.Array, inputs: SamplingInputs) -> jax.Array:
 
 
 def sample_logits(logits: jax.Array, inputs: SamplingInputs, token_counts: jax.Array,
+                  prompt_mask: Optional[jax.Array] = None,
+                  kmax: int = TOPK_CANDIDATES,
                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Full sampling pipeline.
 
@@ -175,12 +193,12 @@ def sample_logits(logits: jax.Array, inputs: SamplingInputs, token_counts: jax.A
     logits = logits.astype(jnp.float32)
     if inputs.bad_words_mask is not None:
         logits = jnp.where(inputs.bad_words_mask, NEG_INF, logits)
-    logits = apply_penalties(logits, token_counts, inputs)
+    logits = apply_penalties(logits, token_counts, inputs, prompt_mask)
 
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     scaled = logits / inputs.temperature[:, None]
-    keep = _top_k_p_min_p_mask(scaled, inputs)
+    keep = _top_k_p_min_p_mask(scaled, inputs, kmax)
     masked = jnp.where(keep, scaled, NEG_INF)
 
     sampled = jax.vmap(lambda s, row: jax.random.categorical(

@@ -42,9 +42,50 @@ def _gen_config_from_chat(req: ChatCompletionRequest) -> GenerationConfig:
         stop_words=stop,
         random_seed=req.seed,
         skip_special_tokens=bool(req.skip_special_tokens),
-        logprobs=req.top_logprobs if req.logprobs else None,
+        logprobs=(req.top_logprobs or 0) if req.logprobs else None,
         response_format=req.response_format,
     )
+
+
+def _chat_logprobs(entries, token_ids, tokenizer):
+    """OpenAI chat-completions ``logprobs`` object for these generated tokens.
+
+    ``entries``: per-token dicts {token_id: Logprob} from the engine (chosen
+    token at rank 0, requested top-k after).  Reference:
+    serve/openai/endpoints/chat_completions.py logprobs assembly.
+    """
+    content = []
+    for tok, entry in zip(token_ids, entries or ()):
+        text = tokenizer.decode([tok])
+        tops = []
+        for tid, lp in sorted(entry.items(),
+                              key=lambda kv: (kv[1].rank if kv[1].rank else 0)):
+            if tid == tok:
+                continue
+            t_text = tokenizer.decode([tid])
+            tops.append({'token': t_text, 'logprob': lp.logprob,
+                         'bytes': list(t_text.encode('utf-8', 'replace'))})
+        chosen = entry.get(tok)
+        content.append({
+            'token': text,
+            'logprob': chosen.logprob if chosen else 0.0,
+            'bytes': list(text.encode('utf-8', 'replace')),
+            'top_logprobs': tops,
+        })
+    return {'content': content}
+
+
+def _completion_logprobs(entries, token_ids, tokenizer):
+    """Legacy completions-API logprobs object (tokens/token_logprobs arrays)."""
+    tokens, token_logprobs, top_logprobs = [], [], []
+    for tok, entry in zip(token_ids, entries or ()):
+        tokens.append(tokenizer.decode([tok]))
+        chosen = entry.get(tok)
+        token_logprobs.append(chosen.logprob if chosen else 0.0)
+        top_logprobs.append({tokenizer.decode([tid]): lp.logprob
+                             for tid, lp in entry.items()})
+    return {'tokens': tokens, 'token_logprobs': token_logprobs,
+            'top_logprobs': top_logprobs, 'text_offset': []}
 
 
 def create_app(engine: AsyncEngine, model_name: str, api_key: Optional[str] = None):
@@ -123,8 +164,13 @@ def create_app(engine: AsyncEngine, model_name: str, api_key: Optional[str] = No
                     if first:
                         delta.role = 'assistant'
                         first = False
+                    lp_obj = None
+                    if req.logprobs and out.logprobs:
+                        lp_obj = _chat_logprobs(out.logprobs, out.token_ids,
+                                                engine.tokenizer)
                     chunk.choices = [ChatCompletionStreamChoice(
-                        delta=delta, finish_reason=out.finish_reason)]
+                        delta=delta, finish_reason=out.finish_reason,
+                        logprobs=lp_obj)]
                     await resp.write(
                         f'data: {chunk.model_dump_json()}\n\n'.encode())
             except (ConnectionResetError, asyncio.CancelledError):
@@ -138,23 +184,29 @@ def create_app(engine: AsyncEngine, model_name: str, api_key: Optional[str] = No
         finish_reason = None
         input_len = 0
         gen_len = 0
+        all_ids, all_lps = [], []
         async for out in engine.generate(messages, session_id,
                                          gen_config=gen_config):
             text += out.response
             finish_reason = out.finish_reason
             input_len = out.input_token_len
             gen_len = out.generate_token_len
+            if req.logprobs and out.logprobs:
+                all_ids.extend(out.token_ids)
+                all_lps.extend(out.logprobs)
         from .parsers import parse_response
         parsed = parse_response(text, enable_tools=bool(req.tools))
         if parsed['tool_calls']:
             finish_reason = 'tool_calls'
+        lp_obj = _chat_logprobs(all_lps, all_ids, engine.tokenizer) \
+            if all_lps else None
         body = ChatCompletionResponse(
             model=req.model,
             choices=[ChatCompletionChoice(
                 message=ChatMessage(role='assistant', content=parsed['content'],
                                     reasoning_content=parsed['reasoning_content'],
                                     tool_calls=parsed['tool_calls']),
-                finish_reason=finish_reason)],
+                finish_reason=finish_reason, logprobs=lp_obj)],
             usage=UsageInfo(prompt_tokens=input_len, completion_tokens=gen_len,
                             total_tokens=input_len + gen_len))
         return web.json_response(body.model_dump())
@@ -174,7 +226,8 @@ def create_app(engine: AsyncEngine, model_name: str, api_key: Optional[str] = No
             frequency_penalty=req.frequency_penalty or 0.0,
             stop_words=req.stop if isinstance(req.stop, list)
             else ([req.stop] if req.stop else None),
-            random_seed=req.seed)
+            random_seed=req.seed,
+            logprobs=req.logprobs)
 
         if req.stream:
             session_id = engine.next_session_id()
@@ -198,6 +251,7 @@ def create_app(engine: AsyncEngine, model_name: str, api_key: Optional[str] = No
             text = ''
             finish_reason = None
             input_len = gen_len = 0
+            all_ids, all_lps = [], []
             async for out in engine.generate(prompt, session_id,
                                              gen_config=gen_config,
                                              do_preprocess=False):
@@ -205,7 +259,12 @@ def create_app(engine: AsyncEngine, model_name: str, api_key: Optional[str] = No
                 finish_reason = out.finish_reason
                 input_len = out.input_token_len
                 gen_len = out.generate_token_len
-            return CompletionChoice(index=i, text=text,
+                if req.logprobs is not None and out.logprobs:
+                    all_ids.extend(out.token_ids)
+                    all_lps.extend(out.logprobs)
+            lp_obj = _completion_logprobs(all_lps, all_ids, engine.tokenizer) \
+                if all_lps else None
+            return CompletionChoice(index=i, text=text, logprobs=lp_obj,
                                     finish_reason=finish_reason), input_len, gen_len
 
         results = await asyncio.gather(*[one(i, p) for i, p in enumerate(prompts)])

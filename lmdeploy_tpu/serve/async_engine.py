@@ -210,12 +210,16 @@ class AsyncEngine:
 
             is_final = finish_reason is not None
             if emit_text or is_final:
+                lps = None
+                if out.logprobs is not None:
+                    lps = out.logprobs[prev_len:len(ids)]
                 yield GenOut(response=emit_text,
                              history_token_len=0,
                              input_token_len=len(input_ids),
                              generate_token_len=len(ids),
                              finish_reason=finish_reason,
-                             token_ids=list(ids[prev_len:]))
+                             token_ids=list(ids[prev_len:]),
+                             logprobs=lps)
                 prev_len = len(ids)
             if is_final:
                 break
@@ -250,17 +254,21 @@ class AsyncEngine:
         session_id = self.next_session_id()
         text = ''
         token_ids: List[int] = []
+        logprobs = []
         finish_reason = None
         input_len = 0
         async for out in self.generate(prompt, session_id, gen_config=gen_config,
                                        do_preprocess=do_preprocess):
             text += out.response
             token_ids.extend(out.token_ids or [])
+            if out.logprobs:
+                logprobs.extend(out.logprobs)
             finish_reason = out.finish_reason
             input_len = out.input_token_len
         return Response(text=text, generate_token_len=len(token_ids),
                         input_token_len=input_len, finish_reason=finish_reason,
-                        token_ids=token_ids, index=index)
+                        token_ids=token_ids, logprobs=logprobs or None,
+                        index=index)
 
     async def async_batch_infer(self, prompts, gen_config=None, do_preprocess=True,
                                 **kwargs) -> List[Response]:

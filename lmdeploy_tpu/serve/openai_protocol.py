@@ -95,6 +95,7 @@ class ChatCompletionStreamChoice(BaseModel):
     index: int = 0
     delta: DeltaMessage = DeltaMessage()
     finish_reason: Optional[str] = None
+    logprobs: Optional[Dict[str, Any]] = None
 
 
 class ChatCompletionStreamResponse(BaseModel):
@@ -122,6 +123,7 @@ class CompletionRequest(BaseModel):
     presence_penalty: Optional[float] = 0.0
     frequency_penalty: Optional[float] = 0.0
     repetition_penalty: Optional[float] = 1.0
+    logprobs: Optional[int] = None
     seed: Optional[int] = None
     user: Optional[str] = None
 

@@ -1,0 +1,278 @@
+"""Sampling semantics fixes (round 2).
+
+Covers: OpenAI penalty semantics (frequency/presence from generated tokens only,
+repetition over prompt+generated), bad-words enforcement on every decode-run
+step, top_k > 64 candidate widening, logprobs on the decode fast path, and the
+stale decode-row deactivation regression (cancelled request must not keep
+decoding through freed blocks).
+"""
+import asyncio
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lmdeploy_tpu.ops.sampling import (SamplingInputs, sample_logits,
+                                       topk_bucket)
+
+
+def _inputs(B, V, **over):
+    base = dict(
+        temperature=np.ones(B, np.float32),
+        top_k=np.zeros(B, np.int32),
+        top_p=np.ones(B, np.float32),
+        min_p=np.zeros(B, np.float32),
+        repetition_penalty=np.ones(B, np.float32),
+        frequency_penalty=np.zeros(B, np.float32),
+        presence_penalty=np.zeros(B, np.float32),
+        do_sample=np.zeros(B, bool),
+        seeds=np.zeros(B, np.uint32))
+    base.update(over)
+    return SamplingInputs(**{k: v if k == 'max_top_logprobs' else np.asarray(v)
+                             for k, v in base.items()})
+
+
+class TestPenaltySemantics:
+    def test_presence_penalty_ignores_prompt(self):
+        """A token seen only in the prompt must NOT receive presence penalty."""
+        V = 16
+        logits = np.zeros((1, V), np.float32)
+        logits[0, 3] = 1.0   # best
+        logits[0, 5] = 0.9   # runner-up
+        counts = jnp.zeros((1, V), jnp.int16)          # nothing generated
+        pmask = np.zeros((1, V), bool)
+        pmask[0, 3] = True                             # token 3 in prompt only
+        si = _inputs(1, V, presence_penalty=np.asarray([5.0], np.float32))
+        tokens, _, _ = sample_logits(jnp.asarray(logits), si, counts,
+                                     jnp.asarray(pmask))
+        # presence penalty ignores the prompt: token 3 stays the argmax
+        assert int(tokens[0]) == 3
+
+    def test_presence_penalty_applies_to_generated(self):
+        V = 16
+        logits = np.zeros((1, V), np.float32)
+        logits[0, 3] = 1.0
+        logits[0, 5] = 0.9
+        counts = np.zeros((1, V), np.int16)
+        counts[0, 3] = 1                               # token 3 was generated
+        si = _inputs(1, V, presence_penalty=np.asarray([5.0], np.float32))
+        tokens, _, _ = sample_logits(jnp.asarray(logits), si,
+                                     jnp.asarray(counts), None)
+        assert int(tokens[0]) == 5
+
+    def test_repetition_penalty_covers_prompt(self):
+        V = 16
+        logits = np.zeros((1, V), np.float32)
+        logits[0, 3] = 1.0
+        logits[0, 5] = 0.9
+        counts = jnp.zeros((1, V), jnp.int16)
+        pmask = np.zeros((1, V), bool)
+        pmask[0, 3] = True
+        si = _inputs(1, V, repetition_penalty=np.asarray([5.0], np.float32))
+        tokens, _, _ = sample_logits(jnp.asarray(logits), si, counts,
+                                     jnp.asarray(pmask))
+        # repetition penalty sees the prompt token: 1.0/5 < 0.9
+        assert int(tokens[0]) == 5
+
+    def test_frequency_penalty_scales_with_generated_count(self):
+        V = 16
+        logits = np.zeros((1, V), np.float32)
+        logits[0, 3] = 1.0
+        logits[0, 5] = 0.5
+        counts = np.zeros((1, V), np.int16)
+        counts[0, 3] = 3
+        si = _inputs(1, V, frequency_penalty=np.asarray([0.2], np.float32))
+        tokens, _, _ = sample_logits(jnp.asarray(logits), si,
+                                     jnp.asarray(counts), None)
+        # 1.0 - 3*0.2 = 0.4 < 0.5
+        assert int(tokens[0]) == 5
+
+
+class TestTopKWidening:
+    def test_topk_bucket(self):
+        assert topk_bucket(0, 1000) == 64
+        assert topk_bucket(64, 1000) == 64
+        assert topk_bucket(65, 1000) == 128
+        assert topk_bucket(200, 1000) == 256
+        assert topk_bucket(5000, 1000) == 1000
+
+    def test_topk_100_honored_with_wide_kmax(self):
+        V = 512
+        rng = np.random.RandomState(0)
+        logits = np.argsort(np.argsort(rng.randn(V))).astype(np.float32)[None]
+        # logits are a permutation of 0..V-1: rank is recoverable
+        si = _inputs(1, V, top_k=np.asarray([100], np.int32),
+                     do_sample=np.asarray([True]),
+                     temperature=np.asarray([1000.0], np.float32))
+        counts = jnp.zeros((1, V), jnp.int16)
+        seen = set()
+        for seed in range(200):
+            si.seeds = np.asarray([seed], np.uint32)
+            tok, _, _ = sample_logits(jnp.asarray(logits), si, counts, None,
+                                      kmax=topk_bucket(100, V))
+            seen.add(int(logits[0, int(tok[0])]))
+        # every sampled token must be within the top-100 by logit rank
+        assert min(seen) >= V - 100
+        # and the widened candidate set actually reaches beyond the top-64
+        assert min(seen) < V - 64
+
+
+@pytest.fixture(scope='module')
+def engine(tiny_model_dir):
+    from lmdeploy_tpu.engine.engine import Engine
+    from lmdeploy_tpu.messages import TpuEngineConfig
+    cfg = TpuEngineConfig(dtype='float32', block_size=16, num_gpu_blocks=64,
+                          max_batch_size=8, session_len=256,
+                          max_prefill_token_num=64)
+    eng = Engine.from_pretrained(tiny_model_dir, cfg)
+    yield eng
+    eng.close()
+
+
+def run_async(coro):
+    loop = asyncio.new_event_loop()
+    try:
+        return loop.run_until_complete(coro)
+    finally:
+        loop.close()
+
+
+def generate_out(engine, session_id, prompt_ids, max_new=8, **gen_kwargs):
+    from lmdeploy_tpu.messages import GenerationConfig
+
+    async def run():
+        inst = engine.create_instance()
+        gen_kwargs.setdefault('ignore_eos', True)
+        gen = GenerationConfig(max_new_tokens=max_new, **gen_kwargs)
+        out = await inst.async_infer(session_id, prompt_ids, gen)
+        await inst.async_end(session_id)
+        return out
+
+    return run_async(run())
+
+
+def test_bad_words_enforced_every_step(engine):
+    """bad_token_ids must constrain every generated token, not just the first
+    (regression: decode runs ignored bad words — ADVICE r1)."""
+    prompt = [1, 5, 9, 13, 20, 31, 7]
+    base = generate_out(engine, 301, prompt, max_new=8)
+    # ban a token that greedy decoding would otherwise emit mid-stream
+    banned = base.token_ids[3]
+    out = generate_out(engine, 302, prompt, max_new=8, bad_token_ids=[banned])
+    assert banned not in out.token_ids
+    # the un-banned prefix is unchanged
+    assert out.token_ids[:3] == base.token_ids[:3]
+
+
+def test_logprobs_on_decode_fast_path(engine):
+    """Decode runs must emit per-token and top-k logprobs (r1: silently None)."""
+    prompt = [1, 5, 9, 13]
+    out = generate_out(engine, 303, prompt, max_new=6, logprobs=3)
+    assert out.logprobs is not None and len(out.logprobs) == len(out.token_ids)
+    for tok, entry in zip(out.token_ids, out.logprobs):
+        assert tok in entry                      # chosen token present
+        assert entry[tok].logprob <= 0.0
+        assert len(entry) >= 3                   # top-k entries included
+        # chosen token is greedy here: must also be the top-1 entry
+        best = max(entry.values(), key=lambda l: l.logprob)
+        assert abs(best.logprob - entry[tok].logprob) < 1e-4
+
+
+def test_logprobs_chosen_only(engine):
+    out = generate_out(engine, 304, [1, 5, 9], max_new=4, logprobs=0)
+    assert out.logprobs is not None and len(out.logprobs) == 4
+    for tok, entry in zip(out.token_ids, out.logprobs):
+        assert list(entry) == [tok]
+
+
+def test_mixed_guided_and_fast_batch(tiny_model_dir):
+    """One guided request must not corrupt a concurrently decoding greedy one,
+    and the greedy one must still match its solo (decode-run) output."""
+    from lmdeploy_tpu.engine.engine import Engine
+    from lmdeploy_tpu.messages import GenerationConfig, TpuEngineConfig
+    from lmdeploy_tpu.tokenizer import Tokenizer
+
+    cfg = TpuEngineConfig(dtype='float32', block_size=16, num_gpu_blocks=48,
+                          max_batch_size=4, session_len=160,
+                          max_prefill_token_num=64)
+    tok = Tokenizer(tiny_model_dir)
+    eng = Engine.from_pretrained(tiny_model_dir, cfg, tokenizer=tok)
+    try:
+        prompt_a = [1, 5, 9, 13, 20, 31, 7]
+        expect = generate_out(eng, 305, prompt_a, max_new=8).token_ids
+
+        async def run_both():
+            inst_a = eng.create_instance()
+            inst_b = eng.create_instance()
+
+            async def a():
+                out = await inst_a.async_infer(
+                    306, prompt_a, GenerationConfig(max_new_tokens=8,
+                                                    ignore_eos=True))
+                await inst_a.async_end(306)
+                return out.token_ids
+
+            async def b():
+                out = await inst_b.async_infer(
+                    307, tok.encode('emit json:'),
+                    GenerationConfig(max_new_tokens=12, ignore_eos=True,
+                                     do_sample=True, random_seed=7,
+                                     response_format={'type': 'json_object'}))
+                await inst_b.async_end(307)
+                return out.token_ids
+
+            return await asyncio.gather(a(), b())
+
+        got_a, got_b = run_async(run_both())
+        assert got_a == expect
+        assert got_b  # guided row produced tokens alongside the fast batch
+    finally:
+        eng.close()
+
+
+def test_freed_slot_deactivates_decode_row(engine):
+    """A request cancelled mid-decode must have its device row deactivated
+    before the next step, and a concurrently decoding request must be
+    unaffected (ADVICE r1 high: stale active row scattered KV through freed
+    blocks reallocated to other requests)."""
+    from lmdeploy_tpu.messages import GenerationConfig
+
+    prompt_b = [2, 7, 11, 19, 23]
+    expect_b = generate_out(engine, 310, prompt_b, max_new=16).token_ids
+
+    async def run():
+        inst_a = engine.create_instance()
+        inst_b = engine.create_instance()
+        got = {}
+
+        async def a():
+            gen = GenerationConfig(max_new_tokens=64, ignore_eos=True)
+            async for out in inst_a.async_stream_infer(308, [1, 5, 9], gen):
+                if len(out.token_ids) >= 2 and 'slot' not in got:
+                    seq = next(iter(
+                        engine.scheduler.seq_manager.get_session(308)
+                        .sequences.values()))
+                    got['slot'] = seq.batch_slot
+                    await inst_a.async_cancel(308)
+            await inst_a.async_end(308)
+
+        async def b():
+            gen = GenerationConfig(max_new_tokens=16, ignore_eos=True)
+            out = await inst_b.async_infer(309, prompt_b, gen)
+            await inst_b.async_end(309)
+            return out.token_ids
+
+        _, ids_b = await asyncio.gather(a(), b())
+        return got.get('slot', -1), ids_b
+
+    slot, ids_b = run_async(run())
+    assert slot >= 0
+    # B's continuation is bit-identical to its solo run: no cross-request
+    # corruption from A's freed blocks
+    assert ids_b == expect_b
+    # A's row is deactivated (flushed at B's subsequent step dispatches) or
+    # still pending if no step ran after the cancel
+    agent = engine.model_agent
+    active = np.asarray(agent.decode_state.active)
+    assert (not active[slot]) or slot in agent._pending_deactivate
