@@ -223,10 +223,28 @@ class Engine:
         if fmt.get('type') in ('json_object', 'json_schema'):
             if self.tokenizer is None:
                 raise ValueError('guided decoding requires a tokenizer-backed engine')
-            from ..guided import JsonGuide
-            seq.guided = JsonGuide(self.tokenizer, self.configs.model.vocab_size,
-                                   sampling_params.stop_token_ids
-                                   or self.configs.model.eos_token_id)
+            eos = (sampling_params.stop_token_ids
+                   or self.configs.model.eos_token_id)
+            if fmt['type'] == 'json_schema':
+                # OpenAI wire shape: {'type': 'json_schema',
+                #                     'json_schema': {'name':…, 'schema': {...}}}
+                # (also accept a bare {'schema': ...} / inline schema dict)
+                spec = fmt.get('json_schema') or {}
+                schema = spec.get('schema') if isinstance(spec, dict) else None
+                if schema is None:
+                    schema = fmt.get('schema')
+                if not isinstance(schema, dict):
+                    raise ValueError(
+                        "response_format type 'json_schema' requires a schema "
+                        "dict under json_schema.schema")
+                from ..guided_schema import SchemaGuide
+                seq.guided = SchemaGuide(self.tokenizer,
+                                         self.configs.model.vocab_size,
+                                         eos, schema)
+            else:
+                from ..guided import JsonGuide
+                seq.guided = JsonGuide(self.tokenizer,
+                                       self.configs.model.vocab_size, eos)
         queue: asyncio.Queue = asyncio.Queue()
         self._requests[seq.seq_id] = _ActiveRequest(
             seq=seq, queue=queue, loop=asyncio.get_running_loop())
