@@ -36,10 +36,10 @@ def export_session_kv(engine, session_id: int) -> Dict[str, np.ndarray]:
     assert seq.logical_blocks, 'sequence holds no KV blocks (already released?)'
 
     agent = engine.model_agent
-    from .ops.kv_quant import QuantKV
-    if isinstance(agent.cache_engine.k_cache, QuantKV):
-        raise NotImplementedError('PD KV migration with per-token int8 caches '
-                                  '(quant_policy=4) is not implemented yet')
+    from .ops.kv_quant import QuantKV, QuantKV4
+    if isinstance(agent.cache_engine.k_cache, (QuantKV, QuantKV4)):
+        raise NotImplementedError('PD KV migration with quantized caches '
+                                  '(quant_policy=4/8) is not implemented yet')
     blocks = np.asarray(seq.logical_blocks, np.int32)
     k = np.asarray(agent.cache_engine.k_cache[:, :, jnp.asarray(blocks)])
     v = np.asarray(agent.cache_engine.v_cache[:, :, jnp.asarray(blocks)])

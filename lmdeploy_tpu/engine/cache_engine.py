@@ -47,25 +47,33 @@ class CacheEngine:
         if mesh is not None and cache_spec is not None:
             sharding = jax.NamedSharding(mesh, cache_spec)
 
+        def put_scale(s):
+            if mesh is not None and cache_spec is not None:
+                from jax.sharding import PartitionSpec
+                s = jax.device_put(s, jax.NamedSharding(
+                    mesh, PartitionSpec(*cache_spec[:-1])))
+            return s
+
         def alloc():
+            if self.cache_config.quant_policy == QuantPolicy.KV_INT4:
+                # token-pair-packed 4-bit pages + per-token (scale, min)
+                from ..ops.kv_quant import QuantKV4
+                assert cache_config.block_size % 2 == 0
+                z = jnp.zeros(shape[:-2] + (cache_config.block_size // 2,
+                                            self.padded_head_dim), jnp.uint8)
+                if sharding is not None:
+                    z = jax.device_put(z, sharding)
+                return QuantKV4(z, put_scale(jnp.zeros(shape[:-1], jnp.float32)),
+                                put_scale(jnp.zeros(shape[:-1], jnp.float32)))
             z = jnp.zeros(shape, dtype)
             if sharding is not None:
                 z = jax.device_put(z, sharding)
             if self.cache_config.quant_policy == QuantPolicy.KV_INT8:
                 # per-token scales ride with the pages as one pytree node
                 from ..ops.kv_quant import QuantKV
-                s = jnp.zeros(shape[:-1], jnp.float32)
-                if mesh is not None and cache_spec is not None:
-                    from jax.sharding import PartitionSpec
-                    s = jax.device_put(s, jax.NamedSharding(
-                        mesh, PartitionSpec(*cache_spec[:-1])))
-                return QuantKV(z, s)
+                return QuantKV(z, put_scale(jnp.zeros(shape[:-1], jnp.float32)))
             return z
 
-        if self.cache_config.quant_policy == QuantPolicy.KV_INT4:
-            raise NotImplementedError(
-                'quant_policy=8 (kv int4) is not implemented yet; use 4 (int8 '
-                'per-token scales) or 16 (fp8)')
         self.k_cache = alloc()
         self.v_cache = alloc()
 
@@ -87,7 +95,10 @@ class CacheEngine:
         padded_d = ((cfg.cache_head_dim + 127) // 128) * 128
         per = (2 * cfg.num_layers * self.cache_config.block_size *
                cfg.num_key_value_heads * padded_d * itemsize)
-        if policy == QuantPolicy.KV_INT8:   # + per-token f32 scales
+        if policy == QuantPolicy.KV_INT4:   # nibble-packed + scale + min
+            per = per // 2 + (2 * cfg.num_layers * self.cache_config.block_size *
+                              cfg.num_key_value_heads * 8)
+        elif policy == QuantPolicy.KV_INT8:  # + per-token f32 scales
             per += (2 * cfg.num_layers * self.cache_config.block_size *
                     cfg.num_key_value_heads * 4)
         return per
@@ -119,16 +130,7 @@ class CacheEngine:
             free = hbm - self.reserved_bytes - headroom
         budget = int(free * self.cache_config.cache_max_entry_count)
         cfg = self.model_config
-        itemsize = 1 if self.cache_config.quant_policy in (
-            QuantPolicy.KV_INT8, QuantPolicy.KV_FP8) else (
-            4 if cfg.dtype == 'float32' else 2)
-        padded_d = ((cfg.cache_head_dim + 127) // 128) * 128
-        per_block = (2 * cfg.num_layers * self.cache_config.block_size *
-                     cfg.num_key_value_heads * padded_d * itemsize)
-        if self.cache_config.quant_policy == QuantPolicy.KV_INT8:
-            per_block += (2 * cfg.num_layers * self.cache_config.block_size *
-                          cfg.num_key_value_heads * 4)
-        num = max(budget // per_block, 16)
+        num = max(budget // self.block_bytes(), 16)
         return int(num)
 
     def swap_caches(self, k_cache, v_cache):

@@ -720,8 +720,14 @@ class ModelAgent:
         dtype = self.cache_engine._cache_dtype()
 
         def fresh_cache():
-            z = jnp.zeros(shape, dtype)
             from ..messages import QuantPolicy
+            if cc.quant_policy == QuantPolicy.KV_INT4:
+                from ..ops.kv_quant import QuantKV4
+                z = jnp.zeros(shape[:-2] + (cc.block_size // 2, shape[-1]),
+                              jnp.uint8)
+                return QuantKV4(z, jnp.zeros(shape[:-1], jnp.float32),
+                                jnp.zeros(shape[:-1], jnp.float32))
+            z = jnp.zeros(shape, dtype)
             if cc.quant_policy == QuantPolicy.KV_INT8:
                 from ..ops.kv_quant import QuantKV
                 return QuantKV(z, jnp.zeros(shape[:-1], jnp.float32))

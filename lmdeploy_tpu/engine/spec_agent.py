@@ -69,7 +69,7 @@ class SpecExtension:
         shape = (n_draft_layers, dc.num_key_value_heads, agent.num_blocks,
                  agent.cache_config.block_size, padded_d)
         dtype = agent.cache_engine.k_cache.dtype
-        if dtype == jnp.int8:    # quantized target cache: draft stays unquantized
+        if dtype in (jnp.int8, jnp.uint8):   # quantized target: draft unquantized
             dtype = agent.model_config.jnp_dtype()
         self.draft_k = jnp.zeros(shape, dtype)
         self.draft_v = jnp.zeros(shape, dtype)

@@ -64,9 +64,11 @@ def unpack_gptq_qzeros(qz: np.ndarray) -> np.ndarray:
 
 
 def to_kernel_packed(q: np.ndarray) -> np.ndarray:
-    """u8[K, N] int4 values -> kernel layout u8[K/2, N] (even row lo, odd row hi)."""
-    lo = q[0::2]
-    hi = q[1::2]
+    """u8[K, N] int4 values -> kernel layout u8[K/2, N] ("half-split": low
+    nibble = row r, high nibble = row K/2 + r; see ops/pallas/quant_matmul.py)."""
+    K = q.shape[0]
+    lo = q[:K // 2]
+    hi = q[K // 2:]
     return (lo | (hi << 4)).astype(np.uint8)
 
 

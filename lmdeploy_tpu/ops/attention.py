@@ -51,7 +51,11 @@ def fill_kv_cache(k_cache: jax.Array, v_cache: jax.Array, k_new: jax.Array,
     layout that conflicts with the attention kernel's, and it then keeps TWO copies
     of the multi-GB cache per step.)
     """
-    from .kv_quant import QuantKV, quantize_rows
+    from .kv_quant import (QuantKV, QuantKV4, deint_scale_pos, quantize_rows,
+                           quantize_rows_int4)
+
+    if isinstance(k_cache, QuantKV4):
+        return _fill_kv4(k_cache, v_cache, k_new, v_new, slot_mapping, layer)
 
     L, h, nb, bs, d = k_cache.shape
     if k_new.shape[-1] < d:       # cache head_dim is lane-padded; zero-fill the tail
@@ -83,6 +87,82 @@ def fill_kv_cache(k_cache: jax.Array, v_cache: jax.Array, k_new: jax.Array,
     k_flat = k_flat.at[rows.reshape(-1)].set(k_upd.astype(k_cache.dtype))
     v_flat = v_flat.at[rows.reshape(-1)].set(v_upd.astype(v_cache.dtype))
     return k_flat.reshape(L, h, nb, bs, d), v_flat.reshape(L, h, nb, bs, d)
+
+
+def _fill_kv4(k_cache, v_cache, k_new, v_new, slot_mapping, layer):
+    """Append rows into token-pair-packed int4 caches (see QuantKV4).
+
+    A token's 4-bit row shares its byte row with its slot neighbor, so the
+    write is a gather -> nibble-merge -> scatter, run as two parity rounds
+    (even slots then odd) so a pair written in the same call never races.
+    Off-parity entries are routed to byte row 0 (padding-block garbage)
+    instead of being masked, keeping the scatter shape static.
+    """
+    from .kv_quant import QuantKV4, deint_scale_pos, quantize_rows_int4
+
+    L, h, nb, bs2, d = k_cache.data.shape
+    bs = bs2 * 2
+    if k_new.shape[-1] < d:
+        pad = [(0, 0)] * (k_new.ndim - 1) + [(0, d - k_new.shape[-1])]
+        k_new = jnp.pad(k_new, pad)
+        v_new = jnp.pad(v_new, pad)
+    n = slot_mapping.shape[0]
+    k_upd = jnp.swapaxes(k_new, 0, 1).reshape(h * n, d)
+    v_upd = jnp.swapaxes(v_new, 0, 1).reshape(h * n, d)
+
+    block = slot_mapping // bs
+    off = slot_mapping % bs
+    head_base = (layer * h + jnp.arange(h, dtype=jnp.int32))        # [h]
+    pair_rows = (head_base[:, None] * (nb * bs2)
+                 + (block * bs2 + off // 2)[None, :]).reshape(-1)   # [h*n]
+    sc_rows = (head_base[:, None] * (nb * bs)
+               + (block * bs + deint_scale_pos(off, bs))[None, :]).reshape(-1)
+    odd = jnp.tile(off % 2, (h,))                                   # [h*n]
+
+    def upd(cache, rows_f):
+        q, sc, mn = quantize_rows_int4(rows_f)                      # [h*n, d]
+        flat = cache.data.reshape(L * h * nb * bs2, d)
+        for parity in (0, 1):
+            sel = odd == parity
+            rows = jnp.where(sel, pair_rows, 0)
+            cur = flat[rows]
+            if parity == 0:
+                merged = (cur & jnp.uint8(0xF0)) | q
+            else:
+                merged = (cur & jnp.uint8(0x0F)) | (q << 4)
+            flat = flat.at[rows].set(jnp.where(sel[:, None], merged, cur))
+        scale = cache.scale.reshape(-1).at[sc_rows].set(sc)
+        minv = cache.minv.reshape(-1).at[sc_rows].set(mn)
+        return QuantKV4(flat.reshape(L, h, nb, bs2, d),
+                        scale.reshape(L, h, nb, bs),
+                        minv.reshape(L, h, nb, bs))
+
+    return upd(k_cache, k_upd), upd(v_cache, v_upd)
+
+
+def gather_dequant_kv4(cache, layer, block_tables):
+    """[Hkv, B, S, D] f32 token-order dequantized view of the gathered blocks
+    of one layer of a QuantKV4 cache (reference/chunked-prefill path)."""
+    data = jax.lax.dynamic_index_in_dim(cache.data, layer, 0, keepdims=False)
+    scale = jax.lax.dynamic_index_in_dim(cache.scale, layer, 0, keepdims=False)
+    minv = jax.lax.dynamic_index_in_dim(cache.minv, layer, 0, keepdims=False)
+    Hkv, NB, bs2, d = data.shape
+    B, W = block_tables.shape
+    packed = data[:, block_tables]                       # [Hkv, B, W, bs2, d]
+    lo = (packed & 0xF).astype(jnp.float32)
+    hi = (packed >> 4).astype(jnp.float32)
+    # token order: lo[r] is slot 2r, hi[r] is slot 2r+1 -> interleave
+    q = jnp.stack([lo, hi], axis=4).reshape(Hkv, B, W, 2 * bs2, d)
+    # scales are stored de-interleaved ([even | odd]); restore token order
+    def tok_order(x):
+        g = x[:, block_tables]                           # [Hkv, B, W, bs]
+        g = g.reshape(Hkv, B, W, 2, bs2)
+        return jnp.swapaxes(g, 3, 4).reshape(Hkv, B, W, 2 * bs2)
+    sc = tok_order(scale)
+    mn = tok_order(minv)
+    kv = q * sc[..., None] + mn[..., None]
+    S = W * 2 * bs2
+    return kv.reshape(Hkv, B, S, d)
 
 
 def paged_attention_reference(
@@ -123,7 +203,18 @@ def paged_attention_reference(
             Hkv, B, S)[..., None]
         v = v.astype(jnp.float32) * v_scale[:, block_tables].reshape(
             Hkv, B, S)[..., None]
+    return attention_dense_gathered(q, k, v, history_lens, scale,
+                                    logit_softcap, window_size)
 
+
+def attention_dense_gathered(q, k, v, history_lens, scale,
+                             logit_softcap=None, window_size=None):
+    """Attention math over already-gathered dense KV [Hkv, B, S, Dp>=D]."""
+    B, T, Hq, D = q.shape
+    Hkv, _, S, _ = k.shape
+    k = k[..., :D]
+    v = v[..., :D]
+    G = Hq // Hkv
     qg = q.reshape(B, T, Hkv, G, D)
     scores = jnp.einsum('bthgd,hbsd->bhgts', qg.astype(jnp.float32),
                         k.astype(jnp.float32)) * scale            # [B,Hkv,G,T,S]
@@ -155,17 +246,38 @@ def paged_attention(q, k_cache, v_cache, block_tables, history_lens, q_lens, sca
     * otherwise (chunked continuation, prefix-cache hits, CPU tests) -> XLA reference
       over a dynamic layer slice
     """
-    from .kv_quant import QuantKV
+    from .kv_quant import QuantKV, QuantKV4
 
     T = q.shape[1]
-    if isinstance(k_cache, QuantKV):
-        # per-token int8 cache: fresh prefill still takes the flash kernel (it
-        # attends over the chunk's raw K/V, untouched cache); every cached path
-        # uses the gather+dequant reference (decode-kernel scale DMA is a later
-        # optimization).
+    if isinstance(k_cache, QuantKV4):
+        # int4 token-pair-packed cache (quant_policy=8)
         if (_on_tpu() and fresh_prefill and chunk_kv is not None
                 and logit_softcap is None and window_size is None and T >= 128):
             return _flash_prefill(q, chunk_kv[0], chunk_kv[1], scale)
+        if _on_tpu() and T == 1 and window_size is None:
+            from .pallas.paged_decode import paged_decode_attention_quant4
+            out = paged_decode_attention_quant4(
+                q[:, 0], k_cache, v_cache, block_tables,
+                history_lens + 1, layer, scale, logit_softcap=logit_softcap)
+            return out[:, None]
+        k = gather_dequant_kv4(k_cache, layer, block_tables)
+        v = gather_dequant_kv4(v_cache, layer, block_tables)
+        return attention_dense_gathered(q, k, v, history_lens, scale,
+                                        logit_softcap, window_size)
+    if isinstance(k_cache, QuantKV):
+        # per-token int8 cache: fresh prefill takes the flash kernel (it
+        # attends over the chunk's raw K/V, untouched cache); decode takes the
+        # quantized Pallas kernel with in-VMEM scale-DMA dequant; chunked
+        # continuation uses the gather+dequant reference.
+        if (_on_tpu() and fresh_prefill and chunk_kv is not None
+                and logit_softcap is None and window_size is None and T >= 128):
+            return _flash_prefill(q, chunk_kv[0], chunk_kv[1], scale)
+        if _on_tpu() and T == 1 and window_size is None:
+            from .pallas.paged_decode import paged_decode_attention_quant
+            out = paged_decode_attention_quant(
+                q[:, 0], k_cache, v_cache, block_tables,
+                history_lens + 1, layer, scale, logit_softcap=logit_softcap)
+            return out[:, None]
         k_l = jax.tree_util.tree_map(
             lambda x: jax.lax.dynamic_index_in_dim(x, layer, 0, keepdims=False),
             k_cache)

@@ -44,6 +44,53 @@ class QuantKV:
         return cls(*children)
 
 
+@jax.tree_util.register_pytree_node_class
+class QuantKV4:
+    """Asymmetric int4 KV pages (quant_policy=8, reference QuantPolicy int4).
+
+    ``data``  u8 [L, Hkv, NB, BS/2, Dp] — "token-pair packing": byte (r, d)
+              holds token slot 2r's weight in its low nibble and slot 2r+1's
+              in the high nibble, keeping the lane dim at full width (a
+              [*, Dp/2] layout would be tile-padded back to Dp in HBM,
+              erasing the 4-bit saving).
+    ``scale`` f32 [L, Hkv, NB, BS] — per-token step, stored in
+              *de-interleaved* page order ([even slots | odd slots]) so the
+              decode kernel's score-side dequant needs no lane shuffles.
+    ``minv``  f32 [L, Hkv, NB, BS] — per-token minimum (same order).
+
+    Dequant: x = q * scale + minv  (q in 0..15).
+    """
+
+    def __init__(self, data, scale, minv):
+        self.data = data
+        self.scale = scale
+        self.minv = minv
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def nbytes(self):
+        return self.data.nbytes + self.scale.nbytes + self.minv.nbytes
+
+    def tree_flatten(self):
+        return (self.data, self.scale, self.minv), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def deint_scale_pos(slot, block_size: int):
+    """Token slot -> position in the de-interleaved per-page scale vector."""
+    return (slot % 2) * (block_size // 2) + slot // 2
+
+
 def quantize_rows(x: jax.Array, eps: float = 1e-8):
     """[..., D] -> (int8 [..., D], f32 scale [...]) with per-row absmax/127."""
     xf = x.astype(jnp.float32)
@@ -55,3 +102,22 @@ def quantize_rows(x: jax.Array, eps: float = 1e-8):
 def dequantize(data: jax.Array, scale: jax.Array) -> jax.Array:
     """int8 [..., D] * f32 [...] -> f32 [..., D]."""
     return data.astype(jnp.float32) * scale[..., None]
+
+
+def quantize_rows_int4(x: jax.Array, eps: float = 1e-8):
+    """[..., D] -> (u8 values 0..15 [..., D], f32 scale [...], f32 minv [...]).
+
+    Per-row asymmetric min/max (reference: kv_cache_utils_v2.cu int4 path —
+    per-head per-token asymmetric quant).
+    """
+    xf = x.astype(jnp.float32)
+    mn = jnp.min(xf, axis=-1)
+    mx = jnp.max(xf, axis=-1)
+    scale = (mx - mn) / 15.0 + eps
+    q = jnp.clip(jnp.round((xf - mn[..., None]) / scale[..., None]),
+                 0, 15).astype(jnp.uint8)
+    return q, scale, mn
+
+
+def dequantize_int4(q: jax.Array, scale: jax.Array, minv: jax.Array) -> jax.Array:
+    return q.astype(jnp.float32) * scale[..., None] + minv[..., None]

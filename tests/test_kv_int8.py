@@ -110,14 +110,3 @@ def test_engine_e2e_kv_int8(tiny_model_dir):
     assert len(quant) == 8
     # int8 per-token KV keeps early greedy tokens on the fp32 trajectory
     assert quant[:2] == full[:2]
-
-
-def test_kv_int4_clear_error(tiny_model_dir):
-    from lmdeploy_tpu.engine.engine import Engine
-    from lmdeploy_tpu.messages import TpuEngineConfig
-    with pytest.raises(NotImplementedError, match='int4'):
-        Engine.from_pretrained(
-            tiny_model_dir,
-            TpuEngineConfig(dtype='float32', block_size=16, num_gpu_blocks=32,
-                            max_batch_size=4, session_len=128,
-                            max_prefill_token_num=64, quant_policy=8))

@@ -21,8 +21,8 @@ def test_pack_roundtrip():
     packed = np.asarray(pack_w4(jnp.asarray(q)))
     lo = packed & 0xF
     hi = packed >> 4
-    np.testing.assert_array_equal(lo, q[0::2])
-    np.testing.assert_array_equal(hi, q[1::2])
+    np.testing.assert_array_equal(lo, q[:4])      # half-split layout
+    np.testing.assert_array_equal(hi, q[4:])
 
 
 def test_quantize_reconstruction():
@@ -37,19 +37,20 @@ def test_quantize_reconstruction():
     assert np.abs(w_hat - w).max() <= max_step * 0.51 + 1e-6
 
 
-@pytest.mark.parametrize('B,K,N,gs,bn,bk', [
-    (8, 256, 128, 128, 128, 256),
+@pytest.mark.parametrize('B,K,N,gs,bn,bk2', [
+    (8, 256, 128, 128, 128, 128),
     (16, 512, 256, 128, 128, 256),
     (8, 256, 128, 64, 128, 128),
+    (8, 1024, 256, 128, 256, 512),
 ])
-def test_kernel_matches_reference(B, K, N, gs, bn, bk):
+def test_kernel_matches_reference(B, K, N, gs, bn, bk2):
     rng = np.random.RandomState(2)
     w = rng.randn(K, N).astype(np.float32) * 0.1
     packed, scales, zeros = quantize_w4(jnp.asarray(w), gs)
     x = jnp.asarray(rng.randn(B, K).astype(np.float32) * 0.5)
 
     out = w4a16_matmul(x, packed, scales, zeros, group_size=gs,
-                       block_n=bn, block_k=bk)
+                       block_n=bn, block_k2=bk2)
     ref = w4a16_matmul_reference(x, packed, scales, zeros, gs)
     # kernel computes in bf16 activations; tolerate bf16-level error
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2,
