@@ -64,6 +64,12 @@ class ModelAgent:
         self.sched_config = configs.scheduler
         self.mesh = mesh
         self.model = build_model(configs.model)
+        if mesh is not None and 'ep' in mesh.axis_names \
+                and mesh.shape['ep'] > 1:
+            # 'ep'-sharded expert stacks: keep the all-expert dense-combine
+            # contraction (it doubles as the GSPMD expert-parallel combine);
+            # the ragged grouped-GEMM path is single-shard only for now
+            self.model.ep_sharded = True
 
         cfg = configs.model
         self.max_batch = configs.scheduler.max_batch_size

@@ -307,16 +307,10 @@ class DeepseekV2Model(LlamaModel):
         if cfg.norm_topk_prob:
             top_w = top_w / (top_w.sum(-1, keepdims=True) + 1e-20)
         top_w = top_w * cfg.routed_scaling_factor
-        combine = jnp.zeros((xf.shape[0], E), jnp.float32)
-        combine = combine.at[jnp.arange(xf.shape[0])[:, None], top_idx].set(top_w)
-
-        act = jax.nn.silu(jnp.einsum('nh,ehi->nei', xf, w['we_gate'],
-                                     preferred_element_type=jnp.float32))
-        act = act * jnp.einsum('nh,ehi->nei', xf, w['we_up'],
-                               preferred_element_type=jnp.float32)
-        act = act * combine[:, :, None]
-        out = jnp.einsum('nei,eih->nh', act.astype(x.dtype), w['we_down'],
-                         preferred_element_type=jnp.float32)
+        from ..ops.moe import moe_ffn
+        out = moe_ffn(xf, top_idx, top_w, w['we_gate'], w['we_up'],
+                      w['we_down'], x.dtype,
+                      allow_ragged=not getattr(self, 'ep_sharded', False))
         if 'ws_gate' in w:                                       # shared experts
             s = jax.nn.silu(jnp.dot(xf, w['ws_gate'],
                                     preferred_element_type=jnp.float32))

@@ -44,8 +44,8 @@ class MixtralModel(LlamaModel):
         }
 
     def _mlp(self, w, x: jax.Array) -> jax.Array:
+        from ..ops.moe import moe_ffn
         cfg = self.config
-        E = cfg.num_experts
         k = cfg.num_experts_per_tok
         B, T, H = x.shape
         xf = x.reshape(B * T, H)
@@ -58,41 +58,10 @@ class MixtralModel(LlamaModel):
         else:
             probs = jax.nn.softmax(logits, axis=-1)
             top_w, top_idx = jax.lax.top_k(probs, k)
-        # scatter per-token weights into a dense [N, E] combine matrix
-        combine = jnp.zeros((xf.shape[0], E), jnp.float32)
-        rows = jnp.arange(xf.shape[0])[:, None]
-        combine = combine.at[rows, top_idx].set(top_w)
 
-        # All-expert einsums instead of a Python loop over E: slicing expert e out
-        # of the 'ep'-sharded weight stacks would make GSPMD all-gather the
-        # weights, while contracting the full e axis keeps each shard computing
-        # only its local experts and reduces the outputs over ('ep','tp') — that
-        # contraction IS the expert-parallel combine.  Routing weights are folded
-        # into the activations before the down-proj so e and i contract together.
-        Ie = w['we_gate'].shape[-1]
-        N = xf.shape[0]
-        # bound the [Nc, E, Ie] activation (bf16) to ~64MB per step
-        Nc = N
-        while Nc > 1 and Nc * E * Ie * 2 > 64 * 1024 * 1024 and Nc % 2 == 0:
-            Nc //= 2
-
-        def blk(args):
-            xc, cc = args                                     # [Nc,H], [Nc,E]
-            act = jax.nn.silu(jnp.einsum(
-                'nh,ehi->nei', xc, w['we_gate'],
-                preferred_element_type=jnp.float32))
-            act = act * jnp.einsum('nh,ehi->nei', xc, w['we_up'],
-                                   preferred_element_type=jnp.float32)
-            act = act * cc[:, :, None]
-            return jnp.einsum('nei,eih->nh', act.astype(x.dtype), w['we_down'],
-                              preferred_element_type=jnp.float32)
-
-        if Nc == N:
-            out = blk((xf, combine))
-        else:
-            out = jax.lax.map(blk, (xf.reshape(-1, Nc, H),
-                                    combine.reshape(-1, Nc, E)))
-            out = out.reshape(N, H)
+        out = moe_ffn(xf, top_idx, top_w, w['we_gate'], w['we_up'],
+                      w['we_down'], x.dtype,
+                      allow_ragged=not getattr(self, 'ep_sharded', False))
         return out.reshape(B, T, H).astype(x.dtype)
 
     def make_assign_plan(self):

@@ -120,6 +120,7 @@ def dryrun_moe(n_devices: int, verbose: bool = False):
         max_position_embeddings=64, dtype='float32',
         hf_arch='MixtralForCausalLM', num_experts=4, num_experts_per_tok=2)
     model = MixtralModel(cfg)
+    model.ep_sharded = ep > 1     # keep the GSPMD dense-combine contraction
     mesh = build_mesh(dp=dp, tp=tp, ep=ep)
     params = model.init_params(jax.random.PRNGKey(0))
     shardings = make_llama_shardings(model)

@@ -127,3 +127,56 @@ def test_moe_routing_selects_topk():
     y = model._mlp(w, x)
     assert y.shape == (1, 3, 16)
     assert bool(jnp.isfinite(y).all())
+
+
+import jax.numpy as jnp
+
+
+class TestRaggedDispatch:
+    def _route(self, rng, N, E, k):
+        import jax
+        logits = jnp.asarray(rng.randn(N, E).astype(np.float32))
+        probs = jax.nn.softmax(logits, -1)
+        top_w, top_idx = jax.lax.top_k(probs, k)
+        return top_idx, top_w
+
+    def test_ragged_matches_dense(self):
+        """Grouped-GEMM dispatch must match dense-combine bit-for-bit up to
+        reduction order (no capacity drops)."""
+        from lmdeploy_tpu.ops.moe import _moe_dense, _moe_ragged
+
+        rng = np.random.RandomState(0)
+        N, H, Ie, E, k = 64, 32, 48, 8, 2
+        xf = jnp.asarray(rng.randn(N, H).astype(np.float32))
+        wg = jnp.asarray(rng.randn(E, H, Ie).astype(np.float32) * 0.1)
+        wu = jnp.asarray(rng.randn(E, H, Ie).astype(np.float32) * 0.1)
+        wd = jnp.asarray(rng.randn(E, Ie, H).astype(np.float32) * 0.1)
+        top_idx, top_w = self._route(rng, N, E, k)
+
+        dense = np.asarray(_moe_dense(xf, top_idx, top_w, wg, wu, wd,
+                                      jnp.float32))
+        ragged = np.asarray(_moe_ragged(xf, top_idx, top_w, wg, wu, wd,
+                                        jnp.float32))
+        np.testing.assert_allclose(ragged, dense, rtol=2e-4, atol=2e-4)
+
+    def test_prefill_uses_ragged_path(self):
+        """moe_ffn must route large token counts through the grouped GEMM:
+        verify the jaxpr contains ragged_dot (FLOPs scale with k/E, not E)."""
+        import jax
+        from lmdeploy_tpu.ops.moe import RAGGED_MIN_TOKENS, moe_ffn
+
+        rng = np.random.RandomState(1)
+        N, H, Ie, E, k = RAGGED_MIN_TOKENS, 16, 16, 4, 2
+        xf = jnp.zeros((N, H), jnp.float32)
+        wg = jnp.zeros((E, H, Ie), jnp.float32)
+        top_idx, top_w = self._route(rng, N, E, k)
+        jaxpr = jax.make_jaxpr(
+            lambda *a: moe_ffn(*a, jnp.float32))(
+                xf, top_idx, top_w, wg, wg, jnp.zeros((E, Ie, H), jnp.float32))
+        assert 'ragged_dot' in str(jaxpr)
+        # decode-sized batches keep the dense-combine contraction
+        jaxpr_small = jax.make_jaxpr(
+            lambda *a: moe_ffn(*a, jnp.float32))(
+                xf[:8], top_idx[:8], top_w[:8], wg, wg,
+                jnp.zeros((E, Ie, H), jnp.float32))
+        assert 'ragged_dot' not in str(jaxpr_small)
