@@ -77,7 +77,7 @@ class Engine:
         if mesh is None and self.configs.dist.world_size > 1:
             from ..parallel.mesh import build_mesh
             d = self.configs.dist
-            mesh = build_mesh(dp=d.dp, tp=d.tp, ep=d.ep)
+            mesh = build_mesh(dp=d.dp, tp=d.tp, ep=d.ep, cp=d.cp)
         self.mesh = mesh
         self.model_agent = ModelAgent(self.configs, model_path
                                       if not self.configs.misc.empty_init else None,

@@ -104,7 +104,14 @@ class ModelAgent:
         cache_spec = None
         if mesh is not None:
             from ..parallel.mesh import cache_sharding
-            cache_spec = cache_sharding(cfg.num_key_value_heads)
+            cp = getattr(configs.dist, 'cp', 1)
+            cache_spec = cache_sharding(cfg.num_key_value_heads, cp=cp)
+            if cp > 1:
+                # striped KV (block_size dim over 'cp'): Pallas kernels can't
+                # read sharded pages under GSPMD — use the XLA reference
+                # attention whose softmax reductions over the striped dim
+                # become the cross-'cp' partial-(M,L) collectives
+                self.model.force_ref_attention = True
         params_bytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(self.params))
         self.cache_engine = CacheEngine(cfg, configs.cache, mesh, cache_spec,
                                         reserved_bytes=params_bytes)

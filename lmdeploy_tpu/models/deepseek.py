@@ -267,7 +267,8 @@ class DeepseekV2Model(LlamaModel):
                                meta.history_lens, meta.q_lens, self.scale, layer,
                                window_size=None,
                                chunk_kv=(k_new[:, :, None, :], v_new[:, :, None, :]),
-                               fresh_prefill=fresh_prefill)      # [B,T,nh,D]
+                               fresh_prefill=fresh_prefill,
+                               force_reference=getattr(self, 'force_ref_attention', False))      # [B,T,nh,D]
         o = jnp.einsum('btnr,nrv->btnv', attn[..., :r].astype(jnp.float32),
                        w['wuv'].astype(jnp.float32)).astype(h.dtype)
         h = h + proj(o.reshape(B, T, nh * dv), w['wo'])

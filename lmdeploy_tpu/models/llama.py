@@ -358,7 +358,9 @@ class LlamaModel:
             attn = paged_attention(q, k_cache, v_cache, meta.block_tables,
                                    meta.history_lens, meta.q_lens, scale, layer,
                                    window_size=cfg.sliding_window,
-                                   chunk_kv=(k, v), fresh_prefill=fresh_prefill)
+                                   chunk_kv=(k, v), fresh_prefill=fresh_prefill,
+                                   force_reference=getattr(
+                                       self, 'force_ref_attention', False))
             attn = attn.reshape(B, T, self.q_out)
             h = h + lin(attn, w, lw, 'wo')
             x = rms_norm(h, w['mlp_norm'], cfg.rms_norm_eps)

@@ -236,7 +236,8 @@ def attention_dense_gathered(q, k, v, history_lens, scale,
 def paged_attention(q, k_cache, v_cache, block_tables, history_lens, q_lens, scale,
                     layer, logit_softcap=None, window_size=None,
                     chunk_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
-                    fresh_prefill: bool = False):
+                    fresh_prefill: bool = False,
+                    force_reference: bool = False):
     """Dispatch over the attention specializations.  ``k_cache/v_cache`` are the FULL
     [L, Hkv, NB, BS, D] caches; ``layer`` selects the region.
 
@@ -249,6 +250,33 @@ def paged_attention(q, k_cache, v_cache, block_tables, history_lens, q_lens, sca
     from .kv_quant import QuantKV, QuantKV4
 
     T = q.shape[1]
+    if force_reference:
+        # context-parallel decode: the cache's block_size dim is sharded over
+        # the 'cp' mesh axis; the XLA reference path computes rank-local
+        # partial softmax stats and GSPMD inserts the cross-'cp' (max, sum)
+        # reductions — the TPU-native analog of cp_utils.h partial-(M,L)
+        # exchange.  Pallas kernels need shard_map and are bypassed here.
+        if isinstance(k_cache, QuantKV4):
+            k = gather_dequant_kv4(k_cache, layer, block_tables)
+            v = gather_dequant_kv4(v_cache, layer, block_tables)
+            return attention_dense_gathered(q, k, v, history_lens, scale,
+                                            logit_softcap, window_size)
+        if isinstance(k_cache, QuantKV):
+            k_l = jax.tree_util.tree_map(
+                lambda x: jax.lax.dynamic_index_in_dim(x, layer, 0,
+                                                       keepdims=False), k_cache)
+            v_l = jax.tree_util.tree_map(
+                lambda x: jax.lax.dynamic_index_in_dim(x, layer, 0,
+                                                       keepdims=False), v_cache)
+            return paged_attention_reference(
+                q, k_l.data, v_l.data, block_tables, history_lens, q_lens,
+                scale, logit_softcap, window_size, k_scale=k_l.scale,
+                v_scale=v_l.scale)
+        k_l = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
+        v_l = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
+        return paged_attention_reference(q, k_l, v_l, block_tables,
+                                         history_lens, q_lens, scale,
+                                         logit_softcap, window_size)
     if isinstance(k_cache, QuantKV4):
         # int4 token-pair-packed cache (quant_policy=8)
         if (_on_tpu() and fresh_prefill and chunk_kv is not None

@@ -204,3 +204,69 @@ def dryrun_cp(n_devices: int, verbose: bool = False):
     if verbose:
         print(f'cp dryrun ok: cp={cp}, logits={logits.shape}')
     return True
+
+
+def dryrun_cp_decode(n_devices: int, verbose: bool = False):
+    """Decode-step context parallelism: KV pages striped over 'cp' within each
+    block (cache_sharding block_size dim), reference attention computing
+    rank-local partial softmax stats that GSPMD reduces across 'cp' — the
+    analog of TurboMind's cp_utils.h partial-(M,L) exchange.  Returns the
+    cp-sharded decode logits, checked against an unsharded run.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..config import ModelConfig
+    from ..models.llama import AttnMeta, LlamaModel
+    from ..nn.layers import make_rope_table
+    from .mesh import build_mesh, cache_sharding
+
+    cp = 2 if n_devices >= 2 else 1
+    cfg = ModelConfig(
+        num_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        hidden_size=64, intermediate_size=128, vocab_size=256, head_dim=8,
+        max_position_embeddings=256, dtype='float32')
+    model = LlamaModel(cfg)
+    B, BS, NB, W = 2, 16, 32, 4
+    hist = np.asarray([37, 50], np.int32)
+    rng = np.random.RandomState(0)
+    cos, sin = make_rope_table(cfg.head_dim, cfg.max_position_embeddings)
+    params = model.init_params(jax.random.PRNGKey(0))
+    k0 = rng.randn(cfg.num_layers, cfg.num_key_value_heads, NB, BS,
+                   cfg.head_dim).astype(np.float32)
+    v0 = rng.randn(*k0.shape).astype(np.float32)
+    ids = rng.randint(0, cfg.vocab_size, (B, 1)).astype(np.int32)
+    pos = hist[:, None].astype(np.int32)
+    tables = np.stack([np.arange(1, W + 1),
+                       np.arange(W + 1, 2 * W + 1)]).astype(np.int32)
+    meta = AttnMeta(block_tables=jnp.asarray(tables),
+                    history_lens=jnp.asarray(hist),
+                    q_lens=jnp.ones(B, jnp.int32))
+
+    def run(mesh, spec):
+        model.force_ref_attention = mesh is not None
+        kc = jnp.asarray(k0)
+        vc = jnp.asarray(v0)
+        if mesh is not None:
+            kc = jax.device_put(kc, NamedSharding(mesh, spec))
+            vc = jax.device_put(vc, NamedSharding(mesh, spec))
+        step = jax.jit(lambda p, kc, vc: model.forward(
+            p, jnp.asarray(ids), jnp.asarray(pos), kc, vc, meta,
+            jnp.asarray(cos), jnp.asarray(sin)))
+        if mesh is not None:
+            with mesh:
+                logits, _, _ = step(params, kc, vc)
+        else:
+            logits, _, _ = step(params, kc, vc)
+        return np.asarray(logits)
+
+    base = run(None, None)
+    mesh = build_mesh(cp=cp, devices=jax.devices()[:cp])
+    sharded = run(mesh, cache_sharding(cfg.num_key_value_heads, cp=cp))
+    model.force_ref_attention = False
+    err = np.abs(base - sharded).max()
+    assert err < 1e-4, f'cp={cp} decode diverged: {err}'
+    if verbose:
+        print(f'cp decode dryrun ok: cp={cp}, max|Δlogits|={err:.2e}')
+    return True

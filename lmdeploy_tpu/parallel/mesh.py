@@ -22,18 +22,20 @@ from typing import Dict
 import numpy as np
 
 
-def build_mesh(dp: int = 1, tp: int = 1, ep: int = 1, devices=None):
-    """Mesh axes ('dp', 'ep', 'tp') — ep innermost-but-one so expert all-to-alls
-    ride shorter ICI hops than dp traffic."""
+def build_mesh(dp: int = 1, tp: int = 1, ep: int = 1, cp: int = 1,
+               devices=None):
+    """Mesh axes ('dp', 'ep', 'cp', 'tp') — tp innermost (tightest-coupled
+    collectives on the shortest ICI hops), then cp (per-block KV stripes +
+    partial-softmax reductions), then ep, then dp."""
     import jax
     from jax.sharding import Mesh
 
     if devices is None:
         devices = jax.devices()
-    n = dp * tp * ep
+    n = dp * tp * ep * cp
     assert len(devices) >= n, f'need {n} devices, have {len(devices)}'
-    arr = np.array(devices[:n]).reshape(dp, ep, tp)
-    return Mesh(arr, axis_names=('dp', 'ep', 'tp'))
+    arr = np.array(devices[:n]).reshape(dp, ep, cp, tp)
+    return Mesh(arr, axis_names=('dp', 'ep', 'cp', 'tp'))
 
 
 def make_llama_shardings(model, shard_vocab: bool = True) -> Dict:
@@ -97,16 +99,21 @@ def make_llama_shardings(model, shard_vocab: bool = True) -> Dict:
     return shardings
 
 
-def cache_sharding(num_kv_heads: int = 0):
-    """[L, Hkv, num_blocks, block_size, D] — shard kv heads over tp.
+def cache_sharding(num_kv_heads: int = 0, cp: int = 1):
+    """[L, Hkv, num_blocks, block_size, D] — shard kv heads over tp and,
+    with context parallelism, stripe each block's token slots over 'cp'
+    (reference: cp_utils.h KV striping; the attention reference path's
+    softmax reductions over the sharded slot dim become GSPMD partial-(M,L)
+    collectives).
 
     A single-kv-head cache (MQA / MLA latent) cannot split its head axis, so
     it stays replicated across 'tp'.
     """
     from jax.sharding import PartitionSpec as P
+    slot = 'cp' if cp > 1 else None
     if num_kv_heads == 1:
-        return P(None, None, None, None, None)
-    return P(None, 'tp', None, None, None)
+        return P(None, None, None, slot, None)
+    return P(None, 'tp', None, slot, None)
 
 
 def data_sharding(batch_axes: int = 2):

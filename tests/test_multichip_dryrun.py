@@ -38,3 +38,46 @@ def test_moe_ep_sharding():
 def test_cp_dryrun():
     from lmdeploy_tpu.parallel.dryrun import dryrun_cp
     assert dryrun_cp(8)
+
+
+def test_cp_decode_dryrun():
+    """Decode step with KV striped over 'cp' matches the unsharded run."""
+    from lmdeploy_tpu.parallel.dryrun import dryrun_cp_decode
+    assert dryrun_cp_decode(8)
+
+
+def test_engine_cp2_end_to_end(tiny_model_dir):
+    """Engine accepts cp=2: mesh built from the full DistConfig (r1 dropped
+    cp), KV striped across the axis, greedy output identical to cp=1."""
+    import asyncio
+
+    from lmdeploy_tpu.engine.engine import Engine
+    from lmdeploy_tpu.messages import GenerationConfig, TpuEngineConfig
+
+    def gen(cp):
+        cfg = TpuEngineConfig(dtype='float32', block_size=16, num_gpu_blocks=48,
+                              max_batch_size=4, session_len=128,
+                              max_prefill_token_num=64, cp=cp)
+        eng = Engine.from_pretrained(tiny_model_dir, cfg)
+        try:
+            if cp > 1:
+                assert eng.mesh is not None and eng.mesh.shape['cp'] == cp
+                assert eng.model_agent.model.force_ref_attention
+
+            async def run():
+                inst = eng.create_instance()
+                out = await inst.async_infer(
+                    1, [5, 17, 42, 99, 7, 23, 8],
+                    GenerationConfig(max_new_tokens=8, ignore_eos=True))
+                await inst.async_end(1)
+                return list(out.token_ids)
+
+            loop = asyncio.new_event_loop()
+            try:
+                return loop.run_until_complete(run())
+            finally:
+                loop.close()
+        finally:
+            eng.close()
+
+    assert gen(2) == gen(1)
