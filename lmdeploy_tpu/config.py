@@ -56,6 +56,7 @@ class ModelConfig:
     # attention extras
     attention_bias: bool = False
     qk_norm: bool = False
+    partial_rotary_factor: float = 1.0
     sliding_window: Optional[int] = None
     logit_softcapping: Optional[float] = None
     # MLA (DeepSeek-V2/V3): attention over compressed latent KV.  When set,
@@ -94,8 +95,11 @@ class ModelConfig:
 
     @property
     def rope_dim(self) -> int:
-        """Dimension rotary tables are built for (rope sub-dim under MLA)."""
-        return self.qk_rope_head_dim if self.is_mla else self.head_dim
+        """Dimension rotary tables are built for (rope sub-dim under MLA,
+        partial-rotary fraction for glm4-likes)."""
+        if self.is_mla:
+            return self.qk_rope_head_dim
+        return int(self.head_dim * self.partial_rotary_factor)
 
     @classmethod
     def from_hf_config(cls, cfg: Dict[str, Any], dtype: str = 'auto') -> 'ModelConfig':
@@ -161,6 +165,7 @@ class ModelConfig:
             norm_topk_prob=cfg.get('norm_topk_prob', True),
             attention_bias=cfg.get('attention_bias', False)
             or cfg.get('qkv_bias', False),
+            partial_rotary_factor=cfg.get('partial_rotary_factor', 1.0),
             sliding_window=cfg.get('sliding_window'),
             hf_config=cfg,
             quantization_config=cfg.get('quantization_config'),

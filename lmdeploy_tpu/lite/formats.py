@@ -78,3 +78,20 @@ def awq_qweight_to_kernel(qw: np.ndarray) -> np.ndarray:
 
 def gptq_qweight_to_kernel(qw: np.ndarray) -> np.ndarray:
     return to_kernel_packed(unpack_gptq_qweight(qw))
+
+
+# -- MXFP4 (gpt-oss checkpoints) --------------------------------------------------
+# e2m1 nibble values; sign bit 0x8 (reference: gemm/convert_v3.cu value table)
+_E2M1 = np.array([0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0,
+                  -0.0, -0.5, -1.0, -1.5, -2.0, -3.0, -4.0, -6.0], np.float32)
+
+
+def mxfp4_dequant(blocks: np.ndarray, scales: np.ndarray) -> np.ndarray:
+    """u8 blocks [..., G, 16] (2 e2m1 per byte, low nibble first) + ue8m0
+    scales u8 [..., G] (2^(s-127) per 32-value group) -> f32 [..., G*32]."""
+    lo = _E2M1[blocks & 0xF]
+    hi = _E2M1[blocks >> 4]
+    vals = np.stack([lo, hi], axis=-1).reshape(*blocks.shape[:-1], 32)
+    scale = np.exp2(scales.astype(np.int32) - 127).astype(np.float32)
+    out = vals * scale[..., None]
+    return out.reshape(*blocks.shape[:-2], blocks.shape[-2] * 32)

@@ -97,6 +97,40 @@ def _internvl(config: ModelConfig):
 register_model('InternVLChatModel')(_internvl)
 
 
+def _phi3(config: ModelConfig):
+    from .phi3 import Phi3Model
+    return Phi3Model(config)
+
+
+def _glm4(config: ModelConfig):
+    from .glm4 import Glm4Model
+    m = Glm4Model(config)
+    if config.hf_arch == 'GlmForCausalLM':   # glm-4-9b-hf: no sandwich norms
+        m.sandwich_norms = False
+    return m
+
+
+def _qwen3_moe(config: ModelConfig):
+    from .mixtral import MixtralModel
+    config.qk_norm = True
+    return MixtralModel(config)
+
+
+register_model('Phi3ForCausalLM', 'Phi3SmallForCausalLM',
+               'Phi4MMForCausalLM')(_phi3)
+register_model('Glm4ForCausalLM', 'GlmForCausalLM')(_glm4)
+register_model('Qwen3MoeForCausalLM')(_qwen3_moe)
+
+
+def _gpt_oss(config: ModelConfig):
+    from .gpt_oss import GptOssModel
+    config.attention_bias = True
+    return GptOssModel(config)
+
+
+register_model('GptOssForCausalLM')(_gpt_oss)
+
+
 def build_model(config: ModelConfig):
     builder = _REGISTRY.get(config.hf_arch)
     if builder is None:

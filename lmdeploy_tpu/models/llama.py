@@ -123,6 +123,10 @@ class LlamaModel:
         if cfg.qk_norm:
             layers['q_norm'] = (L, D)
             layers['k_norm'] = (L, D)
+        if getattr(self, 'sandwich_norms', False):
+            # block-output norms before the residual add (glm4, gemma2)
+            layers['post_attn_norm'] = (L, H)
+            layers['post_mlp_norm'] = (L, H)
         shapes = {
             'embed': (V, H),
             'layers': layers,
@@ -165,7 +169,14 @@ class LlamaModel:
                     out[k] = make(path + (k,), v)
             return out
 
-        return walk(self.param_shapes(), ())
+        params = walk(self.param_shapes(), ())
+        for path, value in (getattr(self, 'constant_params', lambda: {})()
+                            or {}).items():
+            node = params
+            for kpart in path[:-1]:
+                node = node[kpart]
+            node[path[-1]] = jnp.asarray(value)
+        return params
 
     # -- HF weight mapping -------------------------------------------------------------
     def make_assign_plan(self):
@@ -267,6 +278,11 @@ class LlamaModel:
         return plan
 
     # -- mlp (overridden by MoE variants) ----------------------------------------------
+    def _apply_rope(self, q, k, cos, sin):
+        """Hook for models with non-standard rotary application (partial
+        rotary, interleaved layouts)."""
+        return apply_rope(q, k, cos, sin)
+
     def _mlp(self, w, x: jax.Array) -> jax.Array:
         from ..nn.linear import linear as proj
         act = jax.nn.silu(proj(x, w['w_gate']).astype(jnp.float32))
@@ -350,26 +366,35 @@ class LlamaModel:
             if has_qknorm:
                 q = rms_norm(q, w['q_norm'], cfg.rms_norm_eps)
                 k = rms_norm(k, w['k_norm'], cfg.rms_norm_eps)
-            q, k = apply_rope(q, k, cos, sin)
+            q, k = self._apply_rope(q, k, cos, sin)
             k_cache, v_cache = fill_kv_cache(k_cache, v_cache,
                                              k.reshape(B * T, -1, D),
                                              v.reshape(B * T, -1, D),
                                              slot_mapping, layer)
+            window = w['layer_window'] if 'layer_window' in w \
+                else cfg.sliding_window
             attn = paged_attention(q, k_cache, v_cache, meta.block_tables,
                                    meta.history_lens, meta.q_lens, scale, layer,
-                                   window_size=cfg.sliding_window,
+                                   window_size=window,
                                    chunk_kv=(k, v), fresh_prefill=fresh_prefill,
                                    force_reference=getattr(
-                                       self, 'force_ref_attention', False))
+                                       self, 'force_ref_attention', False),
+                                   sinks=w.get('sinks'))
             attn = attn.reshape(B, T, self.q_out)
-            h = h + lin(attn, w, lw, 'wo')
+            out = lin(attn, w, lw, 'wo', w.get('bo'))
+            if 'post_attn_norm' in w:
+                out = rms_norm(out, w['post_attn_norm'], cfg.rms_norm_eps)
+            h = h + out
             x = rms_norm(h, w['mlp_norm'], cfg.rms_norm_eps)
             if lw is not None and 'w_gate' in w:
                 act = jax.nn.silu(lin(x, w, lw, 'w_gate').astype(jnp.float32))
                 act = act * lin(x, w, lw, 'w_up').astype(jnp.float32)
-                h = h + lin(act.astype(x.dtype), w, lw, 'w_down')
+                out = lin(act.astype(x.dtype), w, lw, 'w_down')
             else:
-                h = h + self._mlp(w, x)
+                out = self._mlp(w, x)
+            if 'post_mlp_norm' in w:
+                out = rms_norm(out, w['post_mlp_norm'], cfg.rms_norm_eps)
+            h = h + out
             return (h, k_cache, v_cache, layer + 1), None
 
         xs = lp if lora is None else (lp, lora)

@@ -74,6 +74,18 @@ def make_rope_table(head_dim: int, max_len: int, theta: float = 10000.0,
                             rope_scaling.get('original_max_position_embeddings', max_len)
                             - (factor - 1)) ** (head_dim / (head_dim - 2))
             inv_freq = _rope_base_frequencies(head_dim, base)
+        elif rtype in ('longrope', 'su'):
+            # Phi-3 LongRoPE: per-frequency rescale factors, short table for
+            # within-original contexts, long table beyond; attention scaled by
+            # sqrt(1 + log(s)/log(orig)) (HF modeling_phi3)
+            orig = rope_scaling.get('original_max_position_embeddings', max_len)
+            factors = rope_scaling.get('long_factor') if max_len > orig \
+                else rope_scaling.get('short_factor')
+            if factors is not None:
+                inv_freq = inv_freq / jnp.asarray(factors, jnp.float32)
+            scale = max_len / max(orig, 1)
+            if scale > 1.0:
+                attn_factor = math.sqrt(1.0 + math.log(scale) / math.log(orig))
         elif rtype == 'yarn':
             factor = rope_scaling.get('factor', 1.0)
             orig = rope_scaling.get('original_max_position_embeddings', 4096)

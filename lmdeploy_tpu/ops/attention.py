@@ -174,9 +174,10 @@ def paged_attention_reference(
     q_lens: jax.Array,            # [B] valid query tokens in this chunk (<= T)
     scale: float,
     logit_softcap: Optional[float] = None,
-    window_size: Optional[int] = None,
+    window_size=None,                      # int, or traced per-layer i32 scalar
     k_scale: Optional[jax.Array] = None,   # [Hkv, NB, BS] per-token int8 scales
     v_scale: Optional[jax.Array] = None,
+    sinks: Optional[jax.Array] = None,     # [Hq] learned attention-sink logits
 ) -> jax.Array:
     """Attention of chunk queries against the paged cache (which already contains the
     chunk's own K/V — call fill_kv_cache first).  Pure-XLA reference path.
@@ -204,11 +205,11 @@ def paged_attention_reference(
         v = v.astype(jnp.float32) * v_scale[:, block_tables].reshape(
             Hkv, B, S)[..., None]
     return attention_dense_gathered(q, k, v, history_lens, scale,
-                                    logit_softcap, window_size)
+                                    logit_softcap, window_size, sinks)
 
 
 def attention_dense_gathered(q, k, v, history_lens, scale,
-                             logit_softcap=None, window_size=None):
+                             logit_softcap=None, window_size=None, sinks=None):
     """Attention math over already-gathered dense KV [Hkv, B, S, Dp>=D]."""
     B, T, Hq, D = q.shape
     Hkv, _, S, _ = k.shape
@@ -224,11 +225,28 @@ def attention_dense_gathered(q, k, v, history_lens, scale,
     pos_q = history_lens[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]   # [B,T]
     pos_k = jnp.arange(S, dtype=jnp.int32)[None, :]                           # [1,S]
     mask = pos_k[:, None, :] <= pos_q[:, :, None]                             # [B,T,S]
-    if window_size is not None and window_size > 0:
-        mask &= pos_k[:, None, :] > (pos_q[:, :, None] - window_size)
+    if window_size is not None:
+        if isinstance(window_size, int):
+            if window_size > 0:
+                mask &= pos_k[:, None, :] > (pos_q[:, :, None] - window_size)
+        else:
+            # traced per-layer window (gpt-oss alternates windowed/full
+            # layers inside one scan); <= 0 disables
+            w = jnp.asarray(window_size)
+            wm = pos_k[:, None, :] > (pos_q[:, :, None] - w)
+            mask &= jnp.where(w > 0, wm, True)
     scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
 
-    probs = jax.nn.softmax(scores, axis=-1)
+    if sinks is not None:
+        # learned per-head sink logit joins the softmax denominator only
+        # (reference: flashattention.py s_aux — l += exp(sink - m))
+        sk = sinks.astype(jnp.float32).reshape(Hkv, G)[None, :, :, None]
+        m = jnp.maximum(jnp.max(scores, axis=-1), sk)            # [B,Hkv,G,T]
+        e = jnp.exp(scores - m[..., None])
+        denom = e.sum(-1) + jnp.exp(sk - m)
+        probs = e / denom[..., None]
+    else:
+        probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum('bhgts,hbsd->bthgd', probs, v.astype(jnp.float32))
     return out.reshape(B, T, Hq, D).astype(q.dtype)
 
@@ -237,7 +255,8 @@ def paged_attention(q, k_cache, v_cache, block_tables, history_lens, q_lens, sca
                     layer, logit_softcap=None, window_size=None,
                     chunk_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
                     fresh_prefill: bool = False,
-                    force_reference: bool = False):
+                    force_reference: bool = False,
+                    sinks: Optional[jax.Array] = None):
     """Dispatch over the attention specializations.  ``k_cache/v_cache`` are the FULL
     [L, Hkv, NB, BS, D] caches; ``layer`` selects the region.
 
@@ -250,6 +269,10 @@ def paged_attention(q, k_cache, v_cache, block_tables, history_lens, q_lens, sca
     from .kv_quant import QuantKV, QuantKV4
 
     T = q.shape[1]
+    if sinks is not None or not isinstance(window_size, (int, type(None))):
+        # sink logits / traced per-layer windows: Pallas kernels don't model
+        # them yet; the XLA reference handles both
+        force_reference = True
     if force_reference:
         # context-parallel decode: the cache's block_size dim is sharded over
         # the 'cp' mesh axis; the XLA reference path computes rank-local
@@ -260,7 +283,7 @@ def paged_attention(q, k_cache, v_cache, block_tables, history_lens, q_lens, sca
             k = gather_dequant_kv4(k_cache, layer, block_tables)
             v = gather_dequant_kv4(v_cache, layer, block_tables)
             return attention_dense_gathered(q, k, v, history_lens, scale,
-                                            logit_softcap, window_size)
+                                            logit_softcap, window_size, sinks)
         if isinstance(k_cache, QuantKV):
             k_l = jax.tree_util.tree_map(
                 lambda x: jax.lax.dynamic_index_in_dim(x, layer, 0,
@@ -271,12 +294,13 @@ def paged_attention(q, k_cache, v_cache, block_tables, history_lens, q_lens, sca
             return paged_attention_reference(
                 q, k_l.data, v_l.data, block_tables, history_lens, q_lens,
                 scale, logit_softcap, window_size, k_scale=k_l.scale,
-                v_scale=v_l.scale)
+                v_scale=v_l.scale, sinks=sinks)
         k_l = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
         v_l = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
         return paged_attention_reference(q, k_l, v_l, block_tables,
                                          history_lens, q_lens, scale,
-                                         logit_softcap, window_size)
+                                         logit_softcap, window_size,
+                                         sinks=sinks)
     if isinstance(k_cache, QuantKV4):
         # int4 token-pair-packed cache (quant_policy=8)
         if (_on_tpu() and fresh_prefill and chunk_kv is not None

@@ -22,6 +22,10 @@ import jax.numpy as jnp
 RAGGED_MIN_TOKENS = 256
 
 
+def _silu_mul(gate, up):
+    return jax.nn.silu(gate) * up
+
+
 def moe_ffn(xf: jax.Array,           # [N, H]
             top_idx: jax.Array,      # [N, k] i32 expert choices
             top_w: jax.Array,        # [N, k] f32 routing weights
@@ -29,16 +33,20 @@ def moe_ffn(xf: jax.Array,           # [N, H]
             we_up: jax.Array,        # [E, H, Ie]
             we_down: jax.Array,      # [E, Ie, H]
             out_dtype,
-            allow_ragged: bool = True) -> jax.Array:
-    """Routed-expert FFN: silu(x@We_g) * (x@We_u) @ We_d combined by top_w."""
+            allow_ragged: bool = True,
+            biases=None,             # (bg [E,Ie], bu [E,Ie], bd [E,H]) or None
+            act=_silu_mul) -> jax.Array:
+    """Routed-expert FFN: act(x@We_g, x@We_u) @ We_d combined by top_w."""
     N = xf.shape[0]
     if allow_ragged and N >= RAGGED_MIN_TOKENS:
         return _moe_ragged(xf, top_idx, top_w, we_gate, we_up, we_down,
-                           out_dtype)
-    return _moe_dense(xf, top_idx, top_w, we_gate, we_up, we_down, out_dtype)
+                           out_dtype, biases, act)
+    return _moe_dense(xf, top_idx, top_w, we_gate, we_up, we_down, out_dtype,
+                      biases, act)
 
 
-def _moe_ragged(xf, top_idx, top_w, we_gate, we_up, we_down, out_dtype):
+def _moe_ragged(xf, top_idx, top_w, we_gate, we_up, we_down, out_dtype,
+                biases=None, act=_silu_mul):
     N, H = xf.shape
     E = we_gate.shape[0]
     k = top_idx.shape[1]
@@ -47,19 +55,27 @@ def _moe_ragged(xf, top_idx, top_w, we_gate, we_up, we_down, out_dtype):
     tok = order // k                                   # source token per row
     xs = xf[tok]                                       # [N*k, H]
     group_sizes = jnp.bincount(e_flat, length=E).astype(jnp.int32)
+    e_sorted = e_flat[order]                           # row -> expert (biases)
 
-    act = jax.nn.silu(jax.lax.ragged_dot(
-        xs, we_gate, group_sizes, preferred_element_type=jnp.float32))
-    act = act * jax.lax.ragged_dot(xs, we_up, group_sizes,
-                                   preferred_element_type=jnp.float32)
-    ys = jax.lax.ragged_dot(act.astype(out_dtype), we_down, group_sizes,
+    gate = jax.lax.ragged_dot(xs, we_gate, group_sizes,
+                              preferred_element_type=jnp.float32)
+    up = jax.lax.ragged_dot(xs, we_up, group_sizes,
+                            preferred_element_type=jnp.float32)
+    if biases is not None:
+        gate = gate + biases[0][e_sorted]
+        up = up + biases[1][e_sorted]
+    a = act(gate, up)
+    ys = jax.lax.ragged_dot(a.astype(out_dtype), we_down, group_sizes,
                             preferred_element_type=jnp.float32)   # [N*k, H]
+    if biases is not None:
+        ys = ys + biases[2][e_sorted]
     wts = top_w.reshape(-1)[order].astype(jnp.float32)
     out = jnp.zeros((N, H), jnp.float32).at[tok].add(ys * wts[:, None])
     return out
 
 
-def _moe_dense(xf, top_idx, top_w, we_gate, we_up, we_down, out_dtype):
+def _moe_dense(xf, top_idx, top_w, we_gate, we_up, we_down, out_dtype,
+               biases=None, act=_silu_mul):
     N, H = xf.shape
     E = we_gate.shape[0]
     Ie = we_gate.shape[-1]
@@ -74,13 +90,20 @@ def _moe_dense(xf, top_idx, top_w, we_gate, we_up, we_down, out_dtype):
 
     def blk(args):
         xc, cc = args                                     # [Nc,H], [Nc,E]
-        act = jax.nn.silu(jnp.einsum(
-            'nh,ehi->nei', xc, we_gate, preferred_element_type=jnp.float32))
-        act = act * jnp.einsum('nh,ehi->nei', xc, we_up,
-                               preferred_element_type=jnp.float32)
-        act = act * cc[:, :, None]
-        return jnp.einsum('nei,eih->nh', act.astype(out_dtype), we_down,
+        gate = jnp.einsum('nh,ehi->nei', xc, we_gate,
                           preferred_element_type=jnp.float32)
+        up = jnp.einsum('nh,ehi->nei', xc, we_up,
+                        preferred_element_type=jnp.float32)
+        if biases is not None:
+            gate = gate + biases[0][None]
+            up = up + biases[1][None]
+        a = act(gate, up) * cc[:, :, None]
+        y = jnp.einsum('nei,eih->nh', a.astype(out_dtype), we_down,
+                       preferred_element_type=jnp.float32)
+        if biases is not None:
+            # down bias applies once per selected expert, weighted by combine
+            y = y + jnp.einsum('ne,eh->nh', cc, biases[2])
+        return y
 
     if Nc == N:
         return blk((xf, combine))

@@ -70,9 +70,53 @@ def parse_reasoning(text: str) -> Tuple[Optional[str], str]:
     return None, text
 
 
+_HARMONY_SEG = re.compile(
+    r'<\|channel\|>(?P<header>.*?)<\|message\|>'
+    r'(?P<body>.*?)(?:<\|end\|>|<\|call\|>|<\|return\|>|$)',
+    re.DOTALL)
+_HARMONY_TO = re.compile(r'to=(?:functions\.)?([\w.\-]+)')
+
+
+def parse_harmony(text: str) -> Dict:
+    """gpt-oss Harmony response format (reference: serve/parsers/_openai_harmony.py).
+
+    Channels: ``analysis`` -> reasoning_content, ``final`` -> content,
+    ``commentary to=functions.X`` -> tool call with the message body as JSON
+    arguments.  Segment terminators: <|end|> (more follows), <|call|> (tool
+    invocation), <|return|> (final answer done); an unterminated segment
+    (length-capped generation) is kept.
+    """
+    reasoning_parts: List[str] = []
+    content_parts: List[str] = []
+    calls: List[ToolCall] = []
+    for m in _HARMONY_SEG.finditer(text):
+        header = m.group('header').strip()
+        body = m.group('body')
+        channel = header.split()[0] if header.split() else ''
+        to = _HARMONY_TO.search(header)
+        if to is not None:
+            args = body.strip()
+            try:
+                json.loads(args)
+            except json.JSONDecodeError:
+                args = json.dumps({'raw': args}, ensure_ascii=False)
+            calls.append(ToolCall(name=to.group(1), arguments=args))
+        elif channel.startswith('analysis'):
+            reasoning_parts.append(body.strip())
+        else:                               # final / commentary without target
+            content_parts.append(body.strip())
+    if not (reasoning_parts or content_parts or calls):
+        content_parts.append(text)
+    return {'content': '\n'.join(p for p in content_parts if p),
+            'reasoning_content': '\n'.join(reasoning_parts) or None,
+            'tool_calls': [c.to_openai() for c in calls] or None}
+
+
 def parse_response(text: str, enable_tools: bool = True,
                    enable_reasoning: bool = True) -> Dict:
     """Full pipeline -> {'content', 'reasoning_content', 'tool_calls'}."""
+    if '<|channel|>' in text:
+        return parse_harmony(text)
     reasoning = None
     if enable_reasoning:
         reasoning, text = parse_reasoning(text)

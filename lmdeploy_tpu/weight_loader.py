@@ -104,14 +104,21 @@ def load_params_np(model, model_path: str):
     params_np = _alloc_tree(shapes, np_dtype)
     plan = model.make_assign_plan()
 
+    hook = getattr(model, 'load_hook', None)
     for name, tensor in iter_safetensors(model_path):
         entry = plan.get(name)
         if entry is None:
+            if hook is not None:
+                hook(name, tensor, params_np)
             continue
         entries = entry if isinstance(entry, list) else [entry]
         arr = np.asarray(tensor)
         for path, transform, col in entries:   # one HF tensor may split to many
             _assign(params_np, path, transform(arr), col)
+    # config-derived constants (e.g. per-layer window schedule) that no
+    # checkpoint tensor provides
+    for path, value in (getattr(model, 'constant_params', lambda: {})() or {}).items():
+        _assign(params_np, path, np.asarray(value), None)
     return params_np
 
 
@@ -145,9 +152,12 @@ def load_vis_params_np(model, model_path: str):
     np_dtype = _np_dtype(model.config.dtype)
     params_np = _alloc_tree(model.vis_param_shapes(), np_dtype)
     plan = model.vis_assign_plan()
+    hook = getattr(model, 'load_hook', None)
     for name, tensor in iter_safetensors(model_path):
         entry = plan.get(name)
         if entry is None:
+            if hook is not None:
+                hook(name, tensor, params_np)
             continue
         path, transform, col = entry
         _assign(params_np, path, transform(np.asarray(tensor)), col)

@@ -59,3 +59,33 @@ def test_tools_system_prompt():
          'function': {'name': 'get_weather', 'parameters': {}}}])
     assert '<tools>' in prompt and 'get_weather' in prompt
     assert '<tool_call>' in prompt
+
+
+class TestHarmony:
+    def test_analysis_and_final(self):
+        from lmdeploy_tpu.serve.parsers import parse_response
+        text = ('<|channel|>analysis<|message|>Let me think about it.<|end|>'
+                '<|start|>assistant<|channel|>final<|message|>The answer is 4.'
+                '<|return|>')
+        out = parse_response(text)
+        assert out['reasoning_content'] == 'Let me think about it.'
+        assert out['content'] == 'The answer is 4.'
+        assert out['tool_calls'] is None
+
+    def test_tool_call(self):
+        from lmdeploy_tpu.serve.parsers import parse_response
+        text = ('<|channel|>analysis<|message|>Need the weather.<|end|>'
+                '<|start|>assistant<|channel|>commentary to=functions.get_weather '
+                '<|constrain|>json<|message|>{"location": "SF"}<|call|>')
+        out = parse_response(text)
+        assert out['reasoning_content'] == 'Need the weather.'
+        tc = out['tool_calls']
+        assert tc and tc[0]['function']['name'] == 'get_weather'
+        import json
+        assert json.loads(tc[0]['function']['arguments']) == {'location': 'SF'}
+
+    def test_unterminated_final(self):
+        from lmdeploy_tpu.serve.parsers import parse_response
+        text = '<|channel|>final<|message|>partial answer'
+        out = parse_response(text)
+        assert out['content'] == 'partial answer'
