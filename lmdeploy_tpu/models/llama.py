@@ -57,6 +57,10 @@ class LlamaModel:
     """
 
     QUANT_LINEARS = ('wq', 'wk', 'wv', 'wo', 'w_gate', 'w_up', 'w_down')
+    # subclasses whose param layouts diverge from the seven dense linears
+    # (MLA projections, expert stacks) dequantize blocked fp8 at load instead
+    RUNTIME_BLOCKED_FP8 = True
+    dequant_on_load = False
 
     def __init__(self, config: ModelConfig):
         self.config = config
@@ -75,9 +79,18 @@ class LlamaModel:
         elif method in ('smooth_quant', 'w8a8'):
             self.quant_method = 'w8a8'
         elif method in ('fp8', 'fbgemm_fp8'):
-            # weight-only fp8-e4m3 with per-output-channel (or per-tensor)
-            # scales; block-wise scale grids (DeepSeek-V3 native) next round
-            self.quant_method = 'fp8'
+            # weight-only fp8-e4m3: per-output-channel / per-tensor scales, or
+            # block-wise scale grids (DeepSeek-V3 native 128x128)
+            if qcfg.get('weight_block_size'):
+                if self.RUNTIME_BLOCKED_FP8:
+                    self.quant_method = 'fp8_blocked'
+                    self.fp8_block = tuple(qcfg['weight_block_size'])
+                else:
+                    # stacked layouts (MLA / expert stacks) have no blocked
+                    # leaves yet: dequantize while streaming the checkpoint
+                    self.dequant_on_load = True
+            else:
+                self.quant_method = 'fp8'
 
     # -- parameter allocation ----------------------------------------------------------
     def _linear_shape(self, L: int, K: int, N: int):
@@ -93,6 +106,11 @@ class LlamaModel:
         if self.quant_method == 'fp8':
             return {'w8': jax.ShapeDtypeStruct((L, K, N), jnp.float8_e4m3fn),
                     'scale': jax.ShapeDtypeStruct((L, N), jnp.float32)}
+        if self.quant_method == 'fp8_blocked':
+            b0, b1 = self.fp8_block
+            return {'w8': jax.ShapeDtypeStruct((L, K, N), jnp.float8_e4m3fn),
+                    'bscale': jax.ShapeDtypeStruct(
+                        (L, -(-K // b1), -(-N // b0)), jnp.float32)}
         return (L, K, N)
 
     def _mlp_shapes(self, L: int, H: int, I: int) -> Dict[str, Any]:
@@ -267,6 +285,24 @@ class LlamaModel:
                      fp8_T, None),
                     (f'model.layers.{{}}.{hf}.weight_scale',
                      ('layers', name, 'scale'), scale_vec(name), None),
+                ]
+        elif self.quant_method == 'fp8_blocked':
+            import ml_dtypes
+
+            def fp8_T(x):
+                return np.ascontiguousarray(
+                    np.swapaxes(x, -1, -2)).astype(ml_dtypes.float8_e4m3fn)
+
+            def scale_T(x):   # [Nb, Kb] -> [Kb, Nb]
+                return np.ascontiguousarray(
+                    np.swapaxes(np.asarray(x, np.float32), -1, -2))
+
+            for hf, name in hf_linears:
+                per_layer += [
+                    (f'model.layers.{{}}.{hf}.weight', ('layers', name, 'w8'),
+                     fp8_T, None),
+                    (f'model.layers.{{}}.{hf}.weight_scale_inv',
+                     ('layers', name, 'bscale'), scale_T, None),
                 ]
         else:
             for hf, name in hf_linears:

@@ -46,7 +46,9 @@ def linear(x: jax.Array, w: Any, bias: Optional[jax.Array] = None) -> jax.Array:
     if 'packed' in w:
         y = _w4a16(x, w)
     elif 'w8' in w:
-        if w['w8'].dtype == jnp.float8_e4m3fn:
+        if 'bscale' in w:
+            y = _w_fp8_blocked(x, w)
+        elif w['w8'].dtype == jnp.float8_e4m3fn:
             y = _w_fp8(x, w)
         else:
             y = _w8a8(x, w)
@@ -98,4 +100,20 @@ def _w_fp8(x: jax.Array, w: dict) -> jax.Array:
     y = jnp.dot(x2d, w['w8'].astype(x.dtype),
                 preferred_element_type=jnp.float32)
     y = y * w['scale'][None, :]
+    return y.reshape(*lead, -1).astype(x.dtype)
+
+
+def _w_fp8_blocked(x: jax.Array, w: dict) -> jax.Array:
+    """Blocked-scale fp8-e4m3 (DeepSeek-V3 native 128x128 grids; reference
+    nn/linear/blocked_fp8.py): widen weights, expand the scale grid over its
+    blocks, dense MXU matmul.  Weights stream from HBM at 1 byte/element."""
+    lead = x.shape[:-1]
+    x2d = x.reshape(-1, x.shape[-1])
+    w8, bs = w['w8'], w['bscale']                  # [K, N], [Kb, Nb]
+    K, N = w8.shape
+    b0 = -(-K // bs.shape[0])
+    b1 = -(-N // bs.shape[1])
+    s = jnp.repeat(jnp.repeat(bs, b0, axis=0)[:K], b1, axis=1)[:, :N]
+    wf = w8.astype(jnp.bfloat16) * s.astype(jnp.bfloat16)
+    y = jnp.dot(x2d.astype(jnp.bfloat16), wf, preferred_element_type=jnp.float32)
     return y.reshape(*lead, -1).astype(x.dtype)

@@ -62,10 +62,15 @@ def make_llama_shardings(model, shard_vocab: bool = True) -> Dict:
             if kind == 'col':
                 return {'packed': col, 'scales': col, 'zeros': col}
             return {'packed': row, 'scales': row, 'zeros': row}
-        if model.quant_method == 'w8a8':
+        if model.quant_method in ('w8a8', 'fp8'):
             if kind == 'col':
                 return {'w8': col, 'scale': vec_col}
             return {'w8': row, 'scale': P(None, None)}
+        if model.quant_method == 'fp8_blocked':
+            # bscale [L, Kb, Nb] mirrors the weight's [L, K, N] block grid
+            if kind == 'col':
+                return {'w8': col, 'bscale': col}
+            return {'w8': row, 'bscale': row}
         return base
 
     layer_shapes = model.param_shapes()['layers']

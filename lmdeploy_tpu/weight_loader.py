@@ -59,6 +59,59 @@ def iter_safetensors(model_path: str):
                         yield name, t.numpy()
 
 
+def _dequant_blocked_fp8(it):
+    """Iterator adapter: pair ``X.weight`` (fp8) with ``X.weight_scale_inv``
+    (DeepSeek-V3 native blocked-fp8 checkpoints) and yield the dequantized
+    float32 weight under ``X.weight``.
+
+    Used by models whose stacked parameter layouts (MLA projections, expert
+    stacks) do not carry runtime quantized leaves — the checkpoint still
+    loads and serves correctly, at the model dtype's memory cost.  The dense
+    llama family keeps blocked fp8 leaves at runtime instead (nn/linear.py
+    _w_fp8_blocked).  Reference analog: lmdeploy/pytorch/nn/linear/
+    blocked_fp8.py dequant path.
+    """
+    import ml_dtypes
+
+    def _is_fp8(dt):
+        return dt == ml_dtypes.float8_e4m3fn or dt == ml_dtypes.float8_e5m2
+
+    def _deq(w8, s):
+        n, k = w8.shape
+        s = np.asarray(s, np.float32)
+        bn, bk = -(-n // s.shape[0]), -(-k // s.shape[1])
+        sf = np.repeat(np.repeat(s, bn, axis=0)[:n], bk, axis=1)[:, :k]
+        return w8.astype(np.float32) * sf
+
+    pending_w: Dict[str, Any] = {}
+    pending_s: Dict[str, Any] = {}
+    for name, tensor in it:
+        if name.endswith('.weight_scale_inv'):
+            base = name[:-len('_scale_inv')]
+            if base in pending_w:
+                yield base, _deq(pending_w.pop(base), tensor)
+            else:
+                pending_s[base] = np.asarray(tensor)
+        elif name.endswith('.weight') and _is_fp8(tensor.dtype):
+            if name in pending_s:
+                yield name, _deq(tensor, pending_s.pop(name))
+            else:
+                pending_w[name] = tensor
+        else:
+            yield name, tensor
+    for name, w in pending_w.items():       # unpaired: pass through untouched
+        yield name, w
+    for name, s in pending_s.items():
+        yield name + '_scale_inv', s
+
+
+def _weight_stream(model, model_path: str):
+    it = iter_safetensors(model_path)
+    if getattr(model, 'dequant_on_load', False):
+        it = _dequant_blocked_fp8(it)
+    return it
+
+
 def _alloc_tree(shapes: Dict[str, Any], dtype) -> Dict[str, Any]:
     out = {}
     for k, v in shapes.items():
@@ -105,7 +158,7 @@ def load_params_np(model, model_path: str):
     plan = model.make_assign_plan()
 
     hook = getattr(model, 'load_hook', None)
-    for name, tensor in iter_safetensors(model_path):
+    for name, tensor in _weight_stream(model, model_path):
         entry = plan.get(name)
         if entry is None:
             if hook is not None:
@@ -153,7 +206,7 @@ def load_vis_params_np(model, model_path: str):
     params_np = _alloc_tree(model.vis_param_shapes(), np_dtype)
     plan = model.vis_assign_plan()
     hook = getattr(model, 'load_hook', None)
-    for name, tensor in iter_safetensors(model_path):
+    for name, tensor in _weight_stream(model, model_path):
         entry = plan.get(name)
         if entry is None:
             if hook is not None:
