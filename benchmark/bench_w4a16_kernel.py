@@ -54,14 +54,18 @@ def chained(matmul, R):
 
 
 def timeit(run, xs, *w):
-    """xs: list of DISTINCT inputs — the axon relay caches identical
-    (executable, args) executions, so repeated same-arg calls measure only RPC
-    time.  Warm on xs[0], time each remaining input once, take the min."""
-    run(xs[0], *w).block_until_ready()      # compile + warm
+    """xs: list of DISTINCT inputs, timed by host FETCH of the result.
+
+    On the tunneled axon stack, ``block_until_ready`` does not reliably wait
+    for device execution and repeated identical calls can be served from a
+    relay cache — np.asarray of a fresh input's result is the only timing that
+    matched a hand-checked HBM roofline.  Warm on xs[0], fetch-time the rest,
+    take the min."""
+    np.asarray(run(xs[0], *w))              # compile + warm
     best = float('inf')
     for x in xs[1:]:
         t0 = time.perf_counter()
-        run(x, *w).block_until_ready()
+        np.asarray(run(x, *w))
         best = min(best, time.perf_counter() - t0)
     return best / R
 

@@ -106,7 +106,30 @@ class ModelConfig:
         """Build from a raw HF config dict. Per-arch adjustments live in models/registry."""
         archs = cfg.get('architectures') or ['LlamaForCausalLM']
         vision = None
-        if 'vision_config' in cfg and ('text_config' in cfg or 'llm_config' in cfg):
+        if 'vision_config' in cfg and cfg.get('model_type') in (
+                'qwen2_vl', 'qwen2_5_vl'):
+            # qwen2-vl: older checkpoints are FLAT (LM fields top-level beside
+            # vision_config); transformers>=4.52 nests them under text_config.
+            if not cfg.get('architectures'):
+                archs = ['Qwen2VLForConditionalGeneration'
+                         if cfg['model_type'] == 'qwen2_vl'
+                         else 'Qwen2_5_VLForConditionalGeneration']
+            inner = cfg.get('text_config') or {
+                k: v for k, v in cfg.items() if k != 'vision_config'}
+            vision = {
+                'vision_config': dict(cfg['vision_config'],
+                                      model_type=cfg['vision_config'].get(
+                                          'model_type', cfg['model_type'])),
+                'image_token_index': (cfg.get('image_token_id')
+                                      or inner.get('image_token_id', 151655)),
+                'llm_architectures': ['Qwen2ForCausalLM'],
+            }
+            cfg = dict(inner)
+            cfg['architectures'] = archs
+            cfg.setdefault('model_type', 'qwen2')
+            if 'torch_dtype' not in cfg:
+                cfg['torch_dtype'] = 'bfloat16'
+        elif 'vision_config' in cfg and ('text_config' in cfg or 'llm_config' in cfg):
             # composite VLM config: llava family nests the LM as text_config,
             # InternVL as llm_config; keep the outer arch for registry dispatch
             # and stash the vision bits for the model builder.

@@ -41,6 +41,7 @@ class DecodeState:
     do_sample: Any      # [Bmax] bool
     seed: Any           # [Bmax] u32
     adapter_id: Any     # [Bmax] i32 — S-LoRA slot (0 = none)
+    pos_delta: Any      # [Bmax] i32 — mrope rope-position offset (qwen2-vl; 0 = none)
     token_counts: Any   # [Bmax+1, V] i16 — generated-token counts (freq/presence)
     prompt_mask: Any    # [Bmax+1, V] bool — tokens present in the prompt (repetition)
 
@@ -69,6 +70,7 @@ def make_initial_state(max_batch: int, table_width: int, vocab_size: int):
         repetition_penalty=jnp.ones((max_batch,), jnp.float32),
         frequency_penalty=z(jnp.float32), presence_penalty=z(jnp.float32),
         do_sample=z(jnp.bool_), seed=z(jnp.uint32), adapter_id=z(jnp.int32),
+        pos_delta=z(jnp.int32),
         token_counts=jnp.zeros((max_batch, vocab_size), jnp.int16),
         prompt_mask=jnp.zeros((max_batch, vocab_size), jnp.bool_),
     )
@@ -98,6 +100,7 @@ def host_rows_from_seqs(seqs: List, table_width: int) -> Dict[str, np.ndarray]:
         'do_sample': np.zeros(n, bool),
         'seed': np.zeros(n, np.uint32),
         'adapter_id': np.zeros(n, np.int32),
+        'pos_delta': np.zeros(n, np.int32),
     }
     for i, seq in enumerate(seqs):
         p = seq.sampling_params
@@ -116,4 +119,5 @@ def host_rows_from_seqs(seqs: List, table_width: int) -> Dict[str, np.ndarray]:
         out['do_sample'][i] = p.do_sample
         out['seed'][i] = np.uint32(p.random_seed or 0)
         out['adapter_id'][i] = getattr(seq, 'adapter_slot', 0)
+        out['pos_delta'][i] = getattr(seq, 'mrope_delta', 0)
     return out

@@ -11,6 +11,8 @@ from __future__ import annotations
 import asyncio
 import logging
 import time
+
+import numpy as np
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Dict, List, Optional
@@ -188,9 +190,10 @@ class Engine:
                                             add_special_tokens=False)
                 tok_id = agent.model.image_token_index = ids[-1]
             mm_embeds = agent.encode_images(mm_data)
+            counts = [int(e.shape[0]) for e in mm_embeds]
             token_ids, mm_offsets = expand_image_tokens(
-                list(token_ids), tok_id,
-                agent.model.num_image_tokens, len(mm_embeds))
+                list(token_ids), tok_id, counts, len(mm_embeds))
+            mm_grids = agent.last_image_grids
         self.add_session(session_id)
         session = self.scheduler.seq_manager.get_session(session_id)
         max_len = self.configs.scheduler.max_session_len
@@ -210,6 +213,25 @@ class Engine:
             base = seq.num_token_ids - len(token_ids)
             seq.mm_spans = (getattr(seq, 'mm_spans', None) or []) + [
                 (base + off, emb) for off, emb in zip(mm_offsets, mm_embeds)]
+        if getattr(self.model_agent.model, 'uses_mrope', False):
+            # mrope (qwen2-vl): 3-component prompt positions + per-seq decode
+            # delta; a continuation turn resumes from the stored cursor
+            base = seq.num_token_ids - len(token_ids)
+            old_delta = getattr(seq, 'mrope_delta', 0)
+            start = base + old_delta
+            pos, nxt = self.model_agent.model.build_mrope(
+                token_ids, mm_grids if mm_data else [], start=start)
+            prev = getattr(seq, 'mrope_pos', None)
+            if prev is None:
+                prev = np.zeros((0, 3), np.int32)
+            if len(prev) < base:
+                # generated tokens of earlier turns: all components advance
+                # together at position + old delta
+                tail = (np.arange(len(prev), base, dtype=np.int32) + old_delta)
+                prev = np.concatenate(
+                    [prev, np.repeat(tail, 3).reshape(-1, 3)])
+            seq.mrope_pos = np.concatenate([prev[:base], pos])
+            seq.mrope_delta = int(nxt - seq.num_token_ids)
         aname = getattr(sampling_params, 'adapter_name', None)
         if aname:
             slot_map = getattr(self.model_agent, 'lora_slot_map', None) or {}

@@ -155,7 +155,9 @@ class ModelAgent:
         self.decode_run_steps = int(os.environ.get('LMDEPLOY_TPU_DECODE_RUN', '16'))
 
         # -- vision tower (VLM only) ---------------------------------------------------
-        self.is_vl = hasattr(self.model, 'encode_images')
+        self.is_vl = (hasattr(self.model, 'encode_images')
+                      or hasattr(self.model, 'encode_images_raw'))
+        self.last_image_grids = None
         if self.is_vl:
             if configs.misc.empty_init or model_path is None:
                 vis_np = self.model.init_vis_params(dtype=cfg.jnp_dtype())
@@ -169,12 +171,18 @@ class ModelAgent:
                     lambda x: jax.device_put(x, rep), vis_np)
             else:
                 self.vis_params = jax.tree_util.tree_map(jax.device_put, vis_np)
-            self._encode_fn = jax.jit(self.model.encode_images)
-            from ..vl.processor import CLIP_MEAN, CLIP_STD, ImageProcessor
-            self.image_processor = ImageProcessor(
-                self.model.tower.image_size,
-                mean=getattr(self.model, 'image_mean', CLIP_MEAN),
-                std=getattr(self.model, 'image_std', CLIP_STD))
+            if hasattr(self.model, 'encode_images_raw'):
+                # native-resolution towers (qwen2-vl): the model owns
+                # preprocessing + per-geometry jit and also returns grids
+                self._encode_fn = None
+                self.image_processor = None
+            else:
+                self._encode_fn = jax.jit(self.model.encode_images)
+                from ..vl.processor import CLIP_MEAN, CLIP_STD, ImageProcessor
+                self.image_processor = ImageProcessor(
+                    self.model.tower.image_size,
+                    mean=getattr(self.model, 'image_mean', CLIP_MEAN),
+                    std=getattr(self.model, 'image_std', CLIP_STD))
 
     # -- slot management ---------------------------------------------------------------
     def assign_slot(self, seq) -> int:
@@ -284,7 +292,11 @@ class ModelAgent:
         W = bucketize(max_ctx_blocks, self.table_buckets)
 
         input_ids = np.zeros((B, T), np.int32)
-        positions = np.zeros((B, T), np.int32)
+        # mrope models (qwen2-vl) take [B,T,3] multimodal positions at prefill
+        # and delta-shifted scalar positions at decode (see models/qwen2_vl.py)
+        use_mrope = getattr(self.model, 'uses_mrope', False)
+        positions = np.zeros((B, T, 3) if use_mrope and count_inputs
+                             else (B, T), np.int32)
         block_tables = np.zeros((B, W), np.int32)
         history_lens = np.zeros(B, np.int32)
         q_lens = np.zeros(B, np.int32)
@@ -295,7 +307,23 @@ class ModelAgent:
         for i, (seq, start, length) in enumerate(zip(seqs, chunk_starts, chunk_lens)):
             ids = seq.history_ids[start:start + length]
             input_ids[i, :length] = ids
-            positions[i, :length] = np.arange(start, start + length)
+            if use_mrope and count_inputs:
+                mp = getattr(seq, 'mrope_pos', None)
+                if mp is not None and start < len(mp):
+                    seg = mp[start:start + length]
+                    positions[i, :len(seg)] = seg
+                    if len(seg) < length:      # generated continuation tokens
+                        tail = (np.arange(len(mp), start + length)
+                                + getattr(seq, 'mrope_delta', 0))
+                        positions[i, len(seg):length] = tail[:, None]
+                else:
+                    positions[i, :length] = (
+                        np.arange(start, start + length)
+                        + getattr(seq, 'mrope_delta', 0))[:, None]
+            else:
+                positions[i, :length] = (np.arange(start, start + length)
+                                         + (getattr(seq, 'mrope_delta', 0)
+                                            if use_mrope else 0))
             nb = min(len(seq.logical_blocks), W)
             block_tables[i, :nb] = seq.logical_blocks[:nb]
             history_lens[i] = start
@@ -404,6 +432,10 @@ class ModelAgent:
         import jax.numpy as jnp
         if not self.is_vl:
             raise ValueError(f'{self.model_config.hf_arch} is not a vision model')
+        if hasattr(self.model, 'encode_images_raw'):
+            feats, grids = self.model.encode_images_raw(self.vis_params, images)
+            self.last_image_grids = grids
+            return feats
         pixels = self.image_processor(images)
         out = []
         for i in range(pixels.shape[0]):
@@ -536,7 +568,8 @@ class ModelAgent:
                                 history_lens=st['position'], q_lens=q_lens)
                 logits, kc, vc = model.forward(
                     params, st['token'][:, None],
-                    jnp.clip(st['position'], 0, self.max_model_len - 1)[:, None],
+                    jnp.clip(st['position'] + st['pos_delta'], 0,
+                             self.max_model_len - 1)[:, None],
                     kc, vc, meta, rope_cos, rope_sin,
                     adapter_ids=st['adapter_id'])
                 seeds = st['seed'] + (st['step_no'].astype(jnp.uint32) + 1) * GOLDEN
@@ -595,7 +628,8 @@ class ModelAgent:
                                 history_lens=st['position'], q_lens=q_lens)
                 logits, kc, vc = model.forward(
                     params, st['token'][:, None],
-                    jnp.clip(st['position'], 0, self.max_model_len - 1)[:, None],
+                    jnp.clip(st['position'] + st['pos_delta'], 0,
+                             self.max_model_len - 1)[:, None],
                     kc, vc, meta, rope_cos, rope_sin,
                     adapter_ids=st['adapter_id'])
                 tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)

@@ -122,6 +122,15 @@ register_model('Glm4ForCausalLM', 'GlmForCausalLM')(_glm4)
 register_model('Qwen3MoeForCausalLM')(_qwen3_moe)
 
 
+def _qwen2_vl(config: ModelConfig):
+    from .qwen2_vl import build_qwen2_vl
+    return build_qwen2_vl(config)
+
+
+register_model('Qwen2VLForConditionalGeneration',
+               'Qwen2_5_VLForConditionalGeneration')(_qwen2_vl)
+
+
 def _gpt_oss(config: ModelConfig):
     from .gpt_oss import GptOssModel
     config.attention_bias = True

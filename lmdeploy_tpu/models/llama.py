@@ -314,6 +314,11 @@ class LlamaModel:
         return plan
 
     # -- mlp (overridden by MoE variants) ----------------------------------------------
+    def _gather_rope(self, rope_cos, rope_sin, positions):
+        """Hook: positions [B,T] -> (cos, sin) [B,T,D/2].  Mrope models
+        (Qwen2-VL) override to accept [B,T,3] multimodal position ids."""
+        return rope_cos[positions], rope_sin[positions]
+
     def _apply_rope(self, q, k, cos, sin):
         """Hook for models with non-standard rotary application (partial
         rotary, interleaved layouts)."""
@@ -361,8 +366,7 @@ class LlamaModel:
         if input_embeds is not None:
             hidden = jnp.where(embeds_mask[..., None],
                                input_embeds.astype(hidden.dtype), hidden)
-        cos = rope_cos[positions]     # [B,T,D/2] f32
-        sin = rope_sin[positions]
+        cos, sin = self._gather_rope(rope_cos, rope_sin, positions)  # [B,T,D/2]
         slot_mapping = compute_slot_mapping(meta.block_tables, meta.history_lens,
                                             meta.q_lens, T, block_size)
 

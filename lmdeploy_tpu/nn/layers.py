@@ -108,6 +108,29 @@ def make_rope_table(head_dim: int, max_len: int, theta: float = 10000.0,
     return jnp.cos(angles) * attn_factor, jnp.sin(angles) * attn_factor
 
 
+def gather_mrope(rope_cos: jax.Array, rope_sin: jax.Array, pos3: jax.Array,
+                 sections: Tuple[int, ...]) -> Tuple[jax.Array, jax.Array]:
+    """Multimodal rope (Qwen2-VL family): 3-component (t, h, w) position ids
+    select per-frequency-section rows of the standard rope tables.
+
+    pos3: [B, T, 3] int32.  sections: config ``mrope_section`` — frequency
+    counts per component over the D/2 half-dim (e.g. [16, 24, 24]).  Returns
+    (cos, sin) [B, T, D/2]: cos[b,t,d] = rope_cos[pos3[b,t,comp(d)], d].
+    Three table gathers + a select — trivial next to the layer matmuls.
+
+    Reference analog: ``lmdeploy/pytorch/models/qwen2_vl.py`` mrope_position_ids
+    path (:266-270) over ``nn/rotary_embedding.py`` mrope sections.
+    """
+    half = rope_cos.shape[-1]
+    comp = jnp.concatenate([
+        jnp.full((s,), i, jnp.int32) for i, s in enumerate(sections)])
+    assert comp.shape[0] == half, (sections, half)
+    cs = [(rope_cos[pos3[..., i]], rope_sin[pos3[..., i]]) for i in range(3)]
+    cos = jnp.where(comp == 0, cs[0][0], jnp.where(comp == 1, cs[1][0], cs[2][0]))
+    sin = jnp.where(comp == 0, cs[0][1], jnp.where(comp == 1, cs[1][1], cs[2][1]))
+    return cos, sin
+
+
 def apply_rope(q: jax.Array, k: jax.Array, cos: jax.Array, sin: jax.Array,
                ) -> Tuple[jax.Array, jax.Array]:
     """Rotate q/k. q: [B,T,Hq,D], k: [B,T,Hkv,D], cos/sin: [B,T,D/2].

@@ -74,29 +74,38 @@ class ImageProcessor:
 
 
 def expand_image_tokens(input_ids: List[int], image_token_id: int,
-                        tokens_per_image: int,
-                        num_images: int) -> Tuple[List[int], List[int]]:
-    """Expand each image placeholder token to ``tokens_per_image`` copies.
+                        tokens_per_image, num_images: int,
+                        ) -> Tuple[List[int], List[int]]:
+    """Expand each image placeholder token to that image's token count.
 
-    Returns (expanded_ids, span_offsets) where span_offsets[i] is the position in
-    the expanded sequence where image i's features begin.  If the prompt contains
+    ``tokens_per_image``: an int (fixed-geometry towers: llava, InternVL) or a
+    per-image list (native-resolution towers: qwen2-vl).  Returns
+    (expanded_ids, span_offsets) where span_offsets[i] is the position in the
+    expanded sequence where image i's features begin.  If the prompt contains
     no placeholders, image blocks are prepended (reference behavior for plain
     string prompts to a VLM).
     """
+    counts = ([tokens_per_image] * num_images
+              if isinstance(tokens_per_image, int) else list(tokens_per_image))
     n_found = sum(1 for t in input_ids if t == image_token_id)
     if n_found == 0 and num_images:
-        block = [image_token_id] * (tokens_per_image * num_images)
-        offsets = [i * tokens_per_image for i in range(num_images)]
+        block: List[int] = []
+        offsets = []
+        for c in counts:
+            offsets.append(len(block))
+            block.extend([image_token_id] * c)
         return block + list(input_ids), offsets
     if n_found != num_images:
         raise ValueError(f'prompt has {n_found} image placeholders but '
                          f'{num_images} images were supplied')
     out: List[int] = []
     offsets: List[int] = []
+    img = 0
     for t in input_ids:
         if t == image_token_id:
             offsets.append(len(out))
-            out.extend([image_token_id] * tokens_per_image)
+            out.extend([image_token_id] * counts[img])
+            img += 1
         else:
             out.append(t)
     return out, offsets
