@@ -35,7 +35,7 @@ SHAPES = [
     (14336, 4096),   # down (8B)
 ]
 BATCHES = [1, 32, 64, 128]
-R = int(os.environ.get('BENCH_R', '30'))
+R = int(os.environ.get('BENCH_R', '100'))
 
 
 def chained(matmul, R):
@@ -53,8 +53,8 @@ def chained(matmul, R):
     return run
 
 
-def timeit(run, xs, *w):
-    """xs: list of DISTINCT inputs, timed by host FETCH of the result.
+def _time_call(run, xs, *w):
+    """min wall time of run() over DISTINCT inputs, timed by host FETCH.
 
     On the tunneled axon stack, ``block_until_ready`` does not reliably wait
     for device execution and repeated identical calls can be served from a
@@ -67,7 +67,19 @@ def timeit(run, xs, *w):
         t0 = time.perf_counter()
         np.asarray(run(x, *w))
         best = min(best, time.perf_counter() - t0)
-    return best / R
+    return best
+
+
+def timeit(matmul, xs, *w):
+    """Per-matmul time via the SLOPE between two chain lengths.
+
+    Even a chained scan carries a large constant per-call cost on this stack
+    (~26 ms measured: RPC + fetch + run launch), which at R=300 still inflates
+    per-step time ~50%.  Timing R and 3R and taking the slope cancels the
+    constant exactly: t_step = (T(3R) - T(R)) / 2R."""
+    t_lo = _time_call(chained(matmul, R), xs, *w)
+    t_hi = _time_call(chained(matmul, 3 * R), xs, *w)
+    return max((t_hi - t_lo) / (2 * R), 1e-9)
 
 
 def main():
@@ -79,16 +91,13 @@ def main():
         wd = jax.device_put(w)
         gib_w4 = (packed.size + scales.size * 4 + zeros.size * 4) / 2**30
         gib_bf16 = K * N * 2 / 2**30
-        fused = chained(w4a16_matmul, R)
-        deq = chained(w4a16_matmul_reference, R)
-        dense = chained(
-            lambda a, ww: jnp.dot(a, ww, preferred_element_type=jnp.float32
-                                  ).astype(a.dtype), R)
+        dense = lambda a, ww: jnp.dot(  # noqa: E731
+            a, ww, preferred_element_type=jnp.float32).astype(a.dtype)
         for B in BATCHES:
             xs = [jnp.asarray(rng.randn(B, K).astype(np.float32), jnp.bfloat16)
                   for _ in range(4)]
-            t_fused = timeit(fused, xs, packed, scales, zeros)
-            t_ref = timeit(deq, xs, packed, scales, zeros)
+            t_fused = timeit(w4a16_matmul, xs, packed, scales, zeros)
+            t_ref = timeit(w4a16_matmul_reference, xs, packed, scales, zeros)
             t_dense = timeit(dense, xs, wd)
             row = dict(K=K, N=N, B=B,
                        fused_us=round(t_fused * 1e6, 1),

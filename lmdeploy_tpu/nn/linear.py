@@ -22,12 +22,15 @@ import jax
 import jax.numpy as jnp
 
 # token count at or below which a W4A16 matmul uses the fused Pallas kernel
-# instead of dequant + dense XLA matmul.  Default 0 = always dense: measured on
-# v5e (TinyLlama bs64 decode) the current kernel runs 84 tok/s vs 1705 for
-# dequant+dense — its block schedule needs a rework before it can win the
-# bandwidth-bound regime it was designed for.  Raise via env to re-enable.
+# instead of dequant + dense XLA matmul.  Slope-timed on v5e (r2,
+# benchmark/bench_w4a16_kernel.py): the fused kernel wins at EVERY size —
+# 1.5-2.1x vs dense bf16 at decode batches, 5-18x vs dequant+dense (which
+# round-trips the full bf16 weight through HBM); above 256 tokens the kernel
+# switches to its MXU-regime pre-scale schedule internally.  Default:
+# always fused on TPU.  Set LMDEPLOY_TPU_W4_DENSE_SWITCH=<n> to force the
+# dequant+dense path for token counts above n (0 = never use the kernel).
 import os as _os
-_DENSE_SWITCH = int(_os.environ.get('LMDEPLOY_TPU_W4_DENSE_SWITCH', '0'))
+_DENSE_SWITCH = int(_os.environ.get('LMDEPLOY_TPU_W4_DENSE_SWITCH', str(1 << 30)))
 _W4_GROUP = 128
 
 
@@ -71,7 +74,7 @@ def _w4a16(x: jax.Array, w: dict) -> jax.Array:
     if _on_tpu() and n_tok <= _DENSE_SWITCH:
         y = w4a16_matmul(x2d, w['packed'], w['scales'], w['zeros'], group_size=gs)
     else:
-        # compute-bound regime (prefill): dequant once, dense MXU matmul
+        # CPU fallback / env-forced: dequant to bf16, dense matmul
         y = w4a16_matmul_reference(x2d, w['packed'], w['scales'], w['zeros'], gs)
     return y.reshape(*lead, -1).astype(x.dtype)
 

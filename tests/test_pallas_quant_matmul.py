@@ -70,3 +70,41 @@ def test_matmul_accuracy_vs_dense():
     # ~13% is the information-theoretic error of 4-bit/group-128 on gaussian
     # weights; real checkpoints do far better (ppl gates cover that)
     assert rel < 0.15, rel
+
+
+@pytest.mark.parametrize('B', [300, 520])
+def test_kernel_prescale_mode_large_m(B):
+    """B > GROUP_DOT_MAX_M takes the pre-scale single-dot schedule (and
+    exercises m-tiling + token padding).  The pre-scale mode rounds q*s to
+    bf16 per weight (vs the reference's (q-z)*s), so compare against the
+    EXACT f32 dequant product: both must sit within bf16-accumulation noise,
+    which is well under the 4-bit quantization noise itself."""
+    rng = np.random.RandomState(4)
+    K, N, gs = 512, 256, 128
+    w = rng.randn(K, N).astype(np.float32) * 0.1
+    packed, scales, zeros = quantize_w4(jnp.asarray(w), gs)
+    x = jnp.asarray(rng.randn(B, K).astype(np.float32) * 0.5)
+    out = np.asarray(w4a16_matmul(x, packed, scales, zeros, group_size=gs,
+                                  block_m=256, block_n=128, block_k2=256))
+    p = np.asarray(packed)
+    q = np.concatenate([p & 0xF, p >> 4], 0).astype(np.float32)
+    wf = ((q.reshape(K // gs, gs, N) - np.asarray(zeros)[:, None])
+          * np.asarray(scales)[:, None]).reshape(K, N)
+    exact = np.asarray(x, np.float32) @ wf
+    assert out.shape == (B, N)
+    np.testing.assert_allclose(out, exact, rtol=2e-2, atol=6e-2)
+
+
+def test_kernel_unaligned_tokens():
+    """B not a multiple of 8 pads up to a whole m-tile."""
+    rng = np.random.RandomState(5)
+    B, K, N, gs = 5, 256, 128, 128
+    w = rng.randn(K, N).astype(np.float32) * 0.1
+    packed, scales, zeros = quantize_w4(jnp.asarray(w), gs)
+    x = jnp.asarray(rng.randn(B, K).astype(np.float32) * 0.5)
+    out = w4a16_matmul(x, packed, scales, zeros, group_size=gs,
+                       block_n=128, block_k2=128)
+    ref = w4a16_matmul_reference(x, packed, scales, zeros, gs)
+    assert out.shape == (B, N)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2,
+                               atol=2e-2)
