@@ -45,6 +45,47 @@ async def one_request(session, url, model, prompt, output_len, stats):
                   'chunks': tokens})
 
 
+def sample_requests(args):
+    """(prompt, output_len) pairs for the chosen workload.
+
+    - 'fixed': uniform input/output lengths (--input-len/--output-len)
+    - 'sharegpt': real ShareGPT_V3 json via --dataset-path, with the
+      reference's filters (prompt 4..1024, prompt+output <= 2048;
+      benchmark/profile_throughput.py:23 sample_sharegpt_requests)
+    - 'sharegpt-synthetic': no-network stand-in — lengths drawn from
+      lognormals fit to ShareGPT stats (median prompt ~55 words, median
+      output ~160 tokens, heavy tails), same filters.
+    """
+    rng = random.Random(args.seed)
+    out = []
+    if args.workload == 'sharegpt':
+        with open(args.dataset_path) as f:
+            data = json.load(f)
+        convs = [d['conversations'] for d in data
+                 if len(d.get('conversations', [])) >= 2]
+        rng.shuffle(convs)
+        for conv in convs:
+            if len(out) >= args.num_prompts:
+                break
+            prompt = conv[0]['value']
+            n_words = len(prompt.split())
+            est_out = max(4, len(conv[1]['value'].split()) * 4 // 3)
+            if n_words < 4 or n_words > 1024 or n_words + est_out > 2048:
+                continue
+            out.append((prompt, min(est_out, args.output_len or est_out)))
+    elif args.workload == 'sharegpt-synthetic':
+        while len(out) < args.num_prompts:
+            n_in = int(rng.lognormvariate(4.0, 1.1))       # median ~55 words
+            n_out = int(rng.lognormvariate(5.1, 0.9))      # median ~160 toks
+            if n_in < 4 or n_in > 1024 or n_in + n_out > 2048 or n_out < 4:
+                continue
+            out.append((random_prompt(n_in), n_out))
+    else:
+        out = [(random_prompt(args.input_len // 2), args.output_len)
+               for _ in range(args.num_prompts)]
+    return out
+
+
 async def run(args):
     import aiohttp
 
@@ -53,15 +94,14 @@ async def run(args):
 
     async with aiohttp.ClientSession(
             timeout=aiohttp.ClientTimeout(total=None)) as session:
-        async def bounded(prompt):
+        async def bounded(prompt, output_len):
             async with sem:
                 await one_request(session, args.url, args.model, prompt,
-                                  args.output_len, stats)
+                                  output_len, stats)
 
-        prompts = [random_prompt(args.input_len // 2)
-                   for _ in range(args.num_prompts)]
+        requests = sample_requests(args)
         t0 = time.perf_counter()
-        await asyncio.gather(*[bounded(p) for p in prompts])
+        await asyncio.gather(*[bounded(p, ol) for p, ol in requests])
         wall = time.perf_counter() - t0
 
     ttfts = sorted(s['ttft'] for s in stats)
@@ -69,10 +109,11 @@ async def run(args):
     total_chunks = sum(s['chunks'] for s in stats)
     pct = lambda xs, p: xs[min(int(len(xs) * p), len(xs) - 1)]  # noqa: E731
     print(json.dumps({
-        'num_prompts': args.num_prompts,
+        'workload': args.workload,
+        'num_prompts': len(stats),
         'concurrency': args.concurrency,
         'duration_s': round(wall, 2),
-        'rps': round(args.num_prompts / wall, 3),
+        'rps': round(len(stats) / wall, 3),
         'stream_chunks_per_s': round(total_chunks / wall, 1),
         'ttft_p50_s': round(pct(ttfts, 0.5), 3),
         'ttft_p99_s': round(pct(ttfts, 0.99), 3),
@@ -89,6 +130,10 @@ def main():
     ap.add_argument('--concurrency', type=int, default=16)
     ap.add_argument('--input-len', type=int, default=128)
     ap.add_argument('--output-len', type=int, default=128)
+    ap.add_argument('--workload', default='fixed',
+                    choices=['fixed', 'sharegpt', 'sharegpt-synthetic'])
+    ap.add_argument('--dataset-path', default='ShareGPT_V3_unfiltered_cleaned_split.json')
+    ap.add_argument('--seed', type=int, default=0)
     asyncio.run(run(ap.parse_args()))
 
 

@@ -58,6 +58,11 @@ class ModelConfig:
     qk_norm: bool = False
     partial_rotary_factor: float = 1.0
     sliding_window: Optional[int] = None
+    # True when every attention layer shares the same sliding window (mistral
+    # etc.) — the scheduler may then free out-of-window KV blocks.  False for
+    # alternating sliding/full families (gemma-2, gpt-oss): full-attention
+    # layers still need old KV, so no blocks may be freed.
+    window_uniform: bool = True
     logit_softcapping: Optional[float] = None
     # MLA (DeepSeek-V2/V3): attention over compressed latent KV.  When set,
     # the cache stores [c_kv | k_rope] vectors under one kv head, and rope
@@ -190,6 +195,10 @@ class ModelConfig:
             or cfg.get('qkv_bias', False),
             partial_rotary_factor=cfg.get('partial_rotary_factor', 1.0),
             sliding_window=cfg.get('sliding_window'),
+            window_uniform=(
+                not (cfg.get('layer_types')
+                     and len(set(cfg['layer_types'])) > 1)
+                and cfg.get('model_type') not in ('gemma2', 'gpt_oss')),
             hf_config=cfg,
             quantization_config=cfg.get('quantization_config'),
             vision=vision,
@@ -247,6 +256,10 @@ class SchedulerConfig:
     max_prefill_batch: int = 8
     prefill_interval: int = 16       # decode steps between forced prefill scheduling
     eviction_type: str = 'recompute'
+    # TTFT-aware prefill ordering (shortest-remaining-first with aging;
+    # reference analog: paging/scheduler.py:85 _PrefillReorderer)
+    prefill_reorder: bool = True
+    prefill_aging_s: float = 10.0    # waited seconds that offset one token budget
 
 
 @dataclass
@@ -313,7 +326,7 @@ class EngineConfigBundle:
             quant_policy=QuantPolicy(engine_config.quant_policy),
             max_prefill_token_num=engine_config.max_prefill_token_num,
             enable_prefix_caching=engine_config.enable_prefix_caching,
-            window_size=model.sliding_window,
+            window_size=model.sliding_window if model.window_uniform else None,
         )
         sched = SchedulerConfig(
             max_batch_size=engine_config.max_batch_size or 128,

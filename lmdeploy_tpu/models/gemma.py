@@ -3,7 +3,8 @@
 Reference analog: ``lmdeeploy/pytorch/models/gemma.py``.  Differences from llama:
 embedding scaled by sqrt(hidden), gelu(tanh) MLP, (1 + w) RMSNorm weights,
 tied embeddings, and for Gemma-2: logit softcapping + post-layer norms +
-alternating sliding-window attention (window handled globally for now).
+alternating sliding-window attention (per-layer 'layer_window' constants:
+sliding on even layers, full on odd, matching transformers Gemma2Attention).
 """
 from __future__ import annotations
 
@@ -21,6 +22,26 @@ class GemmaModel(LlamaModel):
         hf = config.hf_config or {}
         self.final_logit_softcap = hf.get('final_logit_softcapping')
         self.embed_scale = float(np.sqrt(config.hidden_size))
+        # gemma-2 alternates sliding (even layers) / full (odd) attention —
+        # transformers Gemma2Attention: sliding iff not bool(layer_idx % 2).
+        # The per-layer window rides the scan as a 'layer_window' constant
+        # (<= 0 means full attention), same mechanism as gpt-oss.
+        self.layer_windows = None
+        if hf.get('model_type') == 'gemma2' and config.sliding_window:
+            self.layer_windows = np.asarray(
+                [config.sliding_window if i % 2 == 0 else 0
+                 for i in range(config.num_layers)], np.int32)
+
+    def param_shapes(self):
+        shapes = super().param_shapes()
+        if self.layer_windows is not None:
+            shapes['layers']['layer_window'] = (self.config.num_layers,)
+        return shapes
+
+    def constant_params(self):
+        if self.layer_windows is None:
+            return {}
+        return {('layers', 'layer_window'): self.layer_windows}
 
     def _mlp(self, w, x: jax.Array) -> jax.Array:
         from ..nn.linear import linear as proj

@@ -81,6 +81,27 @@ class BlockManager:
         return True
 
     def free_seq(self, seq):
-        if seq.logical_blocks:
-            self.free(seq.logical_blocks)
+        live = [b for b in seq.logical_blocks if b > 0]  # skip window pads
+        if live:
+            self.free(live)
         seq.logical_blocks = []
+
+    def free_leading(self, seq, count: int) -> int:
+        """Sliding-window eviction: free the first ``count`` blocks of a
+        sequence, leaving pad-block placeholders (0) in their list positions
+        so the token-block -> physical-block mapping of the live suffix is
+        unchanged (block tables are indexed by token-block position).
+
+        Safe because windowed attention masks by absolute position: a reused
+        physical block behind a placeholder contributes nothing to softmax.
+        Reference analog: ``lmdeploy/pytorch/paging/block_manager/
+        window_block_manager.py`` (frees out-of-window blocks eagerly).
+        """
+        freed = 0
+        for i in range(min(count, len(seq.logical_blocks))):
+            b = seq.logical_blocks[i]
+            if b > 0:
+                self.free([b])
+                seq.logical_blocks[i] = 0
+                freed += 1
+        return freed

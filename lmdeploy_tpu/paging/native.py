@@ -84,9 +84,21 @@ class NativeBlockManager:
         return True
 
     def free_seq(self, seq):
-        if seq.logical_blocks:
-            self.free(seq.logical_blocks)
+        live = [b for b in seq.logical_blocks if b > 0]  # skip window pads
+        if live:
+            self.free(live)
         seq.logical_blocks = []
+
+    def free_leading(self, seq, count: int) -> int:
+        """Sliding-window eviction (see BlockManager.free_leading)."""
+        freed = 0
+        for i in range(min(count, len(seq.logical_blocks))):
+            b = seq.logical_blocks[i]
+            if b > 0:
+                self.free([b])
+                seq.logical_blocks[i] = 0
+                freed += 1
+        return freed
 
 
 class _RefCountView:

@@ -71,6 +71,15 @@ class Scheduler:
             self.block_manager = BlockManager(num_blocks, cache_config.block_size)
             self.block_trie = BlockTrie(cache_config, self.block_manager) \
                 if cache_config.enable_prefix_caching else None
+        # sliding-window models (uniform window only — alternating-layer models
+        # keep window_size=None, see ModelConfig.window_uniform): out-of-window
+        # blocks are freed eagerly; prefix caching is incompatible (cached
+        # prefixes would hold freed-block ids), as in the reference's
+        # window_block_manager.
+        self.window_size = cache_config.window_size or 0
+        if self.window_size:
+            self.block_trie = None
+        self.num_window_freed_blocks = 0      # lifetime counter (metrics/tests)
         self.seq_manager = SequenceManager(cache_config.block_size)
         self._step_count = 0
         self.num_preemptions = 0
@@ -155,15 +164,45 @@ class Scheduler:
         out.swap_in, self._swap_in_ops = self._swap_in_ops, []
         return out
 
+    def _prefill_order(self, seqs: List[SchedulerSequence]
+                       ) -> List[SchedulerSequence]:
+        """TTFT-aware prefill ordering (reference analog: the
+        ``_PrefillReorderer`` in ``lmdeploy/pytorch/paging/scheduler.py:85``).
+
+        Shortest-remaining-prefill-first minimizes mean TTFT (a long prompt at
+        the FCFS head otherwise head-of-line-blocks every short request behind
+        it for its whole multi-chunk prefill).  Starvation is bounded by aging:
+        each waited ``prefill_aging_s`` discounts one full token budget off the
+        effective length, so any request eventually reaches the front.
+        Sequences already mid-prefill (or swapped out) go first regardless —
+        they hold KV blocks that are pure waste until finished.
+        """
+        if not self.scheduler_config.prefill_reorder or len(seqs) <= 1:
+            return seqs
+        import time as _time
+        now = _time.time()
+        budget = max(1, self.scheduler_config.max_prefill_token_num)
+        aging = self.scheduler_config.prefill_aging_s
+
+        def key(s: SchedulerSequence):
+            started = s.num_computed_tokens > 0 or bool(
+                getattr(s, 'host_blocks', None))
+            wait = now - s.metrics.arrival_time
+            return (0 if started else 1,
+                    s.num_uncomputed / budget - wait / aging)
+
+        return sorted(seqs, key=key)   # stable: FCFS among equals
+
     def _schedule_prefill(self) -> SchedulerOutput:
-        out = self._schedule_prefill_pass(self.waiting)
-        if out.is_empty and not self.running and len(self.waiting) > 1:
-            # head-of-line livelock break: the FCFS head cannot fit while other
+        ordered = self._prefill_order(self.waiting)
+        out = self._schedule_prefill_pass(ordered)
+        if out.is_empty and not self.running and len(ordered) > 1:
+            # head-of-line livelock break: the head cannot fit while other
             # WAITING seqs (e.g. mid-chunked-prefill, still holding blocks) could
             # finish and release space.  Admit whatever fits, bypassing the head
-            # — only in this nothing-else-would-run state, so FCFS is preserved
-            # in the normal case.
-            out = self._schedule_prefill_pass(self.waiting[1:])
+            # — only in this nothing-else-would-run state, so the policy order is
+            # preserved in the normal case.
+            out = self._schedule_prefill_pass(ordered[1:])
         return out
 
     def _schedule_prefill_pass(self, candidates) -> SchedulerOutput:
@@ -273,6 +312,7 @@ class Scheduler:
         # are shared (ref-counted) so swap applies only without the trie.
         n = len(seq.logical_blocks)
         if (self.block_trie is None and len(self.host_pool) >= n > 0
+                and not seq.num_window_freed
                 and not getattr(seq, 'host_blocks', None)):
             host_ids = [self.host_pool.pop() for _ in range(n)]
             self._swap_out_ops.extend(zip(seq.logical_blocks, host_ids))
@@ -289,6 +329,24 @@ class Scheduler:
         seq.reset_computed()
         seq.status = MessageStatus.WAITING
 
+    # -- sliding-window block eviction ---------------------------------------------------
+    def _free_out_of_window(self, seq: SchedulerSequence):
+        """Free KV blocks whose every token is permanently outside the
+        attention window (positions <= num_computed - window are never
+        attended again).  Windowed attention masks by absolute position, so
+        the freed pages need no device-side table rewrite — their (possibly
+        reused) contents are masked out.  Reference analog:
+        ``lmdeploy/pytorch/paging/block_manager/window_block_manager.py``.
+        """
+        if not self.window_size:
+            return
+        bs = self.cache_config.block_size
+        dead = (seq.num_computed_tokens - self.window_size + 1) // bs
+        if dead > seq.num_window_freed:
+            self.num_window_freed_blocks += \
+                self.block_manager.free_leading(seq, dead)
+            seq.num_window_freed = dead
+
     # -- post-step updates --------------------------------------------------------------
     def on_prefill_done(self, chunk: PrefillChunk, next_token: Optional[int]):
         seq = chunk.seq
@@ -300,6 +358,7 @@ class Scheduler:
             seq.status = MessageStatus.RUNNING
         if self.block_trie is not None and not getattr(seq, 'mm_spans', None):
             self.block_trie.cache_seq_blocks(seq)
+        self._free_out_of_window(seq)
 
     def on_decode_done(self, seq: SchedulerSequence, next_token: int):
         seq.append_token(next_token)
@@ -307,3 +366,4 @@ class Scheduler:
         seq.num_new_tokens += 1
         if self.block_trie is not None and not getattr(seq, 'mm_spans', None):
             self.block_trie.cache_seq_blocks(seq)
+        self._free_out_of_window(seq)

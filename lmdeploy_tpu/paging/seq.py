@@ -120,6 +120,7 @@ class SchedulerSequence:
         self.mm_spans: list = []
         self.adapter_slot: int = 0             # S-LoRA slot (0 = no adapter)
         self.host_blocks: list = []            # swapped-out KV block host slots
+        self.num_window_freed: int = 0         # leading blocks freed (sliding window)
 
     # -- token accounting -------------------------------------------------------------
     @property
@@ -157,6 +158,7 @@ class SchedulerSequence:
         """
         self.num_computed_tokens = 0
         self.logical_blocks = []
+        self.num_window_freed = 0
 
 
 class SchedulerSession:
