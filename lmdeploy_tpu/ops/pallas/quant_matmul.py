@@ -25,9 +25,12 @@ TPU design (round-2; measured on v5e with slope-timed chains, see
       just the unpack.  Scale cost is O(M*N*G) on the f32 accumulator —
       negligible at decode M, dominant at prefill M.
     - M > GROUP_DOT_MAX_M ("pre-scale", prefill): the unpacked tile is
-      multiplied by its per-group scale (one bf16 op per weight, O(K*N))
+      multiplied by its per-group scale (one op per weight, O(K*N))
       and fed to ONE dot per (m,n,k) tile — the MXU-bound regime at the
-      same HBM traffic as decode.
+      same HBM traffic as decode.  Measured 0.67-0.75x dense bf16 at
+      B=512-2048 (the dequant VPU work doesn't fully pipeline behind the
+      MXU) but 2.8x the dequant+dense fallback; prefill compute is a
+      small share of mixed serving, and W4's capacity win is the point.
   * Zero points never enter the kernel: (q - z)*s = q*s - z*s, and the
     ``x @ (z*s)`` correction collapses to per-group activation sums times a
     precomputed [G, N] table — a tiny XLA GEMM fused outside.
