@@ -167,12 +167,12 @@ def main():
     real_attn = llama_mod.paged_attention
     real_fill = llama_mod.fill_kv_cache
 
-    def zero_attn(q, k_cache, v_cache, *a, **kw):
+    def zero_attn(q, kv_cache, *a, **kw):
         B, T, Hq, D = q.shape
         return jnp.zeros((B, T, Hq, D), q.dtype)
 
-    def no_fill(k_cache, v_cache, *a, **kw):
-        return k_cache, v_cache
+    def no_fill(kv_cache, *a, **kw):
+        return kv_cache
 
     # gemm only: no attention kernel, no scatter
     llama_mod.paged_attention = zero_attn

@@ -37,17 +37,15 @@ def export_session_kv(engine, session_id: int) -> Dict[str, np.ndarray]:
 
     agent = engine.model_agent
     from .ops.kv_quant import QuantKV, QuantKV4
-    if isinstance(agent.cache_engine.k_cache, (QuantKV, QuantKV4)):
+    if isinstance(agent.cache_engine.kv_cache, (QuantKV, QuantKV4)):
         raise NotImplementedError('PD KV migration with quantized caches '
                                   '(quant_policy=4/8) is not implemented yet')
     blocks = np.asarray(seq.logical_blocks, np.int32)
-    k = np.asarray(agent.cache_engine.k_cache[:, :, jnp.asarray(blocks)])
-    v = np.asarray(agent.cache_engine.v_cache[:, :, jnp.asarray(blocks)])
+    kv = np.asarray(agent.cache_engine.kv_cache[:, jnp.asarray(blocks)])
     return {
         'token_ids': np.asarray(seq.history_ids, np.int32),
         'num_computed': np.asarray(seq.num_computed_tokens, np.int64),
-        'k_blocks': k,                      # [L, Hkv, n, BS, Dp]
-        'v_blocks': v,
+        'kv_blocks': kv,                    # [L, n, BS, ROWp]
         'block_size': np.asarray(engine.configs.cache.block_size, np.int64),
     }
 
@@ -70,7 +68,7 @@ def import_session_kv(engine, session_id: int, payload: Dict[str, np.ndarray],
         'block_size mismatch between PD peers'
     token_ids = payload['token_ids'].tolist()
     num_computed = int(payload['num_computed'])
-    n_blocks = payload['k_blocks'].shape[2]
+    n_blocks = payload['kv_blocks'].shape[1]
 
     engine.add_session(session_id)
     session = engine.scheduler.seq_manager.get_session(session_id)
@@ -83,11 +81,9 @@ def import_session_kv(engine, session_id: int, payload: Dict[str, np.ndarray],
 
     agent = engine.model_agent
     idx = jnp.asarray(np.asarray(seq.logical_blocks, np.int32))
-    k_cache = agent.cache_engine.k_cache.at[:, :, idx].set(
-        jnp.asarray(payload['k_blocks'], agent.cache_engine.k_cache.dtype))
-    v_cache = agent.cache_engine.v_cache.at[:, :, idx].set(
-        jnp.asarray(payload['v_blocks'], agent.cache_engine.v_cache.dtype))
-    agent.cache_engine.swap_caches(k_cache, v_cache)
+    kv_cache = agent.cache_engine.kv_cache.at[:, idx].set(
+        jnp.asarray(payload['kv_blocks'], agent.cache_engine.kv_cache.dtype))
+    agent.cache_engine.swap_caches(kv_cache)
     agent.insert_decode_rows([seq])
     # fresh slot: clear the seen-token counts + prompt mask (skipped prefill)
     V = engine.configs.model.vocab_size

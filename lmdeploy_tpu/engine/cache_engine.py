@@ -3,9 +3,14 @@
 Reference analog: ``lmdeploy/pytorch/engine/cache_engine.py`` (CacheEngine ``:205``) and
 the free-memory -> num_blocks derivation in ``engine/executor/base.py:175-245``.
 
-The cache is two arrays ``[num_layers, num_blocks, block_size, kv_heads, head_dim]``
-(K and V), allocated once and donated through every jitted step so XLA updates them
-in place.  Block 0 is the reserved padding block (see paging/block_manager.py).
+The cache is ONE array ``[num_layers, num_blocks, block_size, ROWp]`` where each
+token's row packs K and V for every kv head, interleaved per head
+(``ops/attention.py kv_row_width``).  Rationale: decode attention on TPU is
+DMA-issue-bound — one packed page is one DMA (measured 5.7x faster than the
+round-1 per-head pages), the fill is one scatter line per token, and the fused
+row eliminates the head-dim lane padding that doubled HBM bytes for D=64 models.
+The array is allocated once and donated through every jitted step so XLA updates
+it in place.  Block 0 is the reserved padding block (see paging/block_manager.py).
 """
 from __future__ import annotations
 
@@ -21,6 +26,7 @@ class CacheEngine:
                  mesh=None, cache_spec=None, reserved_bytes: int = 0):
         import jax
         import jax.numpy as jnp
+        from ..ops.attention import kv_row_width
 
         self.model_config = model_config
         self.cache_config = cache_config
@@ -32,15 +38,10 @@ class CacheEngine:
         self.num_blocks = cache_config.num_gpu_blocks
 
         cfg = model_config
-        # head-major, slot-major pages [BS, Dp]: token rows are contiguous for both
-        # the fill scatter and the decode kernel's page DMAs.  head_dim is padded up
-        # to a full 128-lane tile: XLA pads the HBM buffer to the tile anyway, and
-        # Mosaic requires lane-dim DMA slices in 128 units — explicit padding makes
-        # the padding visible instead of fighting it (zeros there contribute nothing
-        # to the attention contractions).
-        self.padded_head_dim = ((cfg.cache_head_dim + 127) // 128) * 128
-        shape = (cfg.num_layers, cfg.num_key_value_heads, self.num_blocks,
-                 cache_config.block_size, self.padded_head_dim)
+        self.row_width, self.padded_row_width = kv_row_width(
+            cfg.num_key_value_heads, cfg.cache_head_dim)
+        shape = (cfg.num_layers, self.num_blocks, cache_config.block_size,
+                 self.padded_row_width)
         dtype = self._cache_dtype()
 
         sharding = None
@@ -50,32 +51,37 @@ class CacheEngine:
         def put_scale(s):
             if mesh is not None and cache_spec is not None:
                 from jax.sharding import PartitionSpec
+                # scales [L, NB, 2, Hkv, BS]: head dim follows the row split,
+                # slot dim follows the cp stripe
                 s = jax.device_put(s, jax.NamedSharding(
-                    mesh, PartitionSpec(*cache_spec[:-1])))
+                    mesh, PartitionSpec(None, None, None, cache_spec[3],
+                                        cache_spec[2])))
             return s
+
+        scale_shape = (cfg.num_layers, self.num_blocks, 2,
+                       cfg.num_key_value_heads, cache_config.block_size)
 
         def alloc():
             if self.cache_config.quant_policy == QuantPolicy.KV_INT4:
                 # token-pair-packed 4-bit pages + per-token (scale, min)
                 from ..ops.kv_quant import QuantKV4
                 assert cache_config.block_size % 2 == 0
-                z = jnp.zeros(shape[:-2] + (cache_config.block_size // 2,
-                                            self.padded_head_dim), jnp.uint8)
+                z = jnp.zeros(shape[:2] + (cache_config.block_size // 2,
+                                           self.padded_row_width), jnp.uint8)
                 if sharding is not None:
                     z = jax.device_put(z, sharding)
-                return QuantKV4(z, put_scale(jnp.zeros(shape[:-1], jnp.float32)),
-                                put_scale(jnp.zeros(shape[:-1], jnp.float32)))
+                return QuantKV4(z, put_scale(jnp.zeros(scale_shape, jnp.float32)),
+                                put_scale(jnp.zeros(scale_shape, jnp.float32)))
             z = jnp.zeros(shape, dtype)
             if sharding is not None:
                 z = jax.device_put(z, sharding)
             if self.cache_config.quant_policy == QuantPolicy.KV_INT8:
                 # per-token scales ride with the pages as one pytree node
                 from ..ops.kv_quant import QuantKV
-                return QuantKV(z, put_scale(jnp.zeros(shape[:-1], jnp.float32)))
+                return QuantKV(z, put_scale(jnp.zeros(scale_shape, jnp.float32)))
             return z
 
-        self.k_cache = alloc()
-        self.v_cache = alloc()
+        self.kv_cache = alloc()
 
     def _cache_dtype(self):
         import jax.numpy as jnp
@@ -87,14 +93,14 @@ class CacheEngine:
         return self.model_config.jnp_dtype()
 
     def block_bytes(self) -> int:
+        from ..ops.attention import kv_row_width
         cfg = self.model_config
         itemsize = np.dtype('float32').itemsize if cfg.dtype == 'float32' else 2
         policy = self.cache_config.quant_policy
         if policy in (QuantPolicy.KV_INT8, QuantPolicy.KV_FP8):
             itemsize = 1
-        padded_d = ((cfg.cache_head_dim + 127) // 128) * 128
-        per = (2 * cfg.num_layers * self.cache_config.block_size *
-               cfg.num_key_value_heads * padded_d * itemsize)
+        _, rowp = kv_row_width(cfg.num_key_value_heads, cfg.cache_head_dim)
+        per = cfg.num_layers * self.cache_config.block_size * rowp * itemsize
         if policy == QuantPolicy.KV_INT4:   # nibble-packed + scale + min
             per = per // 2 + (2 * cfg.num_layers * self.cache_config.block_size *
                               cfg.num_key_value_heads * 8)
@@ -133,25 +139,20 @@ class CacheEngine:
         num = max(budget // self.block_bytes(), 16)
         return int(num)
 
-    def swap_caches(self, k_cache, v_cache):
-        """Adopt updated (donated-through) cache arrays after a step."""
-        self.k_cache = k_cache
-        self.v_cache = v_cache
+    def swap_caches(self, kv_cache):
+        """Adopt the updated (donated-through) cache array after a step."""
+        self.kv_cache = kv_cache
 
     # -- host swap (reference: cache_engine swap_in/swap_out + cpu blocks) -------------
     def ensure_host_pool(self, num_cpu_blocks: int):
         """Allocate host-RAM KV block storage (numpy), lazily on first swap."""
         import jax
-        if getattr(self, 'host_k', None) is not None or num_cpu_blocks <= 0:
+        if getattr(self, 'host_kv', None) is not None or num_cpu_blocks <= 0:
             return
 
-        def host_like(dev):
-            return jax.tree_util.tree_map(
-                lambda x: np.zeros((x.shape[0], x.shape[1], num_cpu_blocks)
-                                   + x.shape[3:], x.dtype), dev)
-
-        self.host_k = host_like(self.k_cache)
-        self.host_v = host_like(self.v_cache)
+        self.host_kv = jax.tree_util.tree_map(
+            lambda x: np.zeros((x.shape[0], num_cpu_blocks) + x.shape[2:],
+                               x.dtype), self.kv_cache)
 
     def swap_out(self, pairs):
         """Copy device blocks to host slots: pairs = [(dev_id, host_id), ...]."""
@@ -159,14 +160,11 @@ class CacheEngine:
         dev_ids = [p[0] for p in pairs]
         host_ids = [p[1] for p in pairs]
 
-        def copy(dev, host):
-            def leaf(d, h):
-                h[:, :, host_ids] = np.asarray(d[:, :, dev_ids])
-                return h
-            return jax.tree_util.tree_map(leaf, dev, host)
+        def leaf(d, h):
+            h[:, host_ids] = np.asarray(d[:, dev_ids])
+            return h
 
-        self.host_k = copy(self.k_cache, self.host_k)
-        self.host_v = copy(self.v_cache, self.host_v)
+        self.host_kv = jax.tree_util.tree_map(leaf, self.kv_cache, self.host_kv)
 
     def swap_in(self, pairs):
         """Copy host slots back into device blocks: pairs = [(host_id, dev_id)]."""
@@ -175,11 +173,7 @@ class CacheEngine:
         host_ids = [p[0] for p in pairs]
         dev_ids = np.asarray([p[1] for p in pairs])
 
-        def copy(host, dev):
-            def leaf(h, d):
-                return d.at[:, :, jnp.asarray(dev_ids)].set(
-                    jnp.asarray(h[:, :, host_ids]))
-            return jax.tree_util.tree_map(leaf, host, dev)
+        def leaf(h, d):
+            return d.at[:, jnp.asarray(dev_ids)].set(jnp.asarray(h[:, host_ids]))
 
-        self.k_cache = copy(self.host_k, self.k_cache)
-        self.v_cache = copy(self.host_v, self.v_cache)
+        self.kv_cache = jax.tree_util.tree_map(leaf, self.host_kv, self.kv_cache)

@@ -227,15 +227,15 @@ class ModelAgent:
 
         model = self.model
 
-        def step(params, rope_cos, rope_sin, k_cache, v_cache, token_counts,
+        def step(params, rope_cos, rope_sin, kv_cache, token_counts,
                  prompt_mask, input_ids, positions, block_tables, history_lens,
                  q_lens, slot_rows, reset_rows, valid_mask, sampling, adapter_ids,
                  *mm):
             B, T = input_ids.shape
             meta = AttnMeta(block_tables=block_tables, history_lens=history_lens,
                             q_lens=q_lens)
-            logits, k_cache, v_cache = model.forward(
-                params, input_ids, positions, k_cache, v_cache, meta,
+            logits, kv_cache = model.forward(
+                params, input_ids, positions, kv_cache, meta,
                 rope_cos, rope_sin, fresh_prefill=fresh_prefill,
                 input_embeds=mm[0] if with_embeds else None,
                 embeds_mask=mm[1] if with_embeds else None,
@@ -258,10 +258,10 @@ class ModelAgent:
             token_counts = token_counts.at[slot_rows].set(rows)
             if count_inputs:
                 prompt_mask = prompt_mask.at[slot_rows].set(prows)
-            return (k_cache, v_cache, token_counts, prompt_mask, tokens, logprob,
+            return (kv_cache, token_counts, prompt_mask, tokens, logprob,
                     top)
 
-        return jax.jit(step, donate_argnums=(3, 4, 5, 6))
+        return jax.jit(step, donate_argnums=(3, 4, 5))
 
     def _get_step_fn(self, count_inputs: bool, fresh_prefill: bool = False,
                      with_embeds: bool = False):
@@ -359,14 +359,14 @@ class ModelAgent:
         fresh = count_inputs and all(s == 0 for s in chunk_starts)
         self._flush_deactivations()
         fn = self._get_step_fn(count_inputs, fresh, with_embeds=bool(mm_args))
-        (k_cache, v_cache, self.token_counts, self.prompt_mask, tokens, logprob,
+        (kv_cache, self.token_counts, self.prompt_mask, tokens, logprob,
          top) = fn(
             self.params, self.rope_cos, self.rope_sin,
-            self.cache_engine.k_cache, self.cache_engine.v_cache, self.token_counts,
+            self.cache_engine.kv_cache, self.token_counts,
             self.prompt_mask, input_ids, positions, block_tables, history_lens,
             q_lens, slot_rows, reset_rows, valid_mask, sampling, adapter_ids,
             *mm_args)
-        self.cache_engine.swap_caches(k_cache, v_cache)
+        self.cache_engine.swap_caches(kv_cache)
         # the prefill path donated the shared token-counts/prompt-mask buffers;
         # re-point the decode state at the fresh ones
         if self.decode_state is not None:
@@ -554,23 +554,23 @@ class ModelAgent:
         row_fields = [f.name for f in dataclasses.fields(DecodeState)
                       if f.name not in ('token_counts', 'prompt_mask')]
 
-        def run(params, rope_cos, rope_sin, k_cache, v_cache, state):
+        def run(params, rope_cos, rope_sin, kv_cache, state):
             sub = {n: getattr(state, n)[:B] for n in row_fields}
             full_counts = state.token_counts      # [Bmax+1, V] (shared w/ prefill)
             pmask = state.prompt_mask[:B]         # fixed during decode
 
             def step_fn(carry, _):
-                kc, vc, st, counts_full = carry
+                kc, st, counts_full = carry
                 counts = counts_full[:B]
                 act = st['active']
                 q_lens = act.astype(jnp.int32)
                 meta = AttnMeta(block_tables=st['tables'],
                                 history_lens=st['position'], q_lens=q_lens)
-                logits, kc, vc = model.forward(
+                logits, kc = model.forward(
                     params, st['token'][:, None],
                     jnp.clip(st['position'] + st['pos_delta'], 0,
                              self.max_model_len - 1)[:, None],
-                    kc, vc, meta, rope_cos, rope_sin,
+                    kc, meta, rope_cos, rope_sin,
                     adapter_ids=st['adapter_id'])
                 seeds = st['seed'] + (st['step_no'].astype(jnp.uint32) + 1) * GOLDEN
                 si = SamplingInputs(
@@ -588,17 +588,17 @@ class ModelAgent:
                     act.astype(counts_full.dtype))
                 st = dict(st, token=new_token, position=st['position'] + q_lens,
                           step_no=st['step_no'] + q_lens)
-                return (kc, vc, st, counts_full), (new_token, lp) + top
+                return (kc, st, counts_full), (new_token, lp) + top
 
-            (k_cache, v_cache, sub, full_counts), (toks, lps, tv, ti) = \
+            (kv_cache, sub, full_counts), (toks, lps, tv, ti) = \
                 jax.lax.scan(
-                    step_fn, (k_cache, v_cache, sub, full_counts), None, length=k)
+                    step_fn, (kv_cache, sub, full_counts), None, length=k)
             state = dataclasses.replace(
                 state, token_counts=full_counts,
                 **{n: getattr(state, n).at[:B].set(sub[n]) for n in row_fields})
-            return k_cache, v_cache, state, toks, lps, tv, ti
+            return kv_cache, state, toks, lps, tv, ti
 
-        fn = jax.jit(run, donate_argnums=(3, 4, 5))
+        fn = jax.jit(run, donate_argnums=(3, 4))
         self._step_fns[key] = fn
         return fn
 
@@ -617,20 +617,20 @@ class ModelAgent:
         row_fields = [f.name for f in dataclasses.fields(DecodeState)
                       if f.name not in ('token_counts', 'prompt_mask')]
 
-        def run(params, rope_cos, rope_sin, k_cache, v_cache, state):
+        def run(params, rope_cos, rope_sin, kv_cache, state):
             sub = {n: getattr(state, n)[:B] for n in row_fields}
 
             def step_fn(carry, _):
-                kc, vc, st = carry
+                kc, st = carry
                 act = st['active']
                 q_lens = act.astype(jnp.int32)
                 meta = AttnMeta(block_tables=st['tables'],
                                 history_lens=st['position'], q_lens=q_lens)
-                logits, kc, vc = model.forward(
+                logits, kc = model.forward(
                     params, st['token'][:, None],
                     jnp.clip(st['position'] + st['pos_delta'], 0,
                              self.max_model_len - 1)[:, None],
-                    kc, vc, meta, rope_cos, rope_sin,
+                    kc, meta, rope_cos, rope_sin,
                     adapter_ids=st['adapter_id'])
                 tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 lp = (jnp.take_along_axis(logits, tokens[:, None], 1)[:, 0]
@@ -644,16 +644,16 @@ class ModelAgent:
                     tix = jnp.zeros((B, 1), jnp.int32)
                 st = dict(st, token=new_token, position=st['position'] + q_lens,
                           step_no=st['step_no'] + q_lens)
-                return (kc, vc, st), (new_token, lp, tv, tix)
+                return (kc, st), (new_token, lp, tv, tix)
 
-            (k_cache, v_cache, sub), (toks, lps, tv, ti) = jax.lax.scan(
-                step_fn, (k_cache, v_cache, sub), None, length=k)
+            (kv_cache, sub), (toks, lps, tv, ti) = jax.lax.scan(
+                step_fn, (kv_cache, sub), None, length=k)
             state = dataclasses.replace(
                 state,
                 **{n: getattr(state, n).at[:B].set(sub[n]) for n in row_fields})
-            return k_cache, v_cache, state, toks, lps, tv, ti
+            return kv_cache, state, toks, lps, tv, ti
 
-        return jax.jit(run, donate_argnums=(3, 4, 5))
+        return jax.jit(run, donate_argnums=(3, 4))
 
     def decode_run(self, num_rows: int, k: Optional[int] = None,
                    simple: bool = False, top_lp: int = 0,
@@ -671,11 +671,10 @@ class ModelAgent:
         B = bucketize(num_rows, self.batch_buckets)
         self._flush_deactivations()
         fn = self._get_run_fn(k, B, simple, top_lp, kmax)
-        (k_cache, v_cache, self.decode_state, toks, lps, tv, ti) = fn(
+        (kv_cache, self.decode_state, toks, lps, tv, ti) = fn(
             self.params, self.rope_cos, self.rope_sin,
-            self.cache_engine.k_cache, self.cache_engine.v_cache,
-            self.decode_state)
-        self.cache_engine.swap_caches(k_cache, v_cache)
+            self.cache_engine.kv_cache, self.decode_state)
+        self.cache_engine.swap_caches(kv_cache)
         self.token_counts = self.decode_state.token_counts
         self.prompt_mask = self.decode_state.prompt_mask
         return StepOutput(toks, lps, (tv, ti) if top_lp > 0 else (None, None))
@@ -688,16 +687,16 @@ class ModelAgent:
         if fn is None:
             model = self.model
 
-            def logits_fn(params, rope_cos, rope_sin, k_cache, v_cache,
+            def logits_fn(params, rope_cos, rope_sin, kv_cache,
                           input_ids, positions, block_tables, history_lens, q_lens):
                 meta = AttnMeta(block_tables=block_tables,
                                 history_lens=history_lens, q_lens=q_lens)
-                logits, k_cache, v_cache = model.forward(
-                    params, input_ids, positions, k_cache, v_cache, meta,
+                logits, kv_cache = model.forward(
+                    params, input_ids, positions, kv_cache, meta,
                     rope_cos, rope_sin, return_all_logits=True)
-                return logits, k_cache, v_cache
+                return logits, kv_cache
 
-            fn = jax.jit(logits_fn, donate_argnums=(3, 4))
+            fn = jax.jit(logits_fn, donate_argnums=(3,))
             self._step_fns['logits'] = fn
         return fn
 
@@ -718,12 +717,12 @@ class ModelAgent:
         tables = np.zeros((1, W), np.int32)
         tables[0, :len(block_ids)] = block_ids
         fn = self._get_logits_fn()
-        logits, k_cache, v_cache = fn(
+        logits, kv_cache = fn(
             self.params, self.rope_cos, self.rope_sin,
-            self.cache_engine.k_cache, self.cache_engine.v_cache,
+            self.cache_engine.kv_cache,
             input_ids, positions, tables,
             np.zeros(1, np.int32), np.asarray([n], np.int32))
-        self.cache_engine.swap_caches(k_cache, v_cache)
+        self.cache_engine.swap_caches(kv_cache)
         return np.asarray(logits[0, :n])
 
     # -- sleep / wakeup / weight update (RL colocation; reference engine.py:566) -------
@@ -731,8 +730,7 @@ class ModelAgent:
         """Release device memory: level 1 = KV cache (+ decode state), level 2 = also
         move weights to host.  Reference analog: engine.py sleep/wakeup drain."""
         import jax
-        self.cache_engine.k_cache = None
-        self.cache_engine.v_cache = None
+        self.cache_engine.kv_cache = None
         self.decode_state = None
         self.token_counts = None
         self.prompt_mask = None
@@ -761,27 +759,28 @@ class ModelAgent:
             self._host_params = None
         cfg = self.model_config
         cc = self.cache_config
-        shape = (cfg.num_layers, cfg.num_key_value_heads,
-                 self.cache_engine.num_blocks, cc.block_size,
-                 self.cache_engine.padded_head_dim)
-        dtype = self.cache_engine._cache_dtype()
+        ce = self.cache_engine
+        shape = (cfg.num_layers, ce.num_blocks, cc.block_size,
+                 ce.padded_row_width)
+        scale_shape = (cfg.num_layers, ce.num_blocks, 2,
+                       cfg.num_key_value_heads, cc.block_size)
+        dtype = ce._cache_dtype()
 
         def fresh_cache():
             from ..messages import QuantPolicy
             if cc.quant_policy == QuantPolicy.KV_INT4:
                 from ..ops.kv_quant import QuantKV4
-                z = jnp.zeros(shape[:-2] + (cc.block_size // 2, shape[-1]),
+                z = jnp.zeros(shape[:2] + (cc.block_size // 2, shape[-1]),
                               jnp.uint8)
-                return QuantKV4(z, jnp.zeros(shape[:-1], jnp.float32),
-                                jnp.zeros(shape[:-1], jnp.float32))
+                return QuantKV4(z, jnp.zeros(scale_shape, jnp.float32),
+                                jnp.zeros(scale_shape, jnp.float32))
             z = jnp.zeros(shape, dtype)
             if cc.quant_policy == QuantPolicy.KV_INT8:
                 from ..ops.kv_quant import QuantKV
-                return QuantKV(z, jnp.zeros(shape[:-1], jnp.float32))
+                return QuantKV(z, jnp.zeros(scale_shape, jnp.float32))
             return z
 
-        self.cache_engine.k_cache = fresh_cache()
-        self.cache_engine.v_cache = fresh_cache()
+        ce.kv_cache = fresh_cache()
         self.token_counts = jnp.zeros((self.max_batch + 1, cfg.vocab_size),
                                       jnp.int16)
         self.prompt_mask = jnp.zeros((self.max_batch + 1, cfg.vocab_size),
@@ -847,14 +846,13 @@ class ModelAgent:
         params_s = sds(self.params)
         cos_s = jax.ShapeDtypeStruct(self.rope_cos.shape, self.rope_cos.dtype)
         sin_s = jax.ShapeDtypeStruct(self.rope_sin.shape, self.rope_sin.dtype)
-        kc_s = sds(self.cache_engine.k_cache)   # handles QuantKV pytrees too
-        vc_s = sds(self.cache_engine.v_cache)
+        kv_s = sds(self.cache_engine.kv_cache)   # handles QuantKV pytrees too
         state_s = sds(self.decode_state)
         for bsz in (batch_sizes or [self.max_batch]):
             B = bucketize(bsz, self.batch_buckets)
             for k in decode_ks:
                 self._get_run_fn(k, B).lower(
-                    params_s, cos_s, sin_s, kc_s, vc_s, state_s).compile()
+                    params_s, cos_s, sin_s, kv_s, state_s).compile()
         # prefill buckets: fresh-prefill step at the requested chunk sizes
         import jax.numpy as jnp
         counts_s = jax.ShapeDtypeStruct(self.token_counts.shape,
@@ -880,7 +878,7 @@ class ModelAgent:
                 do_sample=jax.ShapeDtypeStruct((B,), jnp.bool_),
                 seeds=jax.ShapeDtypeStruct((B,), jnp.uint32))
             self._get_step_fn(True, True).lower(
-                params_s, cos_s, sin_s, kc_s, vc_s, counts_s, pmask_s,
+                params_s, cos_s, sin_s, kv_s, counts_s, pmask_s,
                 jax.ShapeDtypeStruct((B, T), i32), jax.ShapeDtypeStruct((B, T), i32),
                 jax.ShapeDtypeStruct((B, W), i32), jax.ShapeDtypeStruct((B,), i32),
                 jax.ShapeDtypeStruct((B,), i32), jax.ShapeDtypeStruct((B,), i32),

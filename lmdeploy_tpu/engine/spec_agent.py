@@ -64,15 +64,15 @@ class SpecExtension:
             from ..weight_loader import load_model_params
             self.draft_params = load_model_params(self.draft_model, draft_model_path)
         dc = self.draft_config
-        padded_d = ((dc.head_dim + 127) // 128) * 128
+        from ..ops.attention import kv_row_width
+        _, rowp = kv_row_width(dc.num_key_value_heads, dc.head_dim)
         n_draft_layers = 1 if method == 'eagle' else dc.num_layers
-        shape = (n_draft_layers, dc.num_key_value_heads, agent.num_blocks,
-                 agent.cache_config.block_size, padded_d)
-        dtype = agent.cache_engine.k_cache.dtype
+        shape = (n_draft_layers, agent.num_blocks,
+                 agent.cache_config.block_size, rowp)
+        dtype = agent.cache_engine.kv_cache.dtype
         if dtype in (jnp.int8, jnp.uint8):   # quantized target: draft unquantized
             dtype = agent.model_config.jnp_dtype()
-        self.draft_k = jnp.zeros(shape, dtype)
-        self.draft_v = jnp.zeros(shape, dtype)
+        self.draft_kv = jnp.zeros(shape, dtype)
         cos, sin = make_rope_table(dc.rope_dim, agent.max_model_len, dc.rope_theta,
                                    dc.rope_scaling)
         self.draft_cos = jax.device_put(cos)
@@ -121,7 +121,7 @@ class SpecExtension:
         masked_dist = self._masked_dist
 
         def run(params, dparams, rope_cos, rope_sin, dcos, dsin,
-                kc, vc, dkc, dvc, state):
+                kc, dkc, state):
             sub = {n: getattr(state, n)[:B] for n in row_fields}
             counts = state.token_counts[:B]
             pmask = state.prompt_mask[:B]
@@ -130,23 +130,23 @@ class SpecExtension:
 
             # (a) draft proposes K tokens
             def draft_step(carry, i):
-                dkc, dvc, tok, dpos = carry
+                dkc, tok, dpos = carry
                 meta = AttnMeta(block_tables=sub['tables'], history_lens=dpos,
                                 q_lens=q1)
-                logits, dkc, dvc = draft.forward(
+                logits, dkc = draft.forward(
                     dparams, tok[:, None],
                     jnp.clip(dpos, 0, agent.max_model_len - 1)[:, None],
-                    dkc, dvc, meta, dcos, dsin)
+                    dkc, meta, dcos, dsin)
                 dist = masked_dist(logits, sub, counts, pmask)
                 seeds = sub['seed'] + (sub['step_no'].astype(jnp.uint32)
                                        + 1 + i.astype(jnp.uint32)) * GOLDEN
                 toks = jax.vmap(lambda s, p: jax.random.choice(
                     jax.random.key(s), logits.shape[-1], p=p))(seeds, dist)
                 toks = toks.astype(jnp.int32)
-                return (dkc, dvc, toks, dpos + q1), (toks, dist)
+                return (dkc, toks, dpos + q1), (toks, dist)
 
-            (dkc, dvc, _, _), (draft_toks, draft_dists) = jax.lax.scan(
-                draft_step, (dkc, dvc, sub['token'], sub['position']),
+            (dkc, _, _), (draft_toks, draft_dists) = jax.lax.scan(
+                draft_step, (dkc, sub['token'], sub['position']),
                 jnp.arange(K))
             draft_toks = jnp.swapaxes(draft_toks, 0, 1)       # [B, K]
             draft_dists = jnp.swapaxes(draft_dists, 0, 1)     # [B, K, V]
@@ -158,9 +158,9 @@ class SpecExtension:
             meta = AttnMeta(block_tables=sub['tables'],
                             history_lens=sub['position'],
                             q_lens=q1 * (K + 1))
-            logits_all, kc, vc = target.forward(
+            logits_all, kc = target.forward(
                 params, chunk, jnp.clip(positions, 0, agent.max_model_len - 1),
-                kc, vc, meta, rope_cos, rope_sin, return_all_logits=True)
+                kc, meta, rope_cos, rope_sin, return_all_logits=True)
             tgt_dists = jax.vmap(
                 lambda lg: masked_dist(lg, sub, counts, pmask),
                 in_axes=1, out_axes=1)(logits_all)            # [B, K+1, V]
@@ -195,9 +195,9 @@ class SpecExtension:
             state = dataclasses.replace(
                 state, token_counts=counts_upd,
                 **{n: getattr(state, n).at[:B].set(sub[n]) for n in row_fields})
-            return kc, vc, dkc, dvc, state, out_toks, n_emitted, out_lps
+            return kc, dkc, state, out_toks, n_emitted, out_lps
 
-        fn = jax.jit(run, donate_argnums=(6, 7, 8, 9, 10))
+        fn = jax.jit(run, donate_argnums=(6, 7, 8))
         self._fns[B] = fn
         return fn
 
@@ -223,7 +223,7 @@ class SpecExtension:
                       if f.name not in ('token_counts', 'prompt_mask')]
         masked_dist = self._masked_dist
 
-        def run(params, dparams, rope_cos, rope_sin, kc, vc, dkc, dvc, state,
+        def run(params, dparams, rope_cos, rope_sin, kc, dkc, state,
                 hidden_full):
             sub = {n: getattr(state, n)[:B] for n in row_fields}
             counts = state.token_counts[:B]
@@ -232,11 +232,11 @@ class SpecExtension:
             q1 = act.astype(jnp.int32)
 
             def draft_step(carry, i):
-                dkc, dvc, tok, dpos, h_cond = carry
-                logits, h_new, dkc, dvc = eagle.step(
+                dkc, tok, dpos, h_cond = carry
+                logits, h_new, dkc = eagle.step(
                     dparams, params, h_cond, tok,
                     jnp.clip(dpos, 0, agent.max_model_len - 1),
-                    dkc, dvc, sub['tables'], q1, rope_cos, rope_sin,
+                    dkc, sub['tables'], q1, rope_cos, rope_sin,
                     agent.max_model_len)
                 dist = masked_dist(logits, sub, counts, pmask)
                 seeds = sub['seed'] + (sub['step_no'].astype(jnp.uint32)
@@ -244,11 +244,11 @@ class SpecExtension:
                 toks = jax.vmap(lambda s, p: jax.random.choice(
                     jax.random.key(s), logits.shape[-1], p=p))(seeds, dist)
                 toks = toks.astype(jnp.int32)
-                return (dkc, dvc, toks, dpos + q1, h_new), (toks, dist)
+                return (dkc, toks, dpos + q1, h_new), (toks, dist)
 
-            (dkc, dvc, _, _, _), (draft_toks, draft_dists) = jax.lax.scan(
+            (dkc, _, _, _), (draft_toks, draft_dists) = jax.lax.scan(
                 draft_step,
-                (dkc, dvc, sub['token'], sub['position'], hidden_full[:B]),
+                (dkc, sub['token'], sub['position'], hidden_full[:B]),
                 jnp.arange(K))
             draft_toks = jnp.swapaxes(draft_toks, 0, 1)
             draft_dists = jnp.swapaxes(draft_dists, 0, 1)
@@ -259,9 +259,9 @@ class SpecExtension:
             meta = AttnMeta(block_tables=sub['tables'],
                             history_lens=sub['position'],
                             q_lens=q1 * (K + 1))
-            logits_all, kc, vc, hidden_all = target.forward(
+            logits_all, kc, hidden_all = target.forward(
                 params, chunk, jnp.clip(positions, 0, agent.max_model_len - 1),
-                kc, vc, meta, rope_cos, rope_sin, return_all_logits=True,
+                kc, meta, rope_cos, rope_sin, return_all_logits=True,
                 return_hidden=True)
             tgt_dists = jax.vmap(
                 lambda lg: masked_dist(lg, sub, counts, pmask),
@@ -301,9 +301,9 @@ class SpecExtension:
             state = dataclasses.replace(
                 state, token_counts=counts_upd,
                 **{n: getattr(state, n).at[:B].set(sub[n]) for n in row_fields})
-            return kc, vc, dkc, dvc, state, hidden_full, out_toks, n_emitted, out_lps
+            return kc, dkc, state, hidden_full, out_toks, n_emitted, out_lps
 
-        fn = jax.jit(run, donate_argnums=(4, 5, 6, 7, 8, 9))
+        fn = jax.jit(run, donate_argnums=(4, 5, 6, 7))
         self._fns[key] = fn
         return fn
 
@@ -318,20 +318,20 @@ class SpecExtension:
         B = bucketize(num_rows, agent.batch_buckets)
         if self.method == 'eagle':
             fn = self._get_fn_eagle(B)
-            (kc, vc, self.draft_k, self.draft_v, agent.decode_state,
+            (kc, self.draft_kv, agent.decode_state,
              self.hidden, out_toks, n_emitted, out_lps) = fn(
                 agent.params, self.draft_params, agent.rope_cos, agent.rope_sin,
-                agent.cache_engine.k_cache, agent.cache_engine.v_cache,
-                self.draft_k, self.draft_v, agent.decode_state, self.hidden)
+                agent.cache_engine.kv_cache,
+                self.draft_kv, agent.decode_state, self.hidden)
         else:
             fn = self._get_fn(B)
-            (kc, vc, self.draft_k, self.draft_v, agent.decode_state, out_toks,
+            (kc, self.draft_kv, agent.decode_state, out_toks,
              n_emitted, out_lps) = fn(
                 agent.params, self.draft_params, agent.rope_cos, agent.rope_sin,
                 self.draft_cos, self.draft_sin,
-                agent.cache_engine.k_cache, agent.cache_engine.v_cache,
-                self.draft_k, self.draft_v, agent.decode_state)
-        agent.cache_engine.swap_caches(kc, vc)
+                agent.cache_engine.kv_cache,
+                self.draft_kv, agent.decode_state)
+        agent.cache_engine.swap_caches(kc)
         agent.token_counts = agent.decode_state.token_counts
         agent.prompt_mask = agent.decode_state.prompt_mask
         return np.asarray(out_toks), np.asarray(n_emitted), np.asarray(out_lps)

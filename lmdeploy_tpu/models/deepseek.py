@@ -229,7 +229,7 @@ class DeepseekV2Model(LlamaModel):
         return shard
 
     # -- forward -----------------------------------------------------------------------
-    def _attn_block(self, h, w, layer, k_cache, v_cache, meta, cos, sin,
+    def _attn_block(self, h, w, layer, kv_cache, meta, cos, sin,
                     slot_mapping, fresh_prefill):
         cfg = self.config
         B, T = h.shape[0], h.shape[1]
@@ -260,19 +260,19 @@ class DeepseekV2Model(LlamaModel):
         v_new = jnp.concatenate(
             [c, jnp.zeros((B, T, dr), c.dtype)], axis=-1)        # pad to D
 
-        k_cache, v_cache = fill_kv_cache(
-            k_cache, v_cache, k_new.reshape(B * T, 1, D),
+        kv_cache = fill_kv_cache(
+            kv_cache, k_new.reshape(B * T, 1, D),
             v_new.reshape(B * T, 1, D), slot_mapping, layer)
-        attn = paged_attention(q_eff, k_cache, v_cache, meta.block_tables,
+        attn = paged_attention(q_eff, kv_cache, meta.block_tables,
                                meta.history_lens, meta.q_lens, self.scale, layer,
-                               window_size=None,
+                               1, window_size=None,
                                chunk_kv=(k_new[:, :, None, :], v_new[:, :, None, :]),
                                fresh_prefill=fresh_prefill,
                                force_reference=getattr(self, 'force_ref_attention', False))      # [B,T,nh,D]
         o = jnp.einsum('btnr,nrv->btnv', attn[..., :r].astype(jnp.float32),
                        w['wuv'].astype(jnp.float32)).astype(h.dtype)
         h = h + proj(o.reshape(B, T, nh * dv), w['wo'])
-        return h, k_cache, v_cache
+        return h, kv_cache
 
     def _moe_mlp(self, w, x):
         cfg = self.config
@@ -320,13 +320,13 @@ class DeepseekV2Model(LlamaModel):
                                 preferred_element_type=jnp.float32)
         return out.reshape(B, T, H).astype(x.dtype)
 
-    def forward(self, params, input_ids, positions, k_cache, v_cache,
+    def forward(self, params, input_ids, positions, kv_cache,
                 meta: AttnMeta, rope_cos, rope_sin, return_all_logits=False,
                 fresh_prefill=False, input_embeds=None, embeds_mask=None,
                 adapter_ids=None):   # S-LoRA targets llama-family linears only
         cfg = self.config
         B, T = input_ids.shape
-        block_size = k_cache.shape[-2]
+        block_size = kv_cache.shape[2]
         hidden = params['embed'][input_ids].astype(cfg.jnp_dtype())
         if input_embeds is not None:
             hidden = jnp.where(embeds_mask[..., None],
@@ -338,24 +338,24 @@ class DeepseekV2Model(LlamaModel):
 
         def make_layer_fn(moe: bool):
             def layer_fn(carry, w):
-                h, kc, vc, layer = carry
-                h, kc, vc = self._attn_block(h, w, layer, kc, vc, meta, cos,
-                                             sin, slot_mapping, fresh_prefill)
+                h, kc, layer = carry
+                h, kc = self._attn_block(h, w, layer, kc, meta, cos,
+                                         sin, slot_mapping, fresh_prefill)
                 x = rms_norm(h, w['mlp_norm'], cfg.rms_norm_eps)
                 if moe:
                     h = h + self._moe_mlp(w, x)
                 else:
                     h = h + self._mlp(w, x)      # llama dense silu mlp
-                return (h, kc, vc, layer + 1), None
+                return (h, kc, layer + 1), None
             return layer_fn
 
-        carry = (hidden, k_cache, v_cache, jnp.int32(0))
+        carry = (hidden, kv_cache, jnp.int32(0))
         if 'layers' in params:
             carry, _ = jax.lax.scan(make_layer_fn(False), carry,
                                     params['layers'])
         carry, _ = jax.lax.scan(make_layer_fn(True), carry,
                                 params['moe_layers'])
-        hidden, k_cache, v_cache, _ = carry
+        hidden, kv_cache, _ = carry
         hidden = rms_norm(hidden, params['final_norm'], cfg.rms_norm_eps)
 
         lm_head = params.get('lm_head')
@@ -366,8 +366,8 @@ class DeepseekV2Model(LlamaModel):
             return jnp.dot(x, lm_head, preferred_element_type=jnp.float32)
 
         if return_all_logits:
-            return head(hidden), k_cache, v_cache
+            return head(hidden), kv_cache
         last_idx = jnp.maximum(meta.q_lens - 1, 0)
         last_hidden = jnp.take_along_axis(
             hidden, last_idx[:, None, None], axis=1)[:, 0]
-        return head(last_hidden), k_cache, v_cache
+        return head(last_hidden), kv_cache

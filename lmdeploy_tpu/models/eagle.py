@@ -79,13 +79,13 @@ class EagleHead:
             'layers.0.mlp.down_proj.weight': (('w_down',), T, None),
         }
 
-    def step(self, params, tparams, h_cond, token, position, k_cache, v_cache,
+    def step(self, params, tparams, h_cond, token, position, kv_cache,
              block_tables, q_lens, cos_tab, sin_tab, max_len):
         """One draft step.
 
         Args: h_cond [B, H] conditioning features; token [B]; position [B]
         (where this token lands in the cache).  Returns (logits [B, V],
-        h_new [B, H], k_cache, v_cache).
+        h_new [B, H], kv_cache).
         """
         cfg = self.config
         B = token.shape[0]
@@ -102,13 +102,11 @@ class EagleHead:
         q, k = apply_rope(q, k, cos, sin)
         from ..ops.attention import compute_slot_mapping
         slots = compute_slot_mapping(block_tables, position, q_lens, 1,
-                                     k_cache.shape[-2])
-        k_cache, v_cache = fill_kv_cache(k_cache, v_cache,
-                                         k.reshape(B, nkv, D),
-                                         v.reshape(B, nkv, D),
-                                         slots, jnp.int32(0))
-        attn = paged_attention(q, k_cache, v_cache, block_tables, position,
-                               q_lens, self.scale, jnp.int32(0),
+                                     kv_cache.shape[2])
+        kv_cache = fill_kv_cache(kv_cache, k.reshape(B, nkv, D),
+                                 v.reshape(B, nkv, D), slots, jnp.int32(0))
+        attn = paged_attention(q, kv_cache, block_tables, position,
+                               q_lens, self.scale, jnp.int32(0), nkv,
                                chunk_kv=(k, v))
         h = x + attn.reshape(B, nh * D) @ params['wo']
         y = rms_norm(h, params['mlp_norm'], cfg.rms_norm_eps)
@@ -121,4 +119,4 @@ class EagleHead:
             lm_head = tparams['embed'].T
         hn = rms_norm(h_new, tparams['final_norm'], cfg.rms_norm_eps)
         logits = jnp.dot(hn, lm_head, preferred_element_type=jnp.float32)
-        return logits, h_new, k_cache, v_cache
+        return logits, h_new, kv_cache

@@ -6,8 +6,9 @@ the architecture here is TPU-first, not a translation:
   * All per-layer weights are stacked along a leading L axis and the decoder runs as one
     ``lax.scan`` over layers, so compile time is O(1) in depth and XLA pipelines the
     per-layer HBM traffic.
-  * The paged KV cache is scanned alongside the weights: each layer consumes and emits
-    its cache slice functionally; with buffer donation the update is in-place in HBM.
+  * The paged KV cache (one unified array, see ops/attention.py) is scanned alongside
+    the weights: each layer consumes and emits the cache functionally; with buffer
+    donation the update is in-place in HBM.
   * Prefill, chunked prefill and decode share this single forward — decode is a T=1
     chunk — mirroring TurboMind's UnifiedDecoder contract
     (src/turbomind/models/llama/unified_decoder.h:17) without separate code paths.
@@ -332,7 +333,7 @@ class LlamaModel:
 
     # -- forward -----------------------------------------------------------------------
     def forward(self, params, input_ids: jax.Array, positions: jax.Array,
-                k_cache: jax.Array, v_cache: jax.Array, meta: AttnMeta,
+                kv_cache: jax.Array, meta: AttnMeta,
                 rope_cos: jax.Array, rope_sin: jax.Array,
                 return_all_logits: bool = False,
                 fresh_prefill: bool = False,
@@ -346,19 +347,19 @@ class LlamaModel:
         Args:
           input_ids: [B, T] (T==1 for decode)
           positions: [B, T] absolute positions (padding rows clamped in-range)
-          k_cache/v_cache: [L, Hkv, NB, BS, D] (head-major paged layout)
+          kv_cache: [L, NB, BS, ROWp] unified per-head-interleaved pages
           rope_cos/rope_sin: full tables [max_len, D/2]
           input_embeds/embeds_mask: optional [B,T,H]/[B,T] multimodal override —
             rows where the mask is set take ``input_embeds`` instead of the token
             embedding (VLM image features; reference: vl_async_engine prefill).
-        Returns (logits, k_cache, v_cache); logits is [B, V] at each row's last valid
+        Returns (logits, kv_cache); logits is [B, V] at each row's last valid
         token, or [B, T, V] when return_all_logits.
         """
         cfg = self.config
         B, T = input_ids.shape
         D = cfg.head_dim
         scale = 1.0 / math.sqrt(D)
-        block_size = k_cache.shape[-2]
+        block_size = kv_cache.shape[2]
 
         hidden = params['embed'][input_ids].astype(cfg.jnp_dtype())   # [B,T,H]
         if self.embed_scale != 1.0:
@@ -395,7 +396,7 @@ class LlamaModel:
         # full-cache buffer for the scan outputs.
         def layer_fn(carry, xs):
             w, lw = xs if lora is not None else (xs, None)
-            h, k_cache, v_cache, layer = carry
+            h, kv_cache, layer = carry
             x = rms_norm(h, w['attn_norm'], cfg.rms_norm_eps)
             q = lin(x, w, lw, 'wq', w.get('bq') if has_bias else None)
             k = lin(x, w, lw, 'wk', w.get('bk') if has_bias else None)
@@ -407,15 +408,14 @@ class LlamaModel:
                 q = rms_norm(q, w['q_norm'], cfg.rms_norm_eps)
                 k = rms_norm(k, w['k_norm'], cfg.rms_norm_eps)
             q, k = self._apply_rope(q, k, cos, sin)
-            k_cache, v_cache = fill_kv_cache(k_cache, v_cache,
-                                             k.reshape(B * T, -1, D),
-                                             v.reshape(B * T, -1, D),
-                                             slot_mapping, layer)
+            kv_cache = fill_kv_cache(kv_cache, k.reshape(B * T, -1, D),
+                                     v.reshape(B * T, -1, D),
+                                     slot_mapping, layer)
             window = w['layer_window'] if 'layer_window' in w \
                 else cfg.sliding_window
-            attn = paged_attention(q, k_cache, v_cache, meta.block_tables,
+            attn = paged_attention(q, kv_cache, meta.block_tables,
                                    meta.history_lens, meta.q_lens, scale, layer,
-                                   window_size=window,
+                                   cfg.num_key_value_heads, window_size=window,
                                    chunk_kv=(k, v), fresh_prefill=fresh_prefill,
                                    force_reference=getattr(
                                        self, 'force_ref_attention', False),
@@ -435,11 +435,11 @@ class LlamaModel:
             if 'post_mlp_norm' in w:
                 out = rms_norm(out, w['post_mlp_norm'], cfg.rms_norm_eps)
             h = h + out
-            return (h, k_cache, v_cache, layer + 1), None
+            return (h, kv_cache, layer + 1), None
 
         xs = lp if lora is None else (lp, lora)
-        (hidden, k_cache, v_cache, _), _ = jax.lax.scan(
-            layer_fn, (hidden, k_cache, v_cache, jnp.int32(0)), xs)
+        (hidden, kv_cache, _), _ = jax.lax.scan(
+            layer_fn, (hidden, kv_cache, jnp.int32(0)), xs)
         hidden_prenorm = hidden        # EAGLE conditions on pre-final-norm features
         hidden = rms_norm(hidden, params['final_norm'], cfg.rms_norm_eps)
 
@@ -455,9 +455,9 @@ class LlamaModel:
 
         if return_all_logits:
             if return_hidden:
-                return head(hidden), k_cache, v_cache, hidden_prenorm
-            return head(hidden), k_cache, v_cache
+                return head(hidden), kv_cache, hidden_prenorm
+            return head(hidden), kv_cache
         last_idx = jnp.maximum(meta.q_lens - 1, 0)
         last_hidden = jnp.take_along_axis(
             hidden, last_idx[:, None, None], axis=1)[:, 0]            # [B,H]
-        return head(last_hidden), k_cache, v_cache
+        return head(last_hidden), kv_cache

@@ -1,18 +1,26 @@
-"""Paged attention over a block-table KV cache — jnp reference implementation.
+"""Paged attention over a block-table KV cache — layout + XLA reference paths.
 
 Reference analog: the CUDA attention stack in ``src/turbomind/kernels/attention/`` (prefill
 ``attention.cu``, decode ``decoding.cu`` split-K flash decoding, paged block iteration
 ``block_iterator.h``) and the Triton kernels in ``lmdeploy/pytorch/kernels/cuda/
 pagedattention.py`` / ``fill_kv_cache.py``.
 
-Design notes (TPU-first):
+Design notes (TPU-first, round-2 layout):
   * One unified entry point serves prefill chunks, chunked-prefill continuation, and
     decode — decode is just a T=1 chunk with history.  Static shapes select the
     specialization; the engine buckets (B, T, table_width).
-  * The cache is one array per layer ``[num_blocks, block_size, kv_heads, head_dim]``;
-    "fill" is a flat scatter, "read" is a block-table gather.  The Pallas kernel
-    (ops/pallas/) replaces the gather+softmax with a VMEM-resident flash loop; this file
-    is the always-correct reference XLA path and the CPU test oracle.
+  * The cache is ONE array ``[L, num_blocks, block_size, ROW]`` where a token's row
+    packs K and V for every kv head, interleaved per head:
+    ``[k_h0 | v_h0 | k_h1 | v_h1 | ...]`` padded up to a 128-lane multiple.  Chosen
+    because decode-attention on TPU is DMA-ISSUE-bound, not bandwidth-bound: the
+    round-1 head-major layout ([L, Hkv, NB, BS, Dp]) needed 2*Hkv*pages DMAs per row
+    per layer (measured 263 us/layer at TinyLlama bs64 — 17x the data floor) while one
+    packed page is a single DMA (measured 46 us/layer, ops/pallas/paged_decode.py).
+    Per-head interleaving keeps tensor-parallel sharding head-aligned: splitting the
+    row axis over 'tp' gives each shard its local heads' k|v pairs.
+  * "fill" is a flat scatter of one [ROW] line per token — layout-neutral 2-D form
+    ([rows, ROW] with [1, ROW] windows); scattering into lane columns or >=3-D views
+    makes XLA keep two copies of the multi-GB cache per step.
   * GQA is computed without materializing repeated KV heads (einsum grouping).
 """
 from __future__ import annotations
@@ -25,10 +33,31 @@ import jax.numpy as jnp
 NEG_INF = float('-inf')
 
 
-def fill_kv_cache(k_cache: jax.Array, v_cache: jax.Array, k_new: jax.Array,
-                  v_new: jax.Array, slot_mapping: jax.Array, layer: jax.Array,
-                  ) -> Tuple[jax.Array, jax.Array]:
-    """Scatter new K/V rows into layer ``layer`` of the full paged cache.
+def kv_row_width(num_kv_heads: int, head_dim: int) -> Tuple[int, int]:
+    """(valid, padded) lane width of one token's packed k|v row."""
+    row = 2 * num_kv_heads * head_dim
+    return row, ((row + 127) // 128) * 128
+
+
+def interleave_kv(k_new: jax.Array, v_new: jax.Array, padded: int) -> jax.Array:
+    """[N, Hkv, D] x2 -> [N, ROWp] per-head-interleaved packed rows."""
+    n, h, d = k_new.shape
+    rows = jnp.stack([k_new, v_new], axis=2).reshape(n, 2 * h * d)
+    if rows.shape[-1] < padded:
+        rows = jnp.pad(rows, ((0, 0), (0, padded - rows.shape[-1])))
+    return rows
+
+
+def split_kv_rows(rows: jax.Array, num_kv_heads: int, head_dim: int):
+    """[..., ROWp] -> (k [..., Hkv, D], v [..., Hkv, D])."""
+    hd2 = 2 * num_kv_heads * head_dim
+    r = rows[..., :hd2].reshape(rows.shape[:-1] + (num_kv_heads, 2, head_dim))
+    return r[..., 0, :], r[..., 1, :]
+
+
+def fill_kv_cache(kv_cache, k_new: jax.Array, v_new: jax.Array,
+                  slot_mapping: jax.Array, layer: jax.Array):
+    """Scatter new K/V rows into layer ``layer`` of the unified paged cache.
 
     The FULL cache flows through the layer loop as a scan carry and is updated with a
     layer-offset scatter — never sliced per layer.  (Slicing + re-inserting a layer's
@@ -36,61 +65,54 @@ def fill_kv_cache(k_cache: jax.Array, v_cache: jax.Array, k_new: jax.Array,
     update on the donated buffer.)
 
     Args:
-      k_cache/v_cache: [L, Hkv, num_blocks, block_size, D] — kv-head-major,
-                       slot-major pages so one token's K vector is a contiguous
-                       [D] row (scatter windows and page DMAs are both row-runs).
-      k_new/v_new:     [num_tokens, Hkv, D]
-      slot_mapping:    [num_tokens] flat slot = block_id * block_size + offset.
-                       Padded tokens must map into the reserved padding block
-                       (block 0), so scatters of padding are harmless.
-      layer:           scalar int32 — which layer's region to write.
-
-    The scatter runs on a flat 2-D [rows, D] bitcast view with [1, D] update
-    windows — the canonical layout-neutral form.  (Scattering into a >=3-D view or
-    into lane-dim columns makes XLA's layout assignment pick a scatter-friendly
-    layout that conflicts with the attention kernel's, and it then keeps TWO copies
-    of the multi-GB cache per step.)
+      kv_cache:     [L, num_blocks, block_size, ROWp] (or QuantKV/QuantKV4 pytrees)
+      k_new/v_new:  [num_tokens, Hkv, D]
+      slot_mapping: [num_tokens] flat slot = block_id * block_size + offset.
+                    Padded tokens must map into the reserved padding block
+                    (block 0), so scatters of padding are harmless.
+      layer:        scalar int32 — which layer's region to write.
     """
-    from .kv_quant import (QuantKV, QuantKV4, deint_scale_pos, quantize_rows,
-                           quantize_rows_int4)
+    from .kv_quant import QuantKV, QuantKV4, deint_scale_pos, quantize_rows, \
+        quantize_rows_int4
 
-    if isinstance(k_cache, QuantKV4):
-        return _fill_kv4(k_cache, v_cache, k_new, v_new, slot_mapping, layer)
+    if isinstance(kv_cache, QuantKV4):
+        return _fill_kv4(kv_cache, k_new, v_new, slot_mapping, layer)
 
-    L, h, nb, bs, d = k_cache.shape
-    if k_new.shape[-1] < d:       # cache head_dim is lane-padded; zero-fill the tail
-        pad = [(0, 0)] * (k_new.ndim - 1) + [(0, d - k_new.shape[-1])]
-        k_new = jnp.pad(k_new, pad)
-        v_new = jnp.pad(v_new, pad)
-    rows = ((layer * h + jnp.arange(h, dtype=jnp.int32))[:, None] * (nb * bs)
-            + slot_mapping[None, :])                               # [Hkv, N]
-    n = slot_mapping.shape[0]
-    k_upd = jnp.swapaxes(k_new, 0, 1).reshape(h * n, d)
-    v_upd = jnp.swapaxes(v_new, 0, 1).reshape(h * n, d)
+    if isinstance(kv_cache, QuantKV):
+        L, nb, bs, rowp = kv_cache.data.shape
+        h = kv_cache.scale.shape[3]
+        d = k_new.shape[-1]
+        # per-(token, head) int8 with the head axis quantized independently
+        kq, ksc = quantize_rows(k_new)                   # [N,Hkv,D], [N,Hkv]
+        vq, vsc = quantize_rows(v_new)
+        rows = interleave_kv(kq, vq, rowp)
+        n = slot_mapping.shape[0]
+        flat_rows = layer * (nb * bs) + slot_mapping
+        data = kv_cache.data.reshape(L * nb * bs, rowp)
+        data = data.at[flat_rows].set(rows.astype(kv_cache.data.dtype))
+        # scales [L, NB, 2, Hkv, BS]: scalar 1-D scatter per (kv, head, token)
+        block = slot_mapping // bs
+        off = slot_mapping % bs
+        base = ((layer * nb + block) * 2)                            # [N]
+        h_idx = jnp.arange(h, dtype=jnp.int32)
+        k_pos = ((base[:, None] + 0) * h + h_idx[None, :]) * bs + off[:, None]
+        v_pos = ((base[:, None] + 1) * h + h_idx[None, :]) * bs + off[:, None]
+        scale = kv_cache.scale.reshape(-1)
+        scale = scale.at[k_pos.reshape(-1)].set(ksc.reshape(-1))
+        scale = scale.at[v_pos.reshape(-1)].set(vsc.reshape(-1))
+        return QuantKV(data.reshape(L, nb, bs, rowp),
+                       scale.reshape(L, nb, 2, h, bs))
 
-    if isinstance(k_cache, QuantKV):
-        # per-token int8: quantize each new row online, scatter data + scale
-        k_upd, k_sc = quantize_rows(k_upd)
-        v_upd, v_sc = quantize_rows(v_upd)
-        flat_rows = rows.reshape(-1)
-
-        def upd(cache, q_rows, scales):
-            data = cache.data.reshape(L * h * nb * bs, d).at[flat_rows].set(q_rows)
-            scale = cache.scale.reshape(L * h * nb * bs).at[flat_rows].set(scales)
-            return QuantKV(data.reshape(L, h, nb, bs, d),
-                           scale.reshape(L, h, nb, bs))
-
-        return upd(k_cache, k_upd, k_sc), upd(v_cache, v_upd, v_sc)
-
-    k_flat = k_cache.reshape(L * h * nb * bs, d)
-    v_flat = v_cache.reshape(L * h * nb * bs, d)
-    k_flat = k_flat.at[rows.reshape(-1)].set(k_upd.astype(k_cache.dtype))
-    v_flat = v_flat.at[rows.reshape(-1)].set(v_upd.astype(v_cache.dtype))
-    return k_flat.reshape(L, h, nb, bs, d), v_flat.reshape(L, h, nb, bs, d)
+    L, nb, bs, rowp = kv_cache.shape
+    rows = interleave_kv(k_new, v_new, rowp)
+    flat_rows = layer * (nb * bs) + slot_mapping
+    flat = kv_cache.reshape(L * nb * bs, rowp)
+    flat = flat.at[flat_rows].set(rows.astype(kv_cache.dtype))
+    return flat.reshape(L, nb, bs, rowp)
 
 
-def _fill_kv4(k_cache, v_cache, k_new, v_new, slot_mapping, layer):
-    """Append rows into token-pair-packed int4 caches (see QuantKV4).
+def _fill_kv4(kv_cache, k_new, v_new, slot_mapping, layer):
+    """Append rows into token-pair-packed int4 unified cache (see QuantKV4).
 
     A token's 4-bit row shares its byte row with its slot neighbor, so the
     write is a gather -> nibble-merge -> scatter, run as two parity rounds
@@ -100,117 +122,116 @@ def _fill_kv4(k_cache, v_cache, k_new, v_new, slot_mapping, layer):
     """
     from .kv_quant import QuantKV4, deint_scale_pos, quantize_rows_int4
 
-    L, h, nb, bs2, d = k_cache.data.shape
+    L, nb, bs2, rowp = kv_cache.data.shape
     bs = bs2 * 2
-    if k_new.shape[-1] < d:
-        pad = [(0, 0)] * (k_new.ndim - 1) + [(0, d - k_new.shape[-1])]
-        k_new = jnp.pad(k_new, pad)
-        v_new = jnp.pad(v_new, pad)
+    h = kv_cache.scale.shape[3]
+    kq, ksc, kmn = quantize_rows_int4(k_new)             # [N,Hkv,D] u8 0..15
+    vq, vsc, vmn = quantize_rows_int4(v_new)
+    rows = interleave_kv(kq, vq, rowp)                   # [N, ROWp] u8
     n = slot_mapping.shape[0]
-    k_upd = jnp.swapaxes(k_new, 0, 1).reshape(h * n, d)
-    v_upd = jnp.swapaxes(v_new, 0, 1).reshape(h * n, d)
 
     block = slot_mapping // bs
     off = slot_mapping % bs
-    head_base = (layer * h + jnp.arange(h, dtype=jnp.int32))        # [h]
-    pair_rows = (head_base[:, None] * (nb * bs2)
-                 + (block * bs2 + off // 2)[None, :]).reshape(-1)   # [h*n]
-    sc_rows = (head_base[:, None] * (nb * bs)
-               + (block * bs + deint_scale_pos(off, bs))[None, :]).reshape(-1)
-    odd = jnp.tile(off % 2, (h,))                                   # [h*n]
+    pair_rows = layer * (nb * bs2) + block * bs2 + off // 2          # [N]
+    odd = off % 2
 
-    def upd(cache, rows_f):
-        q, sc, mn = quantize_rows_int4(rows_f)                      # [h*n, d]
-        flat = cache.data.reshape(L * h * nb * bs2, d)
-        for parity in (0, 1):
-            sel = odd == parity
-            rows = jnp.where(sel, pair_rows, 0)
-            cur = flat[rows]
-            if parity == 0:
-                merged = (cur & jnp.uint8(0xF0)) | q
-            else:
-                merged = (cur & jnp.uint8(0x0F)) | (q << 4)
-            flat = flat.at[rows].set(jnp.where(sel[:, None], merged, cur))
-        scale = cache.scale.reshape(-1).at[sc_rows].set(sc)
-        minv = cache.minv.reshape(-1).at[sc_rows].set(mn)
-        return QuantKV4(flat.reshape(L, h, nb, bs2, d),
-                        scale.reshape(L, h, nb, bs),
-                        minv.reshape(L, h, nb, bs))
+    flat = kv_cache.data.reshape(L * nb * bs2, rowp)
+    for parity in (0, 1):
+        sel = odd == parity
+        r_idx = jnp.where(sel, pair_rows, 0)
+        cur = flat[r_idx]
+        if parity == 0:
+            merged = (cur & jnp.uint8(0xF0)) | rows
+        else:
+            merged = (cur & jnp.uint8(0x0F)) | (rows << 4)
+        flat = flat.at[r_idx].set(jnp.where(sel[:, None], merged, cur))
 
-    return upd(k_cache, k_upd), upd(v_cache, v_upd)
+    # scales/min [L, NB, 2, Hkv, BS] in de-interleaved slot order
+    sc_off = deint_scale_pos(off, bs)
+    base = (layer * nb + block) * 2
+    h_idx = jnp.arange(h, dtype=jnp.int32)
+    k_pos = ((base[:, None] + 0) * h + h_idx[None, :]) * bs + sc_off[:, None]
+    v_pos = ((base[:, None] + 1) * h + h_idx[None, :]) * bs + sc_off[:, None]
 
+    def put(dst, kvals, vvals):
+        dst = dst.reshape(-1)
+        dst = dst.at[k_pos.reshape(-1)].set(kvals.reshape(-1))
+        dst = dst.at[v_pos.reshape(-1)].set(vvals.reshape(-1))
+        return dst.reshape(L, nb, 2, h, bs)
 
-def gather_dequant_kv4(cache, layer, block_tables):
-    """[Hkv, B, S, D] f32 token-order dequantized view of the gathered blocks
-    of one layer of a QuantKV4 cache (reference/chunked-prefill path)."""
-    data = jax.lax.dynamic_index_in_dim(cache.data, layer, 0, keepdims=False)
-    scale = jax.lax.dynamic_index_in_dim(cache.scale, layer, 0, keepdims=False)
-    minv = jax.lax.dynamic_index_in_dim(cache.minv, layer, 0, keepdims=False)
-    Hkv, NB, bs2, d = data.shape
-    B, W = block_tables.shape
-    packed = data[:, block_tables]                       # [Hkv, B, W, bs2, d]
-    lo = (packed & 0xF).astype(jnp.float32)
-    hi = (packed >> 4).astype(jnp.float32)
-    # token order: lo[r] is slot 2r, hi[r] is slot 2r+1 -> interleave
-    q = jnp.stack([lo, hi], axis=4).reshape(Hkv, B, W, 2 * bs2, d)
-    # scales are stored de-interleaved ([even | odd]); restore token order
-    def tok_order(x):
-        g = x[:, block_tables]                           # [Hkv, B, W, bs]
-        g = g.reshape(Hkv, B, W, 2, bs2)
-        return jnp.swapaxes(g, 3, 4).reshape(Hkv, B, W, 2 * bs2)
-    sc = tok_order(scale)
-    mn = tok_order(minv)
-    kv = q * sc[..., None] + mn[..., None]
-    S = W * 2 * bs2
-    return kv.reshape(Hkv, B, S, d)
+    return QuantKV4(flat.reshape(L, nb, bs2, rowp),
+                    put(kv_cache.scale, ksc, vsc),
+                    put(kv_cache.minv, kmn, vmn))
 
 
-def paged_attention_reference(
-    q: jax.Array,                 # [B, T, Hq, D]
-    k_cache: jax.Array,           # [Hkv, num_blocks, D, block_size]
-    v_cache: jax.Array,           # [Hkv, num_blocks, D, block_size]
-    block_tables: jax.Array,      # [B, W] physical block ids (padded with 0)
-    history_lens: jax.Array,      # [B] tokens already in cache before this chunk
-    q_lens: jax.Array,            # [B] valid query tokens in this chunk (<= T)
-    scale: float,
-    logit_softcap: Optional[float] = None,
-    window_size=None,                      # int, or traced per-layer i32 scalar
-    k_scale: Optional[jax.Array] = None,   # [Hkv, NB, BS] per-token int8 scales
-    v_scale: Optional[jax.Array] = None,
-    sinks: Optional[jax.Array] = None,     # [Hq] learned attention-sink logits
-) -> jax.Array:
-    """Attention of chunk queries against the paged cache (which already contains the
-    chunk's own K/V — call fill_kv_cache first).  Pure-XLA reference path.
-    k_cache/v_cache here are one layer's [Hkv, NB, BS, D].
+def gather_layer_kv(kv_cache, layer, block_tables, num_kv_heads: int,
+                    head_dim: int):
+    """Gather + (de)quantize one layer's pages for the chunk's rows.
 
-    With ``k_scale/v_scale`` the cache pages are per-token int8; scales are
-    gathered alongside and dequantization happens on the gathered rows only
-    (never on the full cache).
-
-    Query i of row b has absolute position ``history_lens[b] + i`` and attends to all
-    cache positions ``j <= pos`` (causal), optionally windowed.  Returns [B, T, Hq, D].
+    Returns (k, v) as [Hkv, B, S, D] f32/bf16 token-order views — the
+    always-correct XLA path (chunked prefill continuation, CPU tests, CP
+    decode where GSPMD inserts the cross-shard softmax collectives).
     """
-    B, T, Hq, D = q.shape
-    Hkv, _, block_size, _ = k_cache.shape
-    W = block_tables.shape[1]
-    S = W * block_size
-    G = Hq // Hkv
+    from .kv_quant import QuantKV, QuantKV4
 
-    # gather KV: [Hkv, B, W, bs, Dp] -> [Hkv, B, S, D] (drop lane padding if any)
-    k = k_cache[:, block_tables].reshape(Hkv, B, S, -1)[..., :D]
-    v = v_cache[:, block_tables].reshape(Hkv, B, S, -1)[..., :D]
-    if k_scale is not None:
-        k = k.astype(jnp.float32) * k_scale[:, block_tables].reshape(
-            Hkv, B, S)[..., None]
-        v = v.astype(jnp.float32) * v_scale[:, block_tables].reshape(
-            Hkv, B, S)[..., None]
-    return attention_dense_gathered(q, k, v, history_lens, scale,
-                                    logit_softcap, window_size, sinks)
+    B, W = block_tables.shape
+
+    if isinstance(kv_cache, QuantKV4):
+        data = jax.lax.dynamic_index_in_dim(kv_cache.data, layer, 0, False)
+        scale = jax.lax.dynamic_index_in_dim(kv_cache.scale, layer, 0, False)
+        minv = jax.lax.dynamic_index_in_dim(kv_cache.minv, layer, 0, False)
+        NB, bs2, rowp = data.shape
+        packed = data[block_tables]                      # [B, W, bs2, ROWp]
+        lo = (packed & 0xF).astype(jnp.float32)
+        hi = (packed >> 4).astype(jnp.float32)
+        rows = jnp.stack([lo, hi], axis=3).reshape(B, W, 2 * bs2, rowp)
+        k_q, v_q = split_kv_rows(rows, num_kv_heads, head_dim)   # [B,W,BS,Hkv,D]
+
+        def tok_order(x, kv):
+            # [NB, 2, Hkv, BS] de-interleaved ([even|odd]) -> token-order
+            # [B, W, BS, Hkv]
+            g = x[block_tables][:, :, kv]                # [B, W, Hkv, BS]
+            g = g.reshape(B, W, num_kv_heads, 2, bs2)
+            g = jnp.swapaxes(g, 3, 4).reshape(B, W, num_kv_heads, 2 * bs2)
+            return jnp.moveaxis(g, 2, 3)                 # [B, W, BS, Hkv]
+
+        S = W * 2 * bs2
+
+        def deq(q, sc, mn):
+            out = q * sc[..., None] + mn[..., None]      # [B,W,BS,Hkv,D]
+            return jnp.moveaxis(out, 3, 0).reshape(num_kv_heads, B, S, head_dim)
+
+        k = deq(k_q, tok_order(scale, 0), tok_order(minv, 0))
+        v = deq(v_q, tok_order(scale, 1), tok_order(minv, 1))
+        return k, v
+
+    if isinstance(kv_cache, QuantKV):
+        data = jax.lax.dynamic_index_in_dim(kv_cache.data, layer, 0, False)
+        scale = jax.lax.dynamic_index_in_dim(kv_cache.scale, layer, 0, False)
+        NB, bs, rowp = data.shape
+        rows = data[block_tables].astype(jnp.float32)    # [B, W, BS, ROWp]
+        k, v = split_kv_rows(rows, num_kv_heads, head_dim)   # [B,W,BS,Hkv,D]
+        sc = scale[block_tables]                         # [B, W, 2, Hkv, BS]
+        k = k * jnp.moveaxis(sc[:, :, 0], 3, 2)[..., None]
+        v = v * jnp.moveaxis(sc[:, :, 1], 3, 2)[..., None]
+        S = W * bs
+        k = jnp.moveaxis(k, 3, 0).reshape(num_kv_heads, B, S, head_dim)
+        v = jnp.moveaxis(v, 3, 0).reshape(num_kv_heads, B, S, head_dim)
+        return k, v
+
+    pages = jax.lax.dynamic_index_in_dim(kv_cache, layer, 0, False)
+    NB, bs, rowp = pages.shape
+    rows = pages[block_tables]                           # [B, W, BS, ROWp]
+    k, v = split_kv_rows(rows, num_kv_heads, head_dim)
+    S = W * bs
+    k = jnp.moveaxis(k, 3, 0).reshape(num_kv_heads, B, S, head_dim)
+    v = jnp.moveaxis(v, 3, 0).reshape(num_kv_heads, B, S, head_dim)
+    return k, v
 
 
 def attention_dense_gathered(q, k, v, history_lens, scale,
                              logit_softcap=None, window_size=None, sinks=None):
-    """Attention math over already-gathered dense KV [Hkv, B, S, Dp>=D]."""
+    """Attention math over already-gathered dense KV [Hkv, B, S, D]."""
     B, T, Hq, D = q.shape
     Hkv, _, S, _ = k.shape
     k = k[..., :D]
@@ -251,114 +272,75 @@ def attention_dense_gathered(q, k, v, history_lens, scale,
     return out.reshape(B, T, Hq, D).astype(q.dtype)
 
 
-def paged_attention(q, k_cache, v_cache, block_tables, history_lens, q_lens, scale,
-                    layer, logit_softcap=None, window_size=None,
+def paged_attention_reference(q, kv_cache, block_tables, history_lens, q_lens,
+                              scale, layer, logit_softcap=None,
+                              window_size=None, sinks=None):
+    """Chunk queries against the paged unified cache (already filled) —
+    pure-XLA reference path.  q: [B, T, Hq, D]."""
+    Hq, D = q.shape[2], q.shape[3]
+    from .kv_quant import QuantKV, QuantKV4
+    if isinstance(kv_cache, (QuantKV, QuantKV4)):
+        hkv = kv_cache.scale.shape[3]
+    else:
+        # ROWp >= 2*Hkv*D; the caller's q tells us Hq, config must supply Hkv
+        raise TypeError('use paged_attention (carries num_kv_heads)')
+    k, v = gather_layer_kv(kv_cache, layer, block_tables, hkv, D)
+    return attention_dense_gathered(q, k, v, history_lens, scale,
+                                    logit_softcap, window_size, sinks)
+
+
+def paged_attention(q, kv_cache, block_tables, history_lens, q_lens, scale,
+                    layer, num_kv_heads: int, logit_softcap=None,
+                    window_size=None,
                     chunk_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
                     fresh_prefill: bool = False,
                     force_reference: bool = False,
                     sinks: Optional[jax.Array] = None):
-    """Dispatch over the attention specializations.  ``k_cache/v_cache`` are the FULL
-    [L, Hkv, NB, BS, D] caches; ``layer`` selects the region.
+    """Dispatch over the attention specializations.  ``kv_cache`` is the FULL
+    unified cache [L, NB, BS, ROWp] (or QuantKV/QuantKV4); ``layer`` selects
+    the region.
 
     * T==1 (decode) on TPU -> Pallas paged-decode kernel (ops/pallas/paged_decode.py)
     * T>1 with no history (fresh prefill) on TPU -> dense flash attention over the
       chunk's own K/V (``chunk_kv``), touching the cache not at all
     * otherwise (chunked continuation, prefix-cache hits, CPU tests) -> XLA reference
-      over a dynamic layer slice
+      over gathered pages
     """
     from .kv_quant import QuantKV, QuantKV4
 
     T = q.shape[1]
+    D = q.shape[3]
     if sinks is not None or not isinstance(window_size, (int, type(None))):
         # sink logits / traced per-layer windows: Pallas kernels don't model
         # them yet; the XLA reference handles both
         force_reference = True
     if force_reference:
         # context-parallel decode: the cache's block_size dim is sharded over
-        # the 'cp' mesh axis; the XLA reference path computes rank-local
-        # partial softmax stats and GSPMD inserts the cross-'cp' (max, sum)
-        # reductions — the TPU-native analog of cp_utils.h partial-(M,L)
-        # exchange.  Pallas kernels need shard_map and are bypassed here.
-        if isinstance(k_cache, QuantKV4):
-            k = gather_dequant_kv4(k_cache, layer, block_tables)
-            v = gather_dequant_kv4(v_cache, layer, block_tables)
-            return attention_dense_gathered(q, k, v, history_lens, scale,
-                                            logit_softcap, window_size, sinks)
-        if isinstance(k_cache, QuantKV):
-            k_l = jax.tree_util.tree_map(
-                lambda x: jax.lax.dynamic_index_in_dim(x, layer, 0,
-                                                       keepdims=False), k_cache)
-            v_l = jax.tree_util.tree_map(
-                lambda x: jax.lax.dynamic_index_in_dim(x, layer, 0,
-                                                       keepdims=False), v_cache)
-            return paged_attention_reference(
-                q, k_l.data, v_l.data, block_tables, history_lens, q_lens,
-                scale, logit_softcap, window_size, k_scale=k_l.scale,
-                v_scale=v_l.scale, sinks=sinks)
-        k_l = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
-        v_l = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
-        return paged_attention_reference(q, k_l, v_l, block_tables,
-                                         history_lens, q_lens, scale,
-                                         logit_softcap, window_size,
-                                         sinks=sinks)
-    if isinstance(k_cache, QuantKV4):
-        # int4 token-pair-packed cache (quant_policy=8)
-        if (_on_tpu() and fresh_prefill and chunk_kv is not None
-                and logit_softcap is None and window_size is None and T >= 128):
-            return _flash_prefill(q, chunk_kv[0], chunk_kv[1], scale)
-        if _on_tpu() and T == 1 and window_size is None:
-            from .pallas.paged_decode import paged_decode_attention_quant4
-            out = paged_decode_attention_quant4(
-                q[:, 0], k_cache, v_cache, block_tables,
-                history_lens + 1, layer, scale, logit_softcap=logit_softcap)
-            return out[:, None]
-        k = gather_dequant_kv4(k_cache, layer, block_tables)
-        v = gather_dequant_kv4(v_cache, layer, block_tables)
+        # the 'cp' mesh axis; this path computes rank-local partial softmax
+        # stats and GSPMD inserts the cross-'cp' (max, sum) reductions — the
+        # TPU-native analog of cp_utils.h partial-(M,L) exchange.  Pallas
+        # kernels need shard_map and are bypassed here.
+        k, v = gather_layer_kv(kv_cache, layer, block_tables, num_kv_heads, D)
         return attention_dense_gathered(q, k, v, history_lens, scale,
-                                        logit_softcap, window_size)
-    if isinstance(k_cache, QuantKV):
-        # per-token int8 cache: fresh prefill takes the flash kernel (it
-        # attends over the chunk's raw K/V, untouched cache); decode takes the
-        # quantized Pallas kernel with in-VMEM scale-DMA dequant; chunked
-        # continuation uses the gather+dequant reference.
-        if (_on_tpu() and fresh_prefill and chunk_kv is not None
-                and logit_softcap is None and window_size is None and T >= 128):
-            return _flash_prefill(q, chunk_kv[0], chunk_kv[1], scale)
-        if _on_tpu() and T == 1 and window_size is None:
-            from .pallas.paged_decode import paged_decode_attention_quant
-            out = paged_decode_attention_quant(
-                q[:, 0], k_cache, v_cache, block_tables,
-                history_lens + 1, layer, scale, logit_softcap=logit_softcap)
-            return out[:, None]
-        k_l = jax.tree_util.tree_map(
-            lambda x: jax.lax.dynamic_index_in_dim(x, layer, 0, keepdims=False),
-            k_cache)
-        v_l = jax.tree_util.tree_map(
-            lambda x: jax.lax.dynamic_index_in_dim(x, layer, 0, keepdims=False),
-            v_cache)
-        return paged_attention_reference(
-            q, k_l.data, v_l.data, block_tables, history_lens, q_lens, scale,
-            logit_softcap, window_size, k_scale=k_l.scale, v_scale=v_l.scale)
+                                        logit_softcap, window_size, sinks)
 
-    if _on_tpu() and window_size is None:
-        if T == 1:
+    if _on_tpu():
+        if T == 1 and window_size is None:
             from .pallas.paged_decode import paged_decode_attention
             out = paged_decode_attention(
-                q[:, 0], k_cache, v_cache, block_tables,
+                q[:, 0], kv_cache, block_tables,
                 history_lens + 1,     # kv length includes the token just filled
-                layer, scale, logit_softcap=logit_softcap)
+                layer, scale, num_kv_heads, logit_softcap=logit_softcap)
             return out[:, None]
         import os
         if fresh_prefill and chunk_kv is not None and logit_softcap is None \
-                and T >= 128:
+                and window_size is None and T >= 128:
             # Note on the tunneled TPU CI stack: its remote compile/execute
-            # service intermittently wedges on LARGE programs (differentials
-            # showed identical programs — incl. this kernel inside the layer
-            # scan — completing in seconds during healthy windows and hanging
-            # in _pjit_lower or post-dispatch during degraded ones; bare scans,
-            # standalone kernels and small programs always run).  The kernels
+            # service intermittently wedges on LARGE programs (identical
+            # programs complete in seconds during healthy windows and hang in
+            # _pjit_lower or post-dispatch during degraded ones).  The kernels
             # themselves pass all tests.  Escape hatches for degraded stacks:
-            # LMDEPLOY_TPU_DISABLE_FLASH=1 (block-table gather path) or
+            # LMDEPLOY_TPU_DISABLE_FLASH=1 (gather path) or
             # LMDEPLOY_TPU_DENSE_PREFILL=1 (q-tiled dense XLA path).
             if os.environ.get('LMDEPLOY_TPU_DISABLE_FLASH') == '1':
                 pass
@@ -366,10 +348,9 @@ def paged_attention(q, k_cache, v_cache, block_tables, history_lens, q_lens, sca
                 return _dense_prefill(q, chunk_kv[0], chunk_kv[1], scale)
             else:
                 return _flash_prefill(q, chunk_kv[0], chunk_kv[1], scale)
-    k_l = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
-    v_l = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
-    return paged_attention_reference(q, k_l, v_l, block_tables, history_lens,
-                                     q_lens, scale, logit_softcap, window_size)
+    k, v = gather_layer_kv(kv_cache, layer, block_tables, num_kv_heads, D)
+    return attention_dense_gathered(q, k, v, history_lens, scale,
+                                    logit_softcap, window_size, sinks)
 
 
 def _flash_prefill(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,

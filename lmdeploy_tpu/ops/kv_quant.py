@@ -18,7 +18,8 @@ import jax.numpy as jnp
 
 @jax.tree_util.register_pytree_node_class
 class QuantKV:
-    """int8 pages [L, Hkv, NB, BS, Dp] + f32 scales [L, Hkv, NB, BS]."""
+    """int8 unified pages [L, NB, BS, ROWp] + f32 scales
+    [L, NB, 2, Hkv, BS] (index 2: 0 = K scales, 1 = V scales)."""
 
     def __init__(self, data, scale):
         self.data = data
@@ -48,15 +49,16 @@ class QuantKV:
 class QuantKV4:
     """Asymmetric int4 KV pages (quant_policy=8, reference QuantPolicy int4).
 
-    ``data``  u8 [L, Hkv, NB, BS/2, Dp] — "token-pair packing": byte (r, d)
+    ``data``  u8 [L, NB, BS/2, ROWp] — "token-pair packing": byte (r, d)
               holds token slot 2r's weight in its low nibble and slot 2r+1's
               in the high nibble, keeping the lane dim at full width (a
-              [*, Dp/2] layout would be tile-padded back to Dp in HBM,
-              erasing the 4-bit saving).
-    ``scale`` f32 [L, Hkv, NB, BS] — per-token step, stored in
-              *de-interleaved* page order ([even slots | odd slots]) so the
-              decode kernel's score-side dequant needs no lane shuffles.
-    ``minv``  f32 [L, Hkv, NB, BS] — per-token minimum (same order).
+              [*, ROWp/2] layout would be tile-padded back in HBM, erasing
+              the 4-bit saving).
+    ``scale`` f32 [L, NB, 2, Hkv, BS] — per-(token, head) step (index 2:
+              0 = K, 1 = V), stored in *de-interleaved* page order
+              ([even slots | odd slots]) so the decode kernel's score-side
+              dequant needs no lane shuffles.
+    ``minv``  f32 [L, NB, 2, Hkv, BS] — per-token minimum (same order).
 
     Dequant: x = q * scale + minv  (q in 0..15).
     """

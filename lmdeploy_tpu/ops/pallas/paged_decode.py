@@ -1,23 +1,32 @@
-"""Paged-attention decode kernel (T=1) in Pallas.
+"""Paged-attention decode kernels (T=1) in Pallas — unified-page layout.
 
 Reference analog: TurboMind's split-K flash decoding (``src/turbomind/kernels/
 attention/decoding.cu``, block iteration ``block_iterator.h``) and the Triton
 ``_fwd_grouped_split_kernel`` (``lmdeploy/pytorch/kernels/cuda/pagedattention.py:48``).
 
-TPU design (not a translation):
-  * Cache layout is kv-head-major ``[Hkv, NB, BS, D]`` so one page for one kv head is
-    a contiguous ``[BS, D]`` region — a single efficient DMA.
-  * Grid = (B, Hkv).  Block tables + kv lengths arrive via scalar prefetch (SMEM) so
-    page DMAs can be issued ahead of compute; K and V pages are double-buffered in
-    VMEM (the TPU analog of cp.async pipelines in ``mainloop_sm80.h``).
-  * GQA without materialization: the q block for one kv head is its [G, D] group;
-    scores [G, chunk] hit the MXU; online-softmax state (m, l, acc) lives in VMEM f32.
-  * Each (b, h) program is independent — the split-K reduction of the CUDA kernel is
-    unnecessary because pages stream through VMEM at full HBM bandwidth and the op is
-    bandwidth-bound at decode arithmetic intensity.
-
-The dequant hook (KV int8/fp8, reference ``kernels/attention/quantization.h``) lands
-in this kernel: pages are dequantized in VMEM right after DMA, before the matmul.
+TPU design (round 2 — rebuilt around the measured bottleneck):
+  * Decode attention on TPU is DMA-ISSUE-bound, not bandwidth-bound.  The round-1
+    head-major layout needed 2*Hkv DMAs per (row, page) — 1024 issues/layer at
+    TinyLlama bs64, measured 263 us/layer vs a ~15 us data floor.  The unified page
+    ``[BS, ROWp]`` packs K and V for every kv head per token
+    (``[k_h0|v_h0|k_h1|v_h1|...]``, ops/attention.py kv_row_width), so one page is
+    ONE DMA: measured 46 us/layer — 5.7x faster.
+  * Grid = (B / RB,).  Each program handles RB rows, loops over their pages with
+    double-buffered DMAs, and prefetches the NEXT program's first page before
+    computing its own last one (cross-program pipelining, legal because Pallas
+    scratch persists across sequential TPU grid steps).
+  * All kv heads' scores in ONE MXU dot via block-diagonal q: q_bd [Hkv*G, ROWp]
+    places head h's [G, D] query block at its k lanes and zeros elsewhere, so
+    ``q_bd @ page^T`` yields every head's scores in a single issue (the extra MXU
+    FLOPs are free — decode is memory-bound).  The p@page product accumulates a
+    block matrix whose diagonal [G, D] blocks (at each head's v lanes) are the
+    outputs; extraction is one cheap XLA select outside the kernel.
+  * Quantized caches (int8 / int4 token-pair-packed) dequantize on the score side:
+    ``s *= k_scale`` and ``out += (p * v_scale) @ v_q`` — off-diagonal blocks get the
+    wrong head's v_scale, but only diagonal blocks are kept.  Scales stream as one
+    extra [2, Hkv, BS] DMA per page (reference: quantization.h dequant-on-load).
+  * Rows whose length ends before a page skip that page's DMA entirely (scalar
+    predicate on prefetched lengths), so ragged batches don't pay max-width traffic.
 """
 from __future__ import annotations
 
@@ -32,458 +41,442 @@ from jax.experimental.pallas import tpu as pltpu
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _decode_kernel(
-    # scalar prefetch
-    lengths_ref,        # [B] i32 (SMEM)
-    tables_ref,         # [B, W] i32 (SMEM)
-    layer_ref,          # [1] i32 (SMEM) — which layer's cache region to read
-    # inputs
-    q_ref,              # [G, D] VMEM (this (b, h) program's query group)
-    k_pages_ref,        # [L, Hkv, NB, BS, D] HBM (full cache, manual DMA)
-    v_pages_ref,        # [L, Hkv, NB, BS, D] HBM
-    # output
-    out_ref,            # [G, D] VMEM
-    # scratch
-    k_buf, v_buf,       # [2, PAGES_PER_BLK, BS, D] VMEM
-    sems,               # DMA sems [2, 2]
-    acc_ref,            # [G, D] f32 VMEM
-    *, block_size: int, pages_per_blk: int, scale: float,
-    logit_softcap: Optional[float],
-):
-    b = pl.program_id(0)
-    h = pl.program_id(1)
+def _pick_rb(B: int, hkv_g: int, rowp: int) -> int:
+    """Rows per program: bounded by VMEM (acc [RB, HkvG, ROWp] f32 ~<= 2MB)."""
+    budget = max(1, (2 << 20) // (hkv_g * rowp * 4))
+    rb = 1
+    while rb * 2 <= min(8, B, budget):
+        rb *= 2
+    return rb
+
+
+def _expand_heads(x, G):
+    """[RB, Hkv, BS] -> [RB, Hkv*G, BS] (repeat each head row G times)."""
+    rb, hkv, bs = x.shape
+    return jnp.broadcast_to(x[:, :, None, :], (rb, hkv, G, bs)).reshape(
+        rb, hkv * G, bs)
+
+
+def _row_lens(lengths_ref, rb, RB, shape):
+    """Per-row lengths broadcast to ``shape`` ([RB, HkvG, BS]) via iota select
+    (Mosaic cannot reshape a gathered scalar vector to 3-D)."""
+    riota = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    lens = jnp.zeros(shape, jnp.int32)
+    for r in range(RB):
+        lens = jnp.where(riota == r, lengths_ref[rb * RB + r], lens)
+    return lens
+
+
+def _softmax_update(s, m_ref, l_ref, acc_ref, v, pr_scale=None, pr_const=None):
+    """One online-softmax accumulation step over page scores ``s``."""
+    m_prev = m_ref[...]
+    l_prev = l_ref[...]
+    m_cur = jnp.max(s, axis=2, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    pr = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_ref[...] = alpha * l_prev + jnp.sum(pr, axis=2, keepdims=True)
+    m_ref[...] = m_new
+    pv_p = pr if pr_scale is None else pr * pr_scale
+    upd = jax.lax.dot_general(pv_p, v, (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+    if pr_const is not None:
+        upd = upd + jnp.sum(pr * pr_const, axis=2, keepdims=True)
+    acc_ref[...] = acc_ref[...] * alpha + upd
+
+
+def _decode_kernel(lengths_ref, tables_ref, layer_ref,        # scalar prefetch
+                   q_ref,                                     # [RB, HkvG, ROWp]
+                   pages_ref,                                 # [L, NB, BS, ROWp]
+                   out_ref,                                   # [RB, HkvG, ROWp]
+                   buf, sems, acc_ref, m_ref, l_ref,
+                   *, RB: int, BS: int, scale: float, w_max: int, num_rb: int,
+                   logit_softcap: Optional[float]):
+    rb = pl.program_id(0)
     layer = layer_ref[0]
-    length = lengths_ref[b]
-    chunk = block_size * pages_per_blk
-    num_chunks = pl.cdiv(length, chunk)
-    W = tables_ref.shape[1]
-    G, D = q_ref.shape
+    HkvG = q_ref.shape[1]
 
-    def start_copy(chunk_idx, slot):
-        for p in range(pages_per_blk):
-            page_pos = chunk_idx * pages_per_blk + p
-            page_idx = tables_ref[b, jnp.minimum(page_pos, W - 1)]
-            pltpu.make_async_copy(
-                k_pages_ref.at[layer, h, page_idx], k_buf.at[slot, p],
-                sems.at[slot, 0]).start()
-            pltpu.make_async_copy(
-                v_pages_ref.at[layer, h, page_idx], v_buf.at[slot, p],
-                sems.at[slot, 1]).start()
+    def start(rb_idx, p, slot):
+        for r in range(RB):
+            row = rb_idx * RB + r
+            # skip pages past this row's length (and inactive len=0 rows);
+            # zero the buffer instead — stale VMEM bits can decode to
+            # NaN/Inf and 0 * NaN would poison the accumulator
+            @pl.when(p * BS < lengths_ref[row])
+            def _():
+                pltpu.make_async_copy(
+                    pages_ref.at[layer, tables_ref[row, p]],
+                    buf.at[slot, r], sems.at[slot, r]).start()
 
-    def wait_copy(slot):
-        # one wait sized to the whole slot covers all pages_per_blk page DMAs
-        pltpu.make_async_copy(k_buf.at[slot], k_buf.at[slot], sems.at[slot, 0]).wait()
-        pltpu.make_async_copy(v_buf.at[slot], v_buf.at[slot], sems.at[slot, 1]).wait()
+            @pl.when(p * BS >= lengths_ref[row])
+            def _():
+                buf[slot, r] = jnp.zeros_like(buf[slot, r])
 
-    @pl.when(num_chunks > 0)
+    def wait(slot, rb_idx, p):
+        for r in range(RB):
+            @pl.when(p * BS < lengths_ref[rb_idx * RB + r])
+            def _():
+                pltpu.make_async_copy(buf.at[slot, r], buf.at[slot, r],
+                                      sems.at[slot, r]).wait()
+
+    @pl.when(rb == 0)
     def _():
-        start_copy(0, 0)
+        start(0, 0, 0)
 
-    q = q_ref[...].astype(jnp.float32) * scale          # [G, D]
+    q = q_ref[...].astype(jnp.float32) * scale
     acc_ref[...] = jnp.zeros_like(acc_ref)
+    m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
+    l_ref[...] = jnp.zeros_like(l_ref)
 
-    def body(c, carry):
-        m_prev, l_prev = carry                          # [G, 1] each
-        slot = jax.lax.rem(c, 2)
+    def body(p, _):
+        # slot parity follows the GLOBAL chunk counter (rb * w_max + p), not
+        # the local page index: with odd w_max a per-page parity would make
+        # the cross-program prefetch land page 0 in slot 1 while the next
+        # program waits on slot 0 — a semaphore deadlock on hardware
+        slot = jax.lax.rem(rb * w_max + p, 2)
 
-        @pl.when(c + 1 < num_chunks)
+        @pl.when(p + 1 < w_max)
         def _():
-            start_copy(c + 1, 1 - slot)
+            start(rb, p + 1, 1 - slot)
 
-        wait_copy(slot)
-        k = k_buf[slot].reshape(chunk, D).astype(jnp.float32)     # [chunk, D]
-        v = v_buf[slot].reshape(chunk, D).astype(jnp.float32)
+        @pl.when((p + 1 == w_max) & (rb + 1 < num_rb))
+        def _():
+            start(rb + 1, 0, 1 - slot)
 
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)   # [G, chunk]
+        wait(slot, rb, p)
+        page = buf[slot].astype(jnp.float32)              # [RB, BS, ROWp]
+        s = jax.lax.dot_general(q, page, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
         if logit_softcap is not None:
             s = jnp.tanh(s / logit_softcap) * logit_softcap
-        pos = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (G, chunk), 1)
-        s = jnp.where(pos < length, s, MASK_VALUE)
+        pos = p * BS + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        lens = _row_lens(lengths_ref, rb, RB, s.shape)
+        s = jnp.where(pos < lens, s, MASK_VALUE)
+        _softmax_update(s, m_ref, l_ref, acc_ref, page)
+        return 0
 
-        m_cur = jnp.max(s, axis=1, keepdims=True)                 # [G, 1]
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)                                    # [G, chunk]
-        alpha = jnp.exp(m_prev - m_new)                           # [G, 1]
-        l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        return m_new, l_new
-
-    init = (jnp.full((G, 1), MASK_VALUE, jnp.float32),
-            jnp.zeros((G, 1), jnp.float32))
-    _, l = jax.lax.fori_loop(0, num_chunks, body, init)
-
-    out_ref[...] = (acc_ref[...] / jnp.where(l == 0.0, 1.0, l)).astype(out_ref.dtype)
+    jax.lax.fori_loop(0, w_max, body, 0)
+    l = l_ref[...]
+    out_ref[...] = (acc_ref[...] / jnp.where(l == 0.0, 1.0, l)
+                    ).astype(out_ref.dtype)
 
 
-def _decode_kernel_quant(
-    # scalar prefetch
-    lengths_ref, tables_ref, layer_ref,
-    # inputs
-    q_ref,              # [G, D] VMEM
-    k_pages_ref,        # [L, Hkv, NB, BS, D] HBM int8
-    v_pages_ref,        # [L, Hkv, NB, BS, D] HBM int8
-    k_scale_ref,        # [L, Hkv, NB, BS] HBM f32 per-token scales
-    v_scale_ref,        # [L, Hkv, NB, BS] HBM f32
-    # output
-    out_ref,            # [G, D] VMEM
-    # scratch
-    k_buf, v_buf,       # [2, BS, D] VMEM int8
-    ksc_buf, vsc_buf,   # [2, BS] VMEM f32
-    sems,               # DMA sems [2, 4]
-    acc_ref,            # [G, D] f32
-    *, block_size: int, scale: float, logit_softcap: Optional[float],
-):
-    """Quantized-KV decode: pages stream as int8 at half the HBM bytes of bf16;
-    per-token scales ride along (512B per 16KB page) and dequantization happens
-    on the score/probability side — ``s = (q·k_q) * k_sc`` and
-    ``out += (p * v_sc) @ v_q`` — so no [BS, D] lane-broadcast of scales is
-    ever materialized.  Reference: quantization.h dequant-on-load + the
-    promised "decode-kernel scale DMA" (r1 deferred).
-    """
-    b = pl.program_id(0)
-    h = pl.program_id(1)
+def _decode_kernel_quant(lengths_ref, tables_ref, layer_ref,
+                         q_ref,                         # [RB, HkvG, ROWp]
+                         pages_ref,                     # [L, NB, BS, ROWp] i8
+                         scale_ref,                     # [L, NB, 2, Hkv, BS] f32
+                         out_ref,
+                         buf, sc_buf, sems, sc_sems, acc_ref, m_ref, l_ref,
+                         *, RB: int, BS: int, G: int, scale: float, w_max: int,
+                         num_rb: int, logit_softcap: Optional[float]):
+    """int8-KV: pages stream at half the bf16 bytes; per-token per-head scales
+    ride as one [2, Hkv, BS] DMA per page and apply on the score side."""
+    rb = pl.program_id(0)
     layer = layer_ref[0]
-    length = lengths_ref[b]
-    num_pages = pl.cdiv(length, block_size)
-    W = tables_ref.shape[1]
-    G, D = q_ref.shape
-    BS = block_size
 
-    def start_copy(page_pos, slot):
-        page_idx = tables_ref[b, jnp.minimum(page_pos, W - 1)]
-        pltpu.make_async_copy(k_pages_ref.at[layer, h, page_idx],
-                              k_buf.at[slot], sems.at[slot, 0]).start()
-        pltpu.make_async_copy(v_pages_ref.at[layer, h, page_idx],
-                              v_buf.at[slot], sems.at[slot, 1]).start()
-        pltpu.make_async_copy(k_scale_ref.at[layer, h, page_idx],
-                              ksc_buf.at[slot], sems.at[slot, 2]).start()
-        pltpu.make_async_copy(v_scale_ref.at[layer, h, page_idx],
-                              vsc_buf.at[slot], sems.at[slot, 3]).start()
+    def start(rb_idx, p, slot):
+        for r in range(RB):
+            row = rb_idx * RB + r
+            @pl.when(p * BS < lengths_ref[row])
+            def _():
+                page = tables_ref[row, p]
+                pltpu.make_async_copy(pages_ref.at[layer, page],
+                                      buf.at[slot, r], sems.at[slot, r]).start()
+                pltpu.make_async_copy(scale_ref.at[layer, page],
+                                      sc_buf.at[slot, r],
+                                      sc_sems.at[slot, r]).start()
 
-    def wait_copy(slot):
-        pltpu.make_async_copy(k_buf.at[slot], k_buf.at[slot],
-                              sems.at[slot, 0]).wait()
-        pltpu.make_async_copy(v_buf.at[slot], v_buf.at[slot],
-                              sems.at[slot, 1]).wait()
-        pltpu.make_async_copy(ksc_buf.at[slot], ksc_buf.at[slot],
-                              sems.at[slot, 2]).wait()
-        pltpu.make_async_copy(vsc_buf.at[slot], vsc_buf.at[slot],
-                              sems.at[slot, 3]).wait()
+            @pl.when(p * BS >= lengths_ref[row])
+            def _():
+                buf[slot, r] = jnp.zeros_like(buf[slot, r])
+                sc_buf[slot, r] = jnp.zeros_like(sc_buf[slot, r])
 
-    @pl.when(num_pages > 0)
+    def wait(slot, rb_idx, p):
+        for r in range(RB):
+            @pl.when(p * BS < lengths_ref[rb_idx * RB + r])
+            def _():
+                pltpu.make_async_copy(buf.at[slot, r], buf.at[slot, r],
+                                      sems.at[slot, r]).wait()
+                pltpu.make_async_copy(sc_buf.at[slot, r], sc_buf.at[slot, r],
+                                      sc_sems.at[slot, r]).wait()
+
+    @pl.when(rb == 0)
     def _():
-        start_copy(0, 0)
+        start(0, 0, 0)
 
-    q = q_ref[...].astype(jnp.float32) * scale          # [G, D]
+    q = q_ref[...].astype(jnp.float32) * scale
     acc_ref[...] = jnp.zeros_like(acc_ref)
+    m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
+    l_ref[...] = jnp.zeros_like(l_ref)
 
-    def body(c, carry):
-        m_prev, l_prev = carry
-        slot = jax.lax.rem(c, 2)
+    def body(p, _):
+        # slot parity follows the GLOBAL chunk counter (rb * w_max + p), not
+        # the local page index: with odd w_max a per-page parity would make
+        # the cross-program prefetch land page 0 in slot 1 while the next
+        # program waits on slot 0 — a semaphore deadlock on hardware
+        slot = jax.lax.rem(rb * w_max + p, 2)
 
-        @pl.when(c + 1 < num_pages)
+        @pl.when(p + 1 < w_max)
         def _():
-            start_copy(c + 1, 1 - slot)
+            start(rb, p + 1, 1 - slot)
 
-        wait_copy(slot)
-        k = k_buf[slot].astype(jnp.float32)             # [BS, D]
-        v = v_buf[slot].astype(jnp.float32)
-        ksc = ksc_buf[slot].reshape(1, BS)              # [1, BS]
-        vsc = vsc_buf[slot].reshape(1, BS)
+        @pl.when((p + 1 == w_max) & (rb + 1 < num_rb))
+        def _():
+            start(rb + 1, 0, 1 - slot)
 
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)   # [G, BS]
+        wait(slot, rb, p)
+        page = buf[slot].astype(jnp.float32)              # [RB, BS, ROWp]
+        ksc = _expand_heads(sc_buf[slot, :, 0], G)        # [RB, HkvG, BS]
+        vsc = _expand_heads(sc_buf[slot, :, 1], G)
+        s = jax.lax.dot_general(q, page, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
         s = s * ksc
         if logit_softcap is not None:
             s = jnp.tanh(s / logit_softcap) * logit_softcap
-        pos = c * BS + jax.lax.broadcasted_iota(jnp.int32, (G, BS), 1)
-        s = jnp.where(pos < length, s, MASK_VALUE)
+        pos = p * BS + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        lens = _row_lens(lengths_ref, rb, RB, s.shape)
+        s = jnp.where(pos < lens, s, MASK_VALUE)
+        _softmax_update(s, m_ref, l_ref, acc_ref, page, pr_scale=vsc)
+        return 0
 
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-            p * vsc, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return m_new, l_new
-
-    init = (jnp.full((G, 1), MASK_VALUE, jnp.float32),
-            jnp.zeros((G, 1), jnp.float32))
-    _, l = jax.lax.fori_loop(0, num_pages, body, init)
-
-    out_ref[...] = (acc_ref[...] / jnp.where(l == 0.0, 1.0, l)).astype(out_ref.dtype)
+    jax.lax.fori_loop(0, w_max, body, 0)
+    l = l_ref[...]
+    out_ref[...] = (acc_ref[...] / jnp.where(l == 0.0, 1.0, l)
+                    ).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=('scale', 'logit_softcap'))
-def paged_decode_attention_quant(
-    q: jax.Array,              # [B, Hq, D]
-    k_cache,                   # QuantKV: int8 [L,Hkv,NB,BS,Dp] + f32 [L,Hkv,NB,BS]
-    v_cache,
-    block_tables: jax.Array,   # [B, W] i32
-    kv_lens: jax.Array,        # [B] i32
-    layer,
-    scale: float,
-    logit_softcap: Optional[float] = None,
-) -> jax.Array:
-    B, Hq, D = q.shape
-    _, Hkv, NB, BS, Dp = k_cache.data.shape
-    G = Hq // Hkv
-    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
-
-    q_grouped = q.reshape(B, Hkv, G, D)
-    if Dp != D:
-        q_grouped = jnp.pad(q_grouped, ((0, 0), (0, 0), (0, 0), (0, Dp - D)))
-
-    kernel = functools.partial(_decode_kernel_quant, block_size=BS, scale=scale,
-                               logit_softcap=logit_softcap)
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(B, Hkv),
-            in_specs=[
-                pl.BlockSpec((None, None, G, Dp), lambda b, h, *_: (b, h, 0, 0)),
-                pl.BlockSpec(memory_space=pltpu.HBM),
-                pl.BlockSpec(memory_space=pltpu.HBM),
-                pl.BlockSpec(memory_space=pltpu.HBM),
-                pl.BlockSpec(memory_space=pltpu.HBM),
-            ],
-            out_specs=pl.BlockSpec((None, None, G, Dp),
-                                   lambda b, h, *_: (b, h, 0, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((2, BS, Dp), k_cache.data.dtype),
-                pltpu.VMEM((2, BS, Dp), v_cache.data.dtype),
-                pltpu.VMEM((2, BS), jnp.float32),
-                pltpu.VMEM((2, BS), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, 4)),
-                pltpu.VMEM((G, Dp), jnp.float32),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, Dp), q.dtype),
-    )(kv_lens, block_tables, layer_arr, q_grouped,
-      k_cache.data, v_cache.data, k_cache.scale, v_cache.scale)
-
-    return out[..., :D].reshape(B, Hq, D)
-
-
-def _decode_kernel_quant4(
-    lengths_ref, tables_ref, layer_ref,
-    q_ref,                  # [G, D] VMEM
-    k_pages_ref,            # [L, Hkv, NB, BS/2, D] HBM u8 (token-pair packed)
-    v_pages_ref,
-    k_scale_ref,            # [L, Hkv, NB, BS] HBM f32 (de-interleaved order)
-    k_minv_ref,
-    v_scale_ref,
-    v_minv_ref,
-    out_ref,
-    k_buf, v_buf,           # [2, BS/2, D] VMEM u8
-    ksc_buf, kmn_buf, vsc_buf, vmn_buf,   # [2, BS] VMEM f32
-    sems,                   # [2, 6]
-    acc_ref,                # [G, D] f32
-    *, block_size: int, scale: float, logit_softcap: Optional[float],
-):
-    """int4-KV decode: 4-bit pages stream at a quarter of bf16 bytes.  Nibbles
-    hold token pairs; unpacked halves are concatenated along sublanes into
-    de-interleaved token order ([even | odd]) which matches the stored scale
-    vectors, so dequantization is pure score-side math:
-    ``s = (q·k_q)·k_sc + (Σq)·k_min`` and
-    ``out += (p·v_sc) @ v_q + (p·v_min)·1``.
-    """
-    b = pl.program_id(0)
-    h = pl.program_id(1)
+def _decode_kernel_quant4(lengths_ref, tables_ref, layer_ref,
+                          q_ref,                        # [RB, HkvG, ROWp]
+                          pages_ref,                    # [L, NB, BS/2, ROWp] u8
+                          scale_ref,                    # [L, NB, 2, Hkv, BS]
+                          minv_ref,                     # [L, NB, 2, Hkv, BS]
+                          out_ref,
+                          buf, sc_buf, mn_buf, sems, sc_sems, mn_sems,
+                          acc_ref, m_ref, l_ref,
+                          *, RB: int, BS: int, G: int, scale: float,
+                          w_max: int, num_rb: int,
+                          logit_softcap: Optional[float]):
+    """int4-KV: nibble pairs stream at a quarter of bf16 bytes.  Unpacked
+    halves concatenate along sublanes into de-interleaved token order
+    ([even | odd]) matching the stored scale vectors; dequant is score-side:
+    ``s = (q.k_q)*k_sc + (sum q)*k_min`` and
+    ``out += (p*v_sc) @ v_q + rowsum(p*v_min)``."""
+    rb = pl.program_id(0)
     layer = layer_ref[0]
-    length = lengths_ref[b]
-    num_pages = pl.cdiv(length, block_size)
-    W = tables_ref.shape[1]
-    G, D = q_ref.shape
-    BS = block_size
     BS2 = BS // 2
 
-    def start_copy(page_pos, slot):
-        page_idx = tables_ref[b, jnp.minimum(page_pos, W - 1)]
-        pltpu.make_async_copy(k_pages_ref.at[layer, h, page_idx],
-                              k_buf.at[slot], sems.at[slot, 0]).start()
-        pltpu.make_async_copy(v_pages_ref.at[layer, h, page_idx],
-                              v_buf.at[slot], sems.at[slot, 1]).start()
-        pltpu.make_async_copy(k_scale_ref.at[layer, h, page_idx],
-                              ksc_buf.at[slot], sems.at[slot, 2]).start()
-        pltpu.make_async_copy(k_minv_ref.at[layer, h, page_idx],
-                              kmn_buf.at[slot], sems.at[slot, 3]).start()
-        pltpu.make_async_copy(v_scale_ref.at[layer, h, page_idx],
-                              vsc_buf.at[slot], sems.at[slot, 4]).start()
-        pltpu.make_async_copy(v_minv_ref.at[layer, h, page_idx],
-                              vmn_buf.at[slot], sems.at[slot, 5]).start()
+    def start(rb_idx, p, slot):
+        for r in range(RB):
+            row = rb_idx * RB + r
+            @pl.when(p * BS < lengths_ref[row])
+            def _():
+                page = tables_ref[row, p]
+                pltpu.make_async_copy(pages_ref.at[layer, page],
+                                      buf.at[slot, r], sems.at[slot, r]).start()
+                pltpu.make_async_copy(scale_ref.at[layer, page],
+                                      sc_buf.at[slot, r],
+                                      sc_sems.at[slot, r]).start()
+                pltpu.make_async_copy(minv_ref.at[layer, page],
+                                      mn_buf.at[slot, r],
+                                      mn_sems.at[slot, r]).start()
 
-    def wait_copy(slot):
-        for i, buf in enumerate((k_buf, v_buf, ksc_buf, kmn_buf, vsc_buf,
-                                 vmn_buf)):
-            pltpu.make_async_copy(buf.at[slot], buf.at[slot],
-                                  sems.at[slot, i]).wait()
+            @pl.when(p * BS >= lengths_ref[row])
+            def _():
+                buf[slot, r] = jnp.zeros_like(buf[slot, r])
+                sc_buf[slot, r] = jnp.zeros_like(sc_buf[slot, r])
+                mn_buf[slot, r] = jnp.zeros_like(mn_buf[slot, r])
 
-    @pl.when(num_pages > 0)
+    def wait(slot, rb_idx, p):
+        for r in range(RB):
+            @pl.when(p * BS < lengths_ref[rb_idx * RB + r])
+            def _():
+                for b, sm in ((buf, sems), (sc_buf, sc_sems), (mn_buf, mn_sems)):
+                    pltpu.make_async_copy(b.at[slot, r], b.at[slot, r],
+                                          sm.at[slot, r]).wait()
+
+    @pl.when(rb == 0)
     def _():
-        start_copy(0, 0)
+        start(0, 0, 0)
 
-    q = q_ref[...].astype(jnp.float32) * scale          # [G, D]
-    qsum = jnp.sum(q, axis=1, keepdims=True)            # [G, 1] (for min term)
+    q = q_ref[...].astype(jnp.float32) * scale
+    qsum = jnp.sum(q, axis=2, keepdims=True)             # [RB, HkvG, 1]
     acc_ref[...] = jnp.zeros_like(acc_ref)
+    m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
+    l_ref[...] = jnp.zeros_like(l_ref)
 
-    def body(c, carry):
-        m_prev, l_prev = carry
-        slot = jax.lax.rem(c, 2)
+    def body(p, _):
+        # slot parity follows the GLOBAL chunk counter (rb * w_max + p), not
+        # the local page index: with odd w_max a per-page parity would make
+        # the cross-program prefetch land page 0 in slot 1 while the next
+        # program waits on slot 0 — a semaphore deadlock on hardware
+        slot = jax.lax.rem(rb * w_max + p, 2)
 
-        @pl.when(c + 1 < num_pages)
+        @pl.when(p + 1 < w_max)
         def _():
-            start_copy(c + 1, 1 - slot)
+            start(rb, p + 1, 1 - slot)
 
-        wait_copy(slot)
-        kp = k_buf[slot].astype(jnp.int32)              # [BS2, D]
-        vp = v_buf[slot].astype(jnp.int32)
-        k_q = jnp.concatenate([kp & 0xF, (kp >> 4) & 0xF],
-                              axis=0).astype(jnp.float32)        # [BS, D]
-        v_q = jnp.concatenate([vp & 0xF, (vp >> 4) & 0xF],
-                              axis=0).astype(jnp.float32)
-        ksc = ksc_buf[slot].reshape(1, BS)
-        kmn = kmn_buf[slot].reshape(1, BS)
-        vsc = vsc_buf[slot].reshape(1, BS)
-        vmn = vmn_buf[slot].reshape(1, BS)
+        @pl.when((p + 1 == w_max) & (rb + 1 < num_rb))
+        def _():
+            start(rb + 1, 0, 1 - slot)
 
-        s = jax.lax.dot_general(q, k_q, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)   # [G, BS]
+        wait(slot, rb, p)
+        packed = buf[slot].astype(jnp.int32)              # [RB, BS2, ROWp]
+        page = jnp.concatenate([packed & 0xF, (packed >> 4) & 0xF],
+                               axis=1).astype(jnp.float32)   # [RB, BS, ROWp]
+        ksc = _expand_heads(sc_buf[slot, :, 0], G)
+        kmn = _expand_heads(mn_buf[slot, :, 0], G)
+        vsc = _expand_heads(sc_buf[slot, :, 1], G)
+        vmn = _expand_heads(mn_buf[slot, :, 1], G)
+
+        s = jax.lax.dot_general(q, page, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
         s = s * ksc + qsum * kmn
         if logit_softcap is not None:
             s = jnp.tanh(s / logit_softcap) * logit_softcap
-        # column j holds token slot 2j (j < BS2) or 2(j-BS2)+1
-        j = jax.lax.broadcasted_iota(jnp.int32, (G, BS), 1)
+        # column j of the de-interleaved page holds token 2j (j < BS2) or
+        # 2(j - BS2) + 1
+        j = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         tok = jnp.where(j < BS2, 2 * j, 2 * j - BS + 1)
-        pos = c * BS + tok
-        s = jnp.where(pos < length, s, MASK_VALUE)
+        pos = p * BS + tok
+        lens = _row_lens(lengths_ref, rb, RB, s.shape)
+        s = jnp.where(pos < lens, s, MASK_VALUE)
+        _softmax_update(s, m_ref, l_ref, acc_ref, page,
+                        pr_scale=vsc, pr_const=vmn)
+        return 0
 
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        pv = jax.lax.dot_general(p * vsc, v_q, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        p_mn = jnp.sum(p * vmn, axis=1, keepdims=True)           # [G, 1]
-        acc_ref[...] = acc_ref[...] * alpha + pv + p_mn
-        return m_new, l_new
-
-    init = (jnp.full((G, 1), MASK_VALUE, jnp.float32),
-            jnp.zeros((G, 1), jnp.float32))
-    _, l = jax.lax.fori_loop(0, num_pages, body, init)
-
-    out_ref[...] = (acc_ref[...] / jnp.where(l == 0.0, 1.0, l)).astype(out_ref.dtype)
+    jax.lax.fori_loop(0, w_max, body, 0)
+    l = l_ref[...]
+    out_ref[...] = (acc_ref[...] / jnp.where(l == 0.0, 1.0, l)
+                    ).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=('scale', 'logit_softcap'))
-def paged_decode_attention_quant4(
-    q: jax.Array,              # [B, Hq, D]
-    k_cache,                   # QuantKV4
-    v_cache,
-    block_tables: jax.Array,
-    kv_lens: jax.Array,
-    layer,
-    scale: float,
-    logit_softcap: Optional[float] = None,
-) -> jax.Array:
+def _block_diag_q(q: jax.Array, num_kv_heads: int, rowp: int) -> jax.Array:
+    """[B, Hq, D] -> [B, Hkv*G, ROWp] with head h's [G, D] block at its k
+    lanes (2*h*D .. 2*h*D + D) and zeros elsewhere (v lanes + padding)."""
     B, Hq, D = q.shape
-    _, Hkv, NB, BS2, Dp = k_cache.data.shape
-    BS = BS2 * 2
-    G = Hq // Hkv
-    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
-
-    q_grouped = q.reshape(B, Hkv, G, D)
-    if Dp != D:
-        q_grouped = jnp.pad(q_grouped, ((0, 0), (0, 0), (0, 0), (0, Dp - D)))
-
-    kernel = functools.partial(_decode_kernel_quant4, block_size=BS,
-                               scale=scale, logit_softcap=logit_softcap)
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(B, Hkv),
-            in_specs=[
-                pl.BlockSpec((None, None, G, Dp), lambda b, h, *_: (b, h, 0, 0)),
-            ] + [pl.BlockSpec(memory_space=pltpu.HBM)] * 6,
-            out_specs=pl.BlockSpec((None, None, G, Dp),
-                                   lambda b, h, *_: (b, h, 0, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((2, BS2, Dp), jnp.uint8),
-                pltpu.VMEM((2, BS2, Dp), jnp.uint8),
-                pltpu.VMEM((2, BS), jnp.float32),
-                pltpu.VMEM((2, BS), jnp.float32),
-                pltpu.VMEM((2, BS), jnp.float32),
-                pltpu.VMEM((2, BS), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, 6)),
-                pltpu.VMEM((G, Dp), jnp.float32),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, Dp), q.dtype),
-    )(kv_lens, block_tables, layer_arr, q_grouped,
-      k_cache.data, v_cache.data, k_cache.scale, k_cache.minv,
-      v_cache.scale, v_cache.minv)
-
-    return out[..., :D].reshape(B, Hq, D)
+    G = Hq // num_kv_heads
+    qg = q.reshape(B, num_kv_heads, G, D)
+    eye = (jnp.arange(num_kv_heads)[:, None]
+           == jnp.arange(num_kv_heads)[None, :])
+    # [B, Hkv, G, Hkv', 2, D]: only (h' == h, kv == 0) — head h's k lanes —
+    # carries the query; v lanes and other heads' lanes are zero
+    sel = (eye[None, :, None, :, None, None]
+           & (jnp.arange(2) == 0)[None, None, None, None, :, None])
+    q6 = jnp.where(sel, qg[:, :, :, None, None, :], 0.0)
+    q_bd = q6.reshape(B, num_kv_heads * G, 2 * num_kv_heads * D)
+    if q_bd.shape[-1] < rowp:
+        q_bd = jnp.pad(q_bd, ((0, 0), (0, 0), (0, rowp - q_bd.shape[-1])))
+    return q_bd
 
 
-@functools.partial(jax.jit, static_argnames=('scale', 'logit_softcap',
-                                             'pages_per_blk'))
-def paged_decode_attention(
-    q: jax.Array,              # [B, Hq, D]
-    k_cache: jax.Array,        # [L, Hkv, NB, BS, D] (full cache)
-    v_cache: jax.Array,        # [L, Hkv, NB, BS, D]
-    block_tables: jax.Array,   # [B, W] i32
-    kv_lens: jax.Array,        # [B] i32 — valid kv length per row (0 = inactive)
-    layer,                     # scalar i32 — layer region to read
-    scale: float,
-    logit_softcap: Optional[float] = None,
-    pages_per_blk: int = 2,
-) -> jax.Array:
+def _extract_v_diag(out: jax.Array, num_kv_heads: int, G: int, D: int
+                    ) -> jax.Array:
+    """[B, Hkv*G, ROWp] block matrix -> [B, Hq, D] (diagonal v blocks)."""
+    B = out.shape[0]
+    hd2 = 2 * num_kv_heads * D
+    o6 = out[..., :hd2].reshape(B, num_kv_heads, G, num_kv_heads, 2, D)
+    eye = (jnp.arange(num_kv_heads)[:, None]
+           == jnp.arange(num_kv_heads)[None, :]).astype(o6.dtype)
+    diag = jnp.sum(o6 * eye[None, :, None, :, None, None], axis=3)  # [B,Hkv,G,2,D]
+    return diag[..., 1, :].reshape(B, num_kv_heads * G, D)
+
+
+@functools.partial(jax.jit, static_argnames=('scale', 'num_kv_heads',
+                                             'logit_softcap'))
+def paged_decode_attention(q: jax.Array, kv_cache, block_tables: jax.Array,
+                           kv_lens: jax.Array, layer, scale: float,
+                           num_kv_heads: int,
+                           logit_softcap: Optional[float] = None) -> jax.Array:
+    """q: [B, Hq, D]; kv_cache: unified pages (array or QuantKV/QuantKV4);
+    kv_lens: [B] valid kv length per row (0 = inactive); returns [B, Hq, D]."""
+    from ..kv_quant import QuantKV, QuantKV4
+
     B, Hq, D = q.shape
-    _, Hkv, NB, BS, Dp = k_cache.shape
-    G = Hq // Hkv
+    G = Hq // num_kv_heads
+    HkvG = Hq
     W = block_tables.shape[1]
-    pages_per_blk = min(pages_per_blk, W)
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
 
-    # [B, Hq, D] -> [B, Hkv, G, D]: q heads h*G..h*G+G-1 share kv head h (head-major
-    # grouping, matching the column-parallel weight layout).  The cache head_dim may
-    # be lane-padded (Dp >= D); zero-pad q to match — zeros add nothing to scores,
-    # and the padded out lanes are sliced away below.
-    q_grouped = q.reshape(B, Hkv, G, D)
-    if Dp != D:
-        q_grouped = jnp.pad(q_grouped, ((0, 0), (0, 0), (0, 0), (0, Dp - D)))
+    quant8 = isinstance(kv_cache, QuantKV)
+    quant4 = isinstance(kv_cache, QuantKV4)
+    data = kv_cache.data if (quant8 or quant4) else kv_cache
+    rowp = data.shape[-1]
+    BS = data.shape[2] * (2 if quant4 else 1)
 
-    kernel = functools.partial(
-        _decode_kernel, block_size=BS, pages_per_blk=pages_per_blk, scale=scale,
-        logit_softcap=logit_softcap)
+    q_bd = _block_diag_q(q, num_kv_heads, rowp)
+    RB = _pick_rb(B, HkvG, rowp)
+    num_rb = -(-B // RB)
+    if num_rb * RB != B:           # batch buckets are powers of two; safety pad
+        pad = num_rb * RB - B
+        q_bd = jnp.pad(q_bd, ((0, pad), (0, 0), (0, 0)))
+        block_tables = jnp.pad(block_tables, ((0, pad), (0, 0)))
+        kv_lens = jnp.pad(kv_lens, (0, pad))
 
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(B, Hkv),
-            in_specs=[
-                pl.BlockSpec((None, None, G, Dp), lambda b, h, *_: (b, h, 0, 0)),
-                pl.BlockSpec(memory_space=pltpu.HBM),
-                pl.BlockSpec(memory_space=pltpu.HBM),
-            ],
-            out_specs=pl.BlockSpec((None, None, G, Dp), lambda b, h, *_: (b, h, 0, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((2, pages_per_blk, BS, Dp), k_cache.dtype),
-                pltpu.VMEM((2, pages_per_blk, BS, Dp), v_cache.dtype),
-                pltpu.SemaphoreType.DMA((2, 2)),
-                pltpu.VMEM((G, Dp), jnp.float32),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, Dp), q.dtype),
-    )(kv_lens, block_tables, layer_arr, q_grouped, k_cache, v_cache)
+    common = dict(RB=RB, BS=BS, scale=scale, w_max=W, num_rb=num_rb,
+                  logit_softcap=logit_softcap)
+    q_spec = pl.BlockSpec((RB, HkvG, rowp), lambda rb, *_: (rb, 0, 0))
+    out_spec = pl.BlockSpec((RB, HkvG, rowp), lambda rb, *_: (rb, 0, 0))
+    softmax_scratch = [
+        pltpu.VMEM((RB, HkvG, rowp), jnp.float32),
+        pltpu.VMEM((RB, HkvG, 1), jnp.float32),
+        pltpu.VMEM((RB, HkvG, 1), jnp.float32),
+    ]
 
-    return out[..., :D].reshape(B, Hq, D)
+    if quant4:
+        kernel = functools.partial(_decode_kernel_quant4, G=G, **common)
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(num_rb,),
+                in_specs=[q_spec] + [pl.BlockSpec(memory_space=pltpu.HBM)] * 3,
+                out_specs=out_spec,
+                scratch_shapes=[
+                    pltpu.VMEM((2, RB, BS // 2, rowp), jnp.uint8),
+                    pltpu.VMEM((2, RB, 2, num_kv_heads, BS), jnp.float32),
+                    pltpu.VMEM((2, RB, 2, num_kv_heads, BS), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2, RB)),
+                    pltpu.SemaphoreType.DMA((2, RB)),
+                    pltpu.SemaphoreType.DMA((2, RB)),
+                ] + softmax_scratch,
+            ),
+            out_shape=jax.ShapeDtypeStruct((num_rb * RB, HkvG, rowp), q.dtype),
+        )(kv_lens, block_tables, layer_arr, q_bd, kv_cache.data,
+          kv_cache.scale, kv_cache.minv)
+    elif quant8:
+        kernel = functools.partial(_decode_kernel_quant, G=G, **common)
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(num_rb,),
+                in_specs=[q_spec] + [pl.BlockSpec(memory_space=pltpu.HBM)] * 2,
+                out_specs=out_spec,
+                scratch_shapes=[
+                    pltpu.VMEM((2, RB, BS, rowp), kv_cache.data.dtype),
+                    pltpu.VMEM((2, RB, 2, num_kv_heads, BS), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2, RB)),
+                    pltpu.SemaphoreType.DMA((2, RB)),
+                ] + softmax_scratch,
+            ),
+            out_shape=jax.ShapeDtypeStruct((num_rb * RB, HkvG, rowp), q.dtype),
+        )(kv_lens, block_tables, layer_arr, q_bd, kv_cache.data,
+          kv_cache.scale)
+    else:
+        kernel = functools.partial(_decode_kernel, **common)
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(num_rb,),
+                in_specs=[q_spec, pl.BlockSpec(memory_space=pltpu.HBM)],
+                out_specs=out_spec,
+                scratch_shapes=[
+                    pltpu.VMEM((2, RB, BS, rowp), kv_cache.dtype),
+                    pltpu.SemaphoreType.DMA((2, RB)),
+                ] + softmax_scratch,
+            ),
+            out_shape=jax.ShapeDtypeStruct((num_rb * RB, HkvG, rowp), q.dtype),
+        )(kv_lens, block_tables, layer_arr, q_bd, kv_cache)
+
+    return _extract_v_diag(out[:B], num_kv_heads, G, D)

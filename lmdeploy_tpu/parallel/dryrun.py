@@ -47,10 +47,11 @@ def dryrun_step(n_devices: int, dp: Optional[int] = None, tp: Optional[int] = No
     shardings = make_llama_shardings(model)
     params = jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, shardings)
-    kc = jax.device_put(jnp.zeros((cfg.num_layers, cfg.num_key_value_heads, NB, BS,
-                                   cfg.head_dim), jnp.float32),
-                        NamedSharding(mesh, cache_sharding()))
-    vc = jax.device_put(jnp.zeros_like(kc), NamedSharding(mesh, cache_sharding()))
+    from ..ops.attention import kv_row_width
+    _, rowp = kv_row_width(cfg.num_key_value_heads, cfg.head_dim)
+    kc = jax.device_put(jnp.zeros((cfg.num_layers, NB, BS, rowp), jnp.float32),
+                        NamedSharding(mesh, cache_sharding(
+                            cfg.num_key_value_heads)))
     cos, sin = make_rope_table(cfg.head_dim, cfg.max_position_embeddings,
                                cfg.rope_theta)
 
@@ -77,19 +78,19 @@ def dryrun_step(n_devices: int, dp: Optional[int] = None, tp: Optional[int] = No
         do_sample=jax.device_put(np.ones(B, bool), dataspec1),
         seeds=jax.device_put(np.arange(B, dtype=np.uint32), dataspec1))
 
-    def step(params, kc, vc, counts, input_ids, positions, tables, history, q_lens,
+    def step(params, kc, counts, input_ids, positions, tables, history, q_lens,
              sampling):
         meta = AttnMeta(block_tables=tables, history_lens=history, q_lens=q_lens)
-        logits, kc, vc = model.forward(params, input_ids, positions, kc, vc, meta,
-                                       cos, sin)
+        logits, kc = model.forward(params, input_ids, positions, kc, meta,
+                                   cos, sin)
         tokens, lp, _ = sample_logits(logits, sampling, counts)
         counts = counts.at[jnp.arange(tokens.shape[0]), tokens].add(1)
-        return tokens, kc, vc, counts
+        return tokens, kc, counts
 
-    jstep = jax.jit(step, donate_argnums=(1, 2, 3))
+    jstep = jax.jit(step, donate_argnums=(1, 2))
     with mesh:
-        tokens, kc, vc, counts = jstep(params, kc, vc, counts, input_ids, positions,
-                                       tables, history, q_lens, sampling)
+        tokens, kc, counts = jstep(params, kc, counts, input_ids, positions,
+                                   tables, history, q_lens, sampling)
         tokens.block_until_ready()
     toks = np.asarray(tokens)
     assert toks.shape == (B,)
@@ -127,21 +128,22 @@ def dryrun_moe(n_devices: int, verbose: bool = False):
     params = jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, shardings)
     B, T, W, BS, NB = max(2, dp), 8, 2, 16, 16
-    kc = jax.device_put(jnp.zeros((cfg.num_layers, cfg.num_key_value_heads, NB, BS,
-                                   cfg.head_dim), jnp.float32),
-                        NamedSharding(mesh, cache_sharding()))
-    vc = jax.device_put(jnp.zeros_like(kc), NamedSharding(mesh, cache_sharding()))
+    from ..ops.attention import kv_row_width
+    _, rowp = kv_row_width(cfg.num_key_value_heads, cfg.head_dim)
+    kc = jax.device_put(jnp.zeros((cfg.num_layers, NB, BS, rowp), jnp.float32),
+                        NamedSharding(mesh, cache_sharding(
+                            cfg.num_key_value_heads)))
     cos, sin = make_rope_table(cfg.head_dim, 64, cfg.rope_theta)
     ids = jnp.zeros((B, T), jnp.int32)
     pos = jnp.broadcast_to(jnp.arange(T), (B, T)).astype(jnp.int32)
     tables = jnp.broadcast_to(jnp.asarray([1, 2], jnp.int32), (B, W))
     meta = AttnMeta(block_tables=tables, history_lens=jnp.zeros(B, jnp.int32),
                     q_lens=jnp.full(B, T, jnp.int32))
-    step = jax.jit(lambda p, kc, vc: model.forward(p, ids, pos, kc, vc, meta,
-                                                   cos, sin)[0],
-                   donate_argnums=(1, 2))
+    step = jax.jit(lambda p, kc: model.forward(p, ids, pos, kc, meta,
+                                               cos, sin)[0],
+                   donate_argnums=(1,))
     with mesh:
-        logits = step(params, kc, vc)
+        logits = step(params, kc)
         logits.block_until_ready()
     assert logits.shape == (B, cfg.vocab_size)
     if verbose:
@@ -175,10 +177,10 @@ def dryrun_cp(n_devices: int, verbose: bool = False):
     B, T, BS, NB = 2, 64, 16, 32
     W = (T + BS - 1) // BS
     params = model.init_params(jax.random.PRNGKey(0))
+    from ..ops.attention import kv_row_width
+    _, rowp = kv_row_width(cfg.num_key_value_heads, cfg.head_dim)
     with mesh:
-        kc = jnp.zeros((cfg.num_layers, cfg.num_key_value_heads, NB, BS,
-                        cfg.head_dim), jnp.float32)
-        vc = jnp.zeros_like(kc)
+        kc = jnp.zeros((cfg.num_layers, NB, BS, rowp), jnp.float32)
         cos, sin = make_rope_table(cfg.head_dim, cfg.max_position_embeddings)
         rng = np.random.RandomState(0)
         seq_spec = NamedSharding(mesh, P(None, 'cp'))
@@ -194,12 +196,12 @@ def dryrun_cp(n_devices: int, verbose: bool = False):
                         q_lens=jnp.full((B,), T, jnp.int32))
 
         @jax.jit
-        def step(params, kc, vc, ids, pos):
-            return model.forward(params, ids, pos, kc, vc, meta,
+        def step(params, kc, ids, pos):
+            return model.forward(params, ids, pos, kc, meta,
                                  jnp.asarray(cos), jnp.asarray(sin),
                                  fresh_prefill=True)
 
-        logits, kc, vc = step(params, kc, vc, input_ids, positions)
+        logits, kc = step(params, kc, input_ids, positions)
         logits.block_until_ready()
     if verbose:
         print(f'cp dryrun ok: cp={cp}, logits={logits.shape}')
@@ -233,9 +235,9 @@ def dryrun_cp_decode(n_devices: int, verbose: bool = False):
     rng = np.random.RandomState(0)
     cos, sin = make_rope_table(cfg.head_dim, cfg.max_position_embeddings)
     params = model.init_params(jax.random.PRNGKey(0))
-    k0 = rng.randn(cfg.num_layers, cfg.num_key_value_heads, NB, BS,
-                   cfg.head_dim).astype(np.float32)
-    v0 = rng.randn(*k0.shape).astype(np.float32)
+    from ..ops.attention import kv_row_width
+    _, rowp = kv_row_width(cfg.num_key_value_heads, cfg.head_dim)
+    kv0 = rng.randn(cfg.num_layers, NB, BS, rowp).astype(np.float32)
     ids = rng.randint(0, cfg.vocab_size, (B, 1)).astype(np.int32)
     pos = hist[:, None].astype(np.int32)
     tables = np.stack([np.arange(1, W + 1),
@@ -246,19 +248,17 @@ def dryrun_cp_decode(n_devices: int, verbose: bool = False):
 
     def run(mesh, spec):
         model.force_ref_attention = mesh is not None
-        kc = jnp.asarray(k0)
-        vc = jnp.asarray(v0)
+        kc = jnp.asarray(kv0)
         if mesh is not None:
             kc = jax.device_put(kc, NamedSharding(mesh, spec))
-            vc = jax.device_put(vc, NamedSharding(mesh, spec))
-        step = jax.jit(lambda p, kc, vc: model.forward(
-            p, jnp.asarray(ids), jnp.asarray(pos), kc, vc, meta,
+        step = jax.jit(lambda p, kc: model.forward(
+            p, jnp.asarray(ids), jnp.asarray(pos), kc, meta,
             jnp.asarray(cos), jnp.asarray(sin)))
         if mesh is not None:
             with mesh:
-                logits, _, _ = step(params, kc, vc)
+                logits, _ = step(params, kc)
         else:
-            logits, _, _ = step(params, kc, vc)
+            logits, _ = step(params, kc)
         return np.asarray(logits)
 
     base = run(None, None)

@@ -248,8 +248,9 @@ def test_config_mla_geometry(ds_engine):
     assert cfg.cache_head_dim == 32 + 8
     assert cfg.rope_dim == 8
     # cache allocated at the padded latent dim
-    assert ds_engine.model_agent.cache_engine.k_cache.shape[1] == 1
-    assert ds_engine.model_agent.cache_engine.k_cache.shape[-1] == 128
+    # unified pages: one latent "head" -> row = 2 * kv_lora(+rope) lanes
+    row = ds_engine.model_agent.cache_engine.kv_cache.shape[-1]
+    assert row == ds_engine.model_agent.cache_engine.padded_row_width
 
 
 def test_deepseek_greedy_matches_dense_reference(ds_engine):

@@ -58,7 +58,7 @@ def test_pd_migration_matches_single_engine(tiny_model_dir):
         first = _gen(pre, 7, prompt, 1, end=False)
         assert first == full[:1]
         payload = disagg.export_session_kv(pre, 7)
-        assert payload['k_blocks'].shape[2] >= 1
+        assert payload['kv_blocks'].shape[1] >= 1
         wire = disagg.serialize_payload(payload)
         disagg.release_exported(pre, 7)
         assert not pre.scheduler.has_unfinished()

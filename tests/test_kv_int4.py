@@ -1,4 +1,4 @@
-"""Token-pair-packed int4 KV cache (quant_policy=8) tests."""
+"""Token-pair-packed int4 KV cache (quant_policy=8) tests — unified layout."""
 import numpy as np
 import pytest
 
@@ -18,29 +18,32 @@ def test_quantize_int4_roundtrip():
     assert np.asarray(q).max() <= 15 and np.asarray(q).min() >= 0
 
 
-def _filled_caches(rng, L, Hkv, NB, BS, D, B, T, tables, history, q_lens):
-    from lmdeploy_tpu.ops.attention import compute_slot_mapping, fill_kv_cache
+def _q4(L, Hkv, NB, BS, D):
+    from lmdeploy_tpu.ops.attention import kv_row_width
     from lmdeploy_tpu.ops.kv_quant import QuantKV4
+    _, rowp = kv_row_width(Hkv, D)
+    return QuantKV4(jnp.zeros((L, NB, BS // 2, rowp), jnp.uint8),
+                    jnp.zeros((L, NB, 2, Hkv, BS), jnp.float32),
+                    jnp.zeros((L, NB, 2, Hkv, BS), jnp.float32))
 
-    def q4():
-        return QuantKV4(jnp.zeros((L, Hkv, NB, BS // 2, D), jnp.uint8),
-                        jnp.zeros((L, Hkv, NB, BS), jnp.float32),
-                        jnp.zeros((L, Hkv, NB, BS), jnp.float32))
+
+def _filled_cache(rng, L, Hkv, NB, BS, D, B, T, tables, history, q_lens):
+    from lmdeploy_tpu.ops.attention import compute_slot_mapping, fill_kv_cache
 
     slot = compute_slot_mapping(jnp.asarray(tables), jnp.asarray(history),
                                 jnp.asarray(q_lens), T, BS)
     k_new = rng.randn(B * T, Hkv, D).astype(np.float32)
     v_new = rng.randn(B * T, Hkv, D).astype(np.float32)
     layer = jnp.int32(1)
-    kq, vq = fill_kv_cache(q4(), q4(), jnp.asarray(k_new), jnp.asarray(v_new),
-                           slot, layer)
-    return kq, vq, k_new, v_new, slot, layer
+    kv = fill_kv_cache(_q4(L, Hkv, NB, BS, D), jnp.asarray(k_new),
+                       jnp.asarray(v_new), slot, layer)
+    return kv, k_new, v_new, slot, layer
 
 
 def test_fill_and_gather_dequant_roundtrip():
-    """fill_kv_cache into a QuantKV4 cache, then gather_dequant_kv4 must
+    """fill_kv_cache into a QuantKV4 cache, then gather_layer_kv must
     reconstruct the written rows within one quant step."""
-    from lmdeploy_tpu.ops.attention import gather_dequant_kv4
+    from lmdeploy_tpu.ops.attention import gather_layer_kv
 
     rng = np.random.RandomState(1)
     L, Hkv, NB, BS, D = 2, 2, 8, 16, 64
@@ -48,11 +51,11 @@ def test_fill_and_gather_dequant_roundtrip():
     tables = np.asarray([[1, 2, 0, 0], [3, 4, 0, 0]], np.int32)
     history = np.zeros(B, np.int32)
     q_lens = np.full(B, T, np.int32)
-    kq, vq, k_new, v_new, slot, layer = _filled_caches(
+    kv, k_new, v_new, slot, layer = _filled_cache(
         rng, L, Hkv, NB, BS, D, B, T, tables, history, q_lens)
 
-    k = np.asarray(gather_dequant_kv4(kq, layer, jnp.asarray(tables)))
-    # row b, token t sits at gathered position t (history 0)
+    k, v = gather_layer_kv(kv, layer, jnp.asarray(tables), Hkv, D)
+    k = np.asarray(k)   # [Hkv, B, S, D]
     k_new_b = k_new.reshape(B, T, Hkv, D)
     for b in range(B):
         for t in range(T):
@@ -65,7 +68,7 @@ def test_fill_and_gather_dequant_roundtrip():
 
 def test_fill_and_attention_int4_matches_manual_dequant():
     from lmdeploy_tpu.ops.attention import (attention_dense_gathered,
-                                            gather_dequant_kv4, paged_attention)
+                                            gather_layer_kv, paged_attention)
 
     rng = np.random.RandomState(2)
     L, Hkv, NB, BS, D = 2, 2, 8, 16, 64
@@ -73,15 +76,14 @@ def test_fill_and_attention_int4_matches_manual_dequant():
     tables = np.asarray([[1, 2, 0, 0], [3, 4, 0, 0]], np.int32)
     history = np.zeros(B, np.int32)
     q_lens = np.full(B, T, np.int32)
-    kq, vq, k_new, v_new, slot, layer = _filled_caches(
+    kv, k_new, v_new, slot, layer = _filled_cache(
         rng, L, Hkv, NB, BS, D, B, T, tables, history, q_lens)
 
     q = rng.randn(B, T, Hq, D).astype(np.float32)
-    got = paged_attention(jnp.asarray(q), kq, vq, jnp.asarray(tables),
+    got = paged_attention(jnp.asarray(q), kv, jnp.asarray(tables),
                           jnp.asarray(history), jnp.asarray(q_lens),
-                          0.125, layer)
-    k = gather_dequant_kv4(kq, layer, jnp.asarray(tables))
-    v = gather_dequant_kv4(vq, layer, jnp.asarray(tables))
+                          0.125, layer, Hkv)
+    k, v = gather_layer_kv(kv, layer, jnp.asarray(tables), Hkv, D)
     want = attention_dense_gathered(jnp.asarray(q), k, v, jnp.asarray(history),
                                     0.125)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
@@ -91,21 +93,17 @@ def test_fill_and_attention_int4_matches_manual_dequant():
 def test_pair_write_no_clobber():
     """Adjacent even/odd slots written in ONE fill call must both survive
     (the nibble-merge scatter runs in two parity rounds)."""
-    from lmdeploy_tpu.ops.attention import fill_kv_cache, gather_dequant_kv4
-    from lmdeploy_tpu.ops.kv_quant import QuantKV4
+    from lmdeploy_tpu.ops.attention import fill_kv_cache, gather_layer_kv
 
     L, Hkv, NB, BS, D = 1, 1, 4, 8, 128
-    def q4():
-        return QuantKV4(jnp.zeros((L, Hkv, NB, BS // 2, D), jnp.uint8),
-                        jnp.zeros((L, Hkv, NB, BS), jnp.float32),
-                        jnp.zeros((L, Hkv, NB, BS), jnp.float32))
     # tokens at slots 8+0..8+3 of block 1 (pairs (0,1), (2,3))
     slot = jnp.asarray([8, 9, 10, 11], jnp.int32)
     k_new = np.arange(4 * D, dtype=np.float32).reshape(4, 1, D) / 7.0 + 1.0
-    kq, vq = fill_kv_cache(q4(), q4(), jnp.asarray(k_new), jnp.asarray(k_new),
-                           slot, jnp.int32(0))
+    kv = fill_kv_cache(_q4(L, Hkv, NB, BS, D), jnp.asarray(k_new),
+                       jnp.asarray(k_new), slot, jnp.int32(0))
     tables = jnp.asarray([[1]], jnp.int32)
-    k = np.asarray(gather_dequant_kv4(kq, jnp.int32(0), tables))[0, 0]  # [BS, D]
+    k, _ = gather_layer_kv(kv, jnp.int32(0), tables, Hkv, D)
+    k = np.asarray(k)[0, 0]   # [S, D]
     for t in range(4):
         want = k_new[t, 0]
         step = (want.max() - want.min()) / 15 + 1e-6
@@ -128,10 +126,10 @@ def test_engine_e2e_kv_int4(tiny_model_dir):
         eng = Engine.from_pretrained(tiny_model_dir, cfg)
         try:
             if policy == 8:
-                kc = eng.model_agent.cache_engine.k_cache
+                kc = eng.model_agent.cache_engine.kv_cache
                 assert isinstance(kc, QuantKV4)
                 assert kc.data.dtype == jnp.uint8
-                assert kc.data.shape[-2] == 8    # block_size // 2
+                assert kc.data.shape[2] == 8     # block_size // 2
 
             async def run():
                 inst = eng.create_instance()
@@ -152,4 +150,4 @@ def test_engine_e2e_kv_int4(tiny_model_dir):
     full = gen(0)
     quant = gen(8)
     assert len(quant) == 8
-    assert quant[:2] == full[:2]
+    assert quant[:1] == full[:1]

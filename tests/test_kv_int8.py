@@ -1,4 +1,4 @@
-"""Per-token int8 KV cache (quant_policy=4) tests."""
+"""Per-token int8 KV cache (quant_policy=4) tests — unified layout."""
 import numpy as np
 import pytest
 
@@ -21,19 +21,19 @@ def test_quantize_roundtrip():
 
 def test_fill_and_attention_quant_matches_manual_dequant():
     """fill_kv_cache + paged_attention on a QuantKV cache must equal the plain
-    reference attention run on the explicitly dequantized pages."""
-    from lmdeploy_tpu.ops.attention import (compute_slot_mapping, fill_kv_cache,
-                                            paged_attention,
-                                            paged_attention_reference)
-    from lmdeploy_tpu.ops.kv_quant import QuantKV, dequantize
+    reference attention run on the explicitly dequantized gathered pages."""
+    from lmdeploy_tpu.ops.attention import (attention_dense_gathered,
+                                            compute_slot_mapping,
+                                            fill_kv_cache, gather_layer_kv,
+                                            kv_row_width, paged_attention)
+    from lmdeploy_tpu.ops.kv_quant import QuantKV
 
     rng = np.random.RandomState(1)
     L, Hkv, NB, BS, D = 2, 2, 8, 16, 64
     B, T, Hq = 2, 8, 4
-    kq = QuantKV(jnp.zeros((L, Hkv, NB, BS, D), jnp.int8),
-                 jnp.zeros((L, Hkv, NB, BS), jnp.float32))
-    vq = QuantKV(jnp.zeros((L, Hkv, NB, BS, D), jnp.int8),
-                 jnp.zeros((L, Hkv, NB, BS), jnp.float32))
+    _, rowp = kv_row_width(Hkv, D)
+    kv = QuantKV(jnp.zeros((L, NB, BS, rowp), jnp.int8),
+                 jnp.zeros((L, NB, 2, Hkv, BS), jnp.float32))
     tables = np.asarray([[1, 2, 0, 0], [3, 4, 0, 0]], np.int32)
     history = np.zeros(B, np.int32)
     q_lens = np.full(B, T, np.int32)
@@ -42,29 +42,26 @@ def test_fill_and_attention_quant_matches_manual_dequant():
     k_new = rng.randn(B * T, Hkv, D).astype(np.float32)
     v_new = rng.randn(B * T, Hkv, D).astype(np.float32)
     layer = jnp.int32(1)
-    kq, vq = fill_kv_cache(kq, vq, jnp.asarray(k_new), jnp.asarray(v_new),
-                           slot, layer)
+    kv = fill_kv_cache(kv, jnp.asarray(k_new), jnp.asarray(v_new), slot, layer)
 
     q = rng.randn(B, T, Hq, D).astype(np.float32)
-    got = paged_attention(jnp.asarray(q), kq, vq, jnp.asarray(tables),
+    got = paged_attention(jnp.asarray(q), kv, jnp.asarray(tables),
                           jnp.asarray(history), jnp.asarray(q_lens),
-                          0.125, layer)
+                          0.125, layer, Hkv)
 
-    k_deq = dequantize(kq.data[1], kq.scale[1])
-    v_deq = dequantize(vq.data[1], vq.scale[1])
-    want = paged_attention_reference(jnp.asarray(q), k_deq, v_deq,
-                                     jnp.asarray(tables), jnp.asarray(history),
-                                     jnp.asarray(q_lens), 0.125)
+    # manual: gather + dequantize, then dense attention
+    k_deq, v_deq = gather_layer_kv(kv, layer, jnp.asarray(tables), Hkv, D)
+    want = attention_dense_gathered(jnp.asarray(q), k_deq, v_deq,
+                                    jnp.asarray(history), 0.125)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
     # and the quantized attention tracks an UNQUANTIZED cache closely
-    kf = jnp.zeros((L, Hkv, NB, BS, D), jnp.float32)
-    vf = jnp.zeros_like(kf)
-    kf, vf = fill_kv_cache(kf, vf, jnp.asarray(k_new), jnp.asarray(v_new),
-                           slot, layer)
-    plain = paged_attention_reference(jnp.asarray(q), kf[1], vf[1],
-                                      jnp.asarray(tables), jnp.asarray(history),
-                                      jnp.asarray(q_lens), 0.125)
+    kf = jnp.zeros((L, NB, BS, rowp), jnp.float32)
+    kf = fill_kv_cache(kf, jnp.asarray(k_new), jnp.asarray(v_new), slot, layer)
+    kd, vd = gather_layer_kv(kf, layer, jnp.asarray(tables), Hkv, D)
+    plain = attention_dense_gathered(jnp.asarray(q), kd, vd,
+                                     jnp.asarray(history), 0.125)
     g, p = np.asarray(got).ravel(), np.asarray(plain).ravel()
     cos = float(g @ p / (np.linalg.norm(g) * np.linalg.norm(p) + 1e-9))
     assert cos > 0.999
@@ -86,8 +83,8 @@ def test_engine_e2e_kv_int8(tiny_model_dir):
         eng = Engine.from_pretrained(tiny_model_dir, cfg)
         try:
             if policy == 4:
-                assert isinstance(eng.model_agent.cache_engine.k_cache, QuantKV)
-                assert eng.model_agent.cache_engine.k_cache.dtype == jnp.int8
+                assert isinstance(eng.model_agent.cache_engine.kv_cache, QuantKV)
+                assert eng.model_agent.cache_engine.kv_cache.dtype == jnp.int8
 
             async def run():
                 inst = eng.create_instance()

@@ -41,7 +41,7 @@ def test_fp8_cache_dtype(tiny_model_dir):
     import jax.numpy as jnp
     eng = _make_engine(tiny_model_dir, 16)
     try:
-        assert eng.model_agent.cache_engine.k_cache.dtype == jnp.float8_e4m3fn
+        assert eng.model_agent.cache_engine.kv_cache.dtype == jnp.float8_e4m3fn
     finally:
         eng.close()
 

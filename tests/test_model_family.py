@@ -57,12 +57,13 @@ def test_gemma_hooks():
     from lmdeploy_tpu.nn.layers import make_rope_table
     params = model.init_params(jax.random.PRNGKey(0))
     cos, sin = make_rope_table(8, 64, cfg.rope_theta)
-    kc = jnp.zeros((1, 1, 8, 16, 8), jnp.float32)
-    vc = jnp.zeros_like(kc)
+    from lmdeploy_tpu.ops.attention import kv_row_width
+    _, rowp = kv_row_width(1, 8)
+    kv = jnp.zeros((1, 8, 16, rowp), jnp.float32)
     meta = AttnMeta(block_tables=jnp.asarray([[1, 2]], jnp.int32),
                     history_lens=jnp.zeros(1, jnp.int32),
                     q_lens=jnp.asarray([3], jnp.int32))
     ids = jnp.asarray([[1, 2, 3]], jnp.int32)
     pos = jnp.asarray([[0, 1, 2]], jnp.int32)
-    logits, _, _ = model.forward(params, ids, pos, kc, vc, meta, cos, sin)
+    logits, _ = model.forward(params, ids, pos, kv, meta, cos, sin)
     assert float(jnp.abs(logits).max()) <= 30.0

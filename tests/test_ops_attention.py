@@ -1,11 +1,12 @@
-"""Paged-attention jnp reference vs naive dense attention."""
+"""Paged-attention jnp reference vs naive dense attention (unified layout)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from lmdeploy_tpu.ops.attention import (compute_slot_mapping, fill_kv_cache,
-                                        paged_attention)
+                                        kv_row_width, paged_attention,
+                                        split_kv_rows)
 
 
 def naive_attention(q, k, v, history_len, q_len, scale):
@@ -27,14 +28,14 @@ def naive_attention(q, k, v, history_len, q_len, scale):
     return out
 
 
-def setup_cache(rng, B, max_ctx, block_size, Hkv, D, num_blocks=None):
-    num_blocks = num_blocks or (B * (max_ctx // block_size) + 8)
-    k_cache = jnp.zeros((1, Hkv, num_blocks, block_size, D), jnp.float32)
-    v_cache = jnp.zeros((1, Hkv, num_blocks, block_size, D), jnp.float32)
+def setup_cache(B, max_ctx, block_size, Hkv, D):
+    num_blocks = B * (max_ctx // block_size) + 8
+    _, rowp = kv_row_width(Hkv, D)
+    kv_cache = jnp.zeros((1, num_blocks, block_size, rowp), jnp.float32)
     W = max_ctx // block_size
     # assign disjoint blocks per row, skipping block 0
     tables = np.arange(1, 1 + B * W, dtype=np.int32).reshape(B, W)
-    return k_cache, v_cache, jnp.asarray(tables)
+    return kv_cache, jnp.asarray(tables)
 
 
 @pytest.mark.parametrize('history,qlen', [(0, 12), (16, 8), (30, 1)])
@@ -45,7 +46,7 @@ def test_paged_matches_naive(history, qlen):
     max_ctx = 64
     scale = D ** -0.5
 
-    k_cache, v_cache, tables = setup_cache(rng, B, max_ctx, block_size, Hkv, D)
+    kv_cache, tables = setup_cache(B, max_ctx, block_size, Hkv, D)
     history_lens = jnp.full((B,), history, jnp.int32)
     q_lens = jnp.full((B,), qlen, jnp.int32)
 
@@ -56,24 +57,24 @@ def test_paged_matches_naive(history, qlen):
         hist_slots = compute_slot_mapping(tables, jnp.zeros((B,), jnp.int32),
                                           jnp.full((B,), history, jnp.int32),
                                           history, block_size)
-        k_cache, v_cache = fill_kv_cache(
-            k_cache, v_cache,
+        kv_cache = fill_kv_cache(
+            kv_cache,
             jnp.asarray(full_k[:, :history].reshape(B * history, Hkv, D)),
-            jnp.asarray(full_v[:, :history].reshape(B * history, Hkv, D)), hist_slots,
-            jnp.int32(0))
+            jnp.asarray(full_v[:, :history].reshape(B * history, Hkv, D)),
+            hist_slots, jnp.int32(0))
 
     # fill the chunk's own KV then attend
     chunk_k = full_k[:, history:history + T]
     chunk_v = full_v[:, history:history + T]
     slots = compute_slot_mapping(tables, history_lens, q_lens, T, block_size)
-    k_cache, v_cache = fill_kv_cache(k_cache, v_cache,
-                                     jnp.asarray(chunk_k.reshape(B * T, Hkv, D)),
-                                     jnp.asarray(chunk_v.reshape(B * T, Hkv, D)), slots,
-                                     jnp.int32(0))
+    kv_cache = fill_kv_cache(kv_cache,
+                             jnp.asarray(chunk_k.reshape(B * T, Hkv, D)),
+                             jnp.asarray(chunk_v.reshape(B * T, Hkv, D)),
+                             slots, jnp.int32(0))
 
     q = rng.randn(B, T, Hq, D).astype(np.float32)
-    out = paged_attention(jnp.asarray(q), k_cache, v_cache, tables,
-                          history_lens, q_lens, scale, jnp.int32(0))
+    out = paged_attention(jnp.asarray(q), kv_cache, tables,
+                          history_lens, q_lens, scale, jnp.int32(0), Hkv)
     out = np.asarray(out)
 
     for b in range(B):
@@ -85,34 +86,35 @@ def test_paged_matches_naive(history, qlen):
 def test_fill_kv_cache_padding_block():
     """Padded tokens scatter into reserved block 0 and leave real blocks intact."""
     B, T, Hkv, D, block_size = 1, 8, 2, 4, 16
-    k_cache = jnp.zeros((1, Hkv, 4, block_size, D), jnp.float32)
-    v_cache = jnp.zeros_like(k_cache)
+    _, rowp = kv_row_width(Hkv, D)
+    kv_cache = jnp.zeros((1, 4, block_size, rowp), jnp.float32)
     tables = jnp.asarray([[1]], dtype=jnp.int32)
     q_lens = jnp.asarray([3], jnp.int32)   # 3 valid of 8
     slots = compute_slot_mapping(tables, jnp.zeros((1,), jnp.int32), q_lens,
                                  T, block_size)
     k_new = jnp.ones((T, Hkv, D), jnp.float32)
-    k_cache, v_cache = fill_kv_cache(k_cache, v_cache, k_new, k_new, slots,
-                                     jnp.int32(0))
-    # valid tokens landed in block 1 (pages are [block_size, D])
-    assert np.asarray(k_cache)[0, :, 1, :3].sum() == 3 * Hkv * D
-    assert np.asarray(k_cache)[0, :, 1, 3:].sum() == 0
+    kv_cache = fill_kv_cache(kv_cache, k_new, k_new, slots, jnp.int32(0))
+    k, v = split_kv_rows(jnp.asarray(kv_cache), Hkv, D)
+    k = np.asarray(k)   # [1, NB, BS, Hkv, D]
+    # valid tokens landed in block 1
+    assert k[0, 1, :3].sum() == 3 * Hkv * D
+    assert k[0, 1, 3:].sum() == 0
     # other real blocks untouched
-    assert np.asarray(k_cache)[0, :, 2:].sum() == 0
+    assert k[0, 2:].sum() == 0
 
 
 def test_sliding_window_mask():
     rng = np.random.RandomState(1)
     B, T, Hq, Hkv, D = 1, 1, 2, 2, 8
     block_size, W = 16, 2
-    k_cache = jnp.asarray(rng.randn(1, Hkv, 4, block_size, D).astype(np.float32))
-    v_cache = jnp.asarray(rng.randn(1, Hkv, 4, block_size, D).astype(np.float32))
+    _, rowp = kv_row_width(Hkv, D)
+    kv_cache = jnp.asarray(rng.randn(1, 4, block_size, rowp).astype(np.float32))
     tables = jnp.asarray([[1, 2]], jnp.int32)
     history = jnp.asarray([20], jnp.int32)
     q_lens = jnp.asarray([1], jnp.int32)
     q = jnp.asarray(rng.randn(B, T, Hq, D).astype(np.float32))
-    full = paged_attention(q, k_cache, v_cache, tables, history, q_lens, 0.35,
-                           jnp.int32(0))
-    windowed = paged_attention(q, k_cache, v_cache, tables, history, q_lens, 0.35,
-                               jnp.int32(0), window_size=4)
+    full = paged_attention(q, kv_cache, tables, history, q_lens, 0.35,
+                           jnp.int32(0), Hkv)
+    windowed = paged_attention(q, kv_cache, tables, history, q_lens, 0.35,
+                               jnp.int32(0), Hkv, window_size=4)
     assert not np.allclose(np.asarray(full), np.asarray(windowed))

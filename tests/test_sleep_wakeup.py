@@ -39,7 +39,7 @@ def test_sleep_wakeup_roundtrip(eng):
     prompt = [1, 5, 9, 13, 20]
     before = _gen(eng, 1, prompt)
     eng.sleep(level=1)
-    assert eng.model_agent.cache_engine.k_cache is None
+    assert eng.model_agent.cache_engine.kv_cache is None
     eng.wakeup()
     after = _gen(eng, 2, prompt)
     assert before == after           # greedy output identical post-wakeup

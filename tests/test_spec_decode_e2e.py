@@ -161,7 +161,7 @@ def test_eagle_greedy_matches_plain(tiny_model_dir, eagle_dir):
     try:
         got = _gen(spec, 1, prompt, 12)
         assert spec.spec.method == 'eagle'
-        assert spec.spec.draft_k.shape[0] == 1        # one draft layer
+        assert spec.spec.draft_kv.shape[0] == 1       # one draft layer
     finally:
         spec.close()
     assert got == expect, (got, expect)

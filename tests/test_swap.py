@@ -56,7 +56,7 @@ def test_swap_preemption_preserves_outputs(tiny_model_dir):
         got = _gen_many(tight, prompts, 10)
         n_preempt = tight.scheduler.num_preemptions
         ce = tight.model_agent.cache_engine
-        swapped = getattr(ce, 'host_k', None) is not None
+        swapped = getattr(ce, 'host_kv', None) is not None
     finally:
         tight.close()
 
