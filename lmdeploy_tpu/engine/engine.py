@@ -462,15 +462,14 @@ class Engine:
         logprobs = step.logprobs_np()
         tops = step.top_np()               # ([k, B, L], [k, B, L]) or None
         t1 = time.perf_counter()
-        for i in range(tokens.shape[0]):
-            step_top = None if tops is None else (tops[0][i], tops[1][i])
-            for seq in survivors:
-                if seq.status != MessageStatus.RUNNING:
-                    continue
-                slot = seq.batch_slot
-                self.scheduler.on_decode_done(seq, int(tokens[i, slot]))
-                self._post_token(seq, float(logprobs[i, slot]),
-                                 top_logprobs=_row_top(step_top, slot, seq))
+        for seq in survivors:
+            if seq.status != MessageStatus.RUNNING:
+                continue
+            slot = seq.batch_slot
+            seq_tops = None if tops is None else \
+                (tops[0][:, slot], tops[1][:, slot])
+            self._drain_decode_tokens(seq, tokens[:, slot], logprobs[:, slot],
+                                      seq_tops)
         stopped_slots = [s.batch_slot for s in survivors
                          if s.status == MessageStatus.STOPPED and s.batch_slot >= 0]
         if stopped_slots:
@@ -542,6 +541,62 @@ class Engine:
                              top_logprobs=_row_top(top, i, seq))
 
     # -- token post-processing ----------------------------------------------------------
+    def _drain_decode_tokens(self, seq: SchedulerSequence, toks, lps,
+                             tops=None):
+        """Batched _post_token over one decode run's [k] tokens for one seq.
+
+        Stop conditions are scanned vectorially, the sequence extends with ONE
+        bulk append, and at most ONE response chunk is posted to the request
+        queue per run.  The previous per-token loop (k x B iterations, each
+        with an O(len) history copy and a call_soon_threadsafe syscall) was
+        the dominant host-side cost of a decode run at k=16, bs=64.
+        """
+        import numpy as np
+        p = seq.sampling_params
+        req = self._requests.get(seq.seq_id)
+        n_out = len(seq.output_ids)
+        k = len(toks)
+        # request budget + session-length caps
+        take = min(k, p.max_new_tokens - n_out,
+                   self.configs.scheduler.max_session_len - seq.num_token_ids)
+        take = max(int(take), 0)
+        finish_reason = None
+        if p.stop_token_ids:
+            stop_mask = np.isin(toks[:take], list(p.stop_token_ids))
+            min_pos = max(max(p.min_new_tokens, 1) - n_out - 1, 0)
+            stop_mask[:min_pos] = False
+            hits = np.nonzero(stop_mask)[0]
+            if hits.size:
+                take = int(hits[0]) + 1
+                finish_reason = 'stop'
+        if finish_reason is None and (
+                take < k or n_out + take >= p.max_new_tokens
+                or seq.num_token_ids + take
+                >= self.configs.scheduler.max_session_len):
+            finish_reason = 'length'
+        if take > 0:
+            if p.logprobs >= 0:
+                if not hasattr(seq, 'logprob_list'):
+                    seq.logprob_list = []
+                n_top = 0 if tops is None else min(p.logprobs,
+                                                   tops[0].shape[-1])
+                for j in range(take):
+                    entry = {int(toks[j]): Logprob(logprob=float(lps[j]),
+                                                   rank=0)}
+                    for r in range(n_top):
+                        tid = int(tops[1][j, r])
+                        if tid not in entry:
+                            entry[tid] = Logprob(logprob=float(tops[0][j, r]),
+                                                 rank=r + 1)
+                    seq.logprob_list.append(entry)
+            self.scheduler.on_decode_tokens(seq, toks[:take])
+        if finish_reason is not None:
+            seq.status = MessageStatus.STOPPED
+            if req is not None:
+                self._finish_request(req, ResponseType.FINISH, finish_reason)
+        elif req is not None and take > 0:
+            self._emit(req, ResponseType.SUCCESS)
+
     def _post_token(self, seq: SchedulerSequence, logprob: float,
                     top_logprobs=None):
         req = self._requests.get(seq.seq_id)

@@ -367,3 +367,15 @@ class Scheduler:
         if self.block_trie is not None and not getattr(seq, 'mm_spans', None):
             self.block_trie.cache_seq_blocks(seq)
         self._free_out_of_window(seq)
+
+    def on_decode_tokens(self, seq: SchedulerSequence, token_ids):
+        """Bulk on_decode_done for a whole decode run's tokens: one append,
+        one prefix-cache pass, one window sweep — the per-token variant
+        dominated host time at k=16 x bs=64 (1024 Python iterations/run)."""
+        seq.append_tokens(token_ids)
+        n = len(token_ids)
+        seq.num_computed_tokens += n
+        seq.num_new_tokens += n
+        if self.block_trie is not None and not getattr(seq, 'mm_spans', None):
+            self.block_trie.cache_seq_blocks(seq)
+        self._free_out_of_window(seq)

@@ -143,6 +143,13 @@ class SchedulerSequence:
         self.history_ids = np.append(self.history_ids, np.int32(token_id))
         self.output_ids.append(int(token_id))
 
+    def append_tokens(self, token_ids):
+        """Bulk append (one concatenate — np.append per token is O(n^2)
+        across a decode run)."""
+        self.history_ids = np.concatenate(
+            [self.history_ids, np.asarray(token_ids, np.int32)])
+        self.output_ids.extend(int(t) for t in token_ids)
+
     def update_prompt(self, token_ids: List[int]):
         """Interactive multi-turn: extend the prompt of an existing sequence."""
         self.history_ids = np.concatenate(
