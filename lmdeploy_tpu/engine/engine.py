@@ -415,7 +415,14 @@ class Engine:
             k = 1
         remaining = min((s.sampling_params.max_new_tokens - s.num_output_tokens)
                         for s in seqs)
-        k = max(1, min(k, remaining))
+        if remaining < k:
+            # round the tail UP to the next compiled bucket: overrun steps are
+            # discarded by the drain (capacity for k tokens is reserved below)
+            # and one slightly-long run beats several short dispatches — each
+            # dispatch pays fixed host/RTT latency
+            k = 1
+            while k < remaining:
+                k *= 2
         while k & (k - 1):
             k &= k - 1
 

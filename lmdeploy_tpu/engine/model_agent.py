@@ -31,24 +31,34 @@ logger = logging.getLogger('lmdeploy_tpu')
 
 
 class StepOutput:
-    """Host-side view of one step's results (fetched lazily)."""
+    """Host-side view of one step's results (fetched lazily).
+
+    The first accessor fetches EVERYTHING in one jax.device_get — over the
+    tunneled TPU every separate fetch pays a full dispatch+transfer round
+    trip (~40ms), so tokens and logprobs must come back together."""
 
     def __init__(self, tokens, logprobs, top_logprobs):
         self._tokens = tokens
         self._logprobs = logprobs
         self._top = top_logprobs
+        self._host = None
+
+    def _fetch(self):
+        if self._host is None:
+            import jax
+            self._host = jax.device_get(
+                (self._tokens, self._logprobs,
+                 self._top if self._top[0] is not None else None))
+        return self._host
 
     def tokens_np(self) -> np.ndarray:
-        return np.asarray(self._tokens)
+        return self._fetch()[0]
 
     def logprobs_np(self) -> np.ndarray:
-        return np.asarray(self._logprobs)
+        return self._fetch()[1]
 
     def top_np(self):
-        vals, ids = self._top
-        if vals is None:
-            return None
-        return np.asarray(vals), np.asarray(ids)
+        return self._fetch()[2]
 
 
 class ModelAgent:
