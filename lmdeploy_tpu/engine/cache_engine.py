@@ -3,12 +3,14 @@
 Reference analog: ``lmdeploy/pytorch/engine/cache_engine.py`` (CacheEngine ``:205``) and
 the free-memory -> num_blocks derivation in ``engine/executor/base.py:175-245``.
 
-The cache is ONE array ``[num_layers, num_blocks, block_size, ROWp]`` where each
-token's row packs K and V for every kv head, interleaved per head
-(``ops/attention.py kv_row_width``).  Rationale: decode attention on TPU is
-DMA-issue-bound — one packed page is one DMA (measured 5.7x faster than the
-round-1 per-head pages), the fill is one scatter line per token, and the fused
-row eliminates the head-dim lane padding that doubled HBM bytes for D=64 models.
+The cache is ONE array ``[num_layers, num_blocks, 2, block_size, HDp]``: each
+page holds a K plane and a V plane of head-major ``[block_size, Hkv*D]`` token
+rows (``ops/attention.py kv_row_width``).  Rationale: decode attention on TPU
+is DMA-issue-bound — one packed page ([2, BS, HDp], K and V adjacent) is one
+DMA (measured 5.7x faster than the round-1 per-head pages), plane separation
+keeps the decode kernel's dots and accumulators at HDp lanes, the fill is one
+scatter line per token per plane, and the head-major row eliminates the
+head-dim lane padding that doubled HBM bytes for D=64 models.
 The array is allocated once and donated through every jitted step so XLA updates
 it in place.  Block 0 is the reserved padding block (see paging/block_manager.py).
 """
@@ -40,7 +42,7 @@ class CacheEngine:
         cfg = model_config
         self.row_width, self.padded_row_width = kv_row_width(
             cfg.num_key_value_heads, cfg.cache_head_dim)
-        shape = (cfg.num_layers, self.num_blocks, cache_config.block_size,
+        shape = (cfg.num_layers, self.num_blocks, 2, cache_config.block_size,
                  self.padded_row_width)
         dtype = self._cache_dtype()
 
@@ -51,11 +53,11 @@ class CacheEngine:
         def put_scale(s):
             if mesh is not None and cache_spec is not None:
                 from jax.sharding import PartitionSpec
-                # scales [L, NB, 2, Hkv, BS]: head dim follows the row split,
-                # slot dim follows the cp stripe
+                # scales [L, NB, 2, Hkv, BS]: head dim follows the plane
+                # split, slot dim follows the cp stripe
                 s = jax.device_put(s, jax.NamedSharding(
-                    mesh, PartitionSpec(None, None, None, cache_spec[3],
-                                        cache_spec[2])))
+                    mesh, PartitionSpec(None, None, None, cache_spec[4],
+                                        cache_spec[3])))
             return s
 
         scale_shape = (cfg.num_layers, self.num_blocks, 2,
@@ -66,7 +68,7 @@ class CacheEngine:
                 # token-pair-packed 4-bit pages + per-token (scale, min)
                 from ..ops.kv_quant import QuantKV4
                 assert cache_config.block_size % 2 == 0
-                z = jnp.zeros(shape[:2] + (cache_config.block_size // 2,
+                z = jnp.zeros(shape[:3] + (cache_config.block_size // 2,
                                            self.padded_row_width), jnp.uint8)
                 if sharding is not None:
                     z = jax.device_put(z, sharding)
@@ -100,7 +102,7 @@ class CacheEngine:
         if policy in (QuantPolicy.KV_INT8, QuantPolicy.KV_FP8):
             itemsize = 1
         _, rowp = kv_row_width(cfg.num_key_value_heads, cfg.cache_head_dim)
-        per = cfg.num_layers * self.cache_config.block_size * rowp * itemsize
+        per = cfg.num_layers * 2 * self.cache_config.block_size * rowp * itemsize
         if policy == QuantPolicy.KV_INT4:   # nibble-packed + scale + min
             per = per // 2 + (2 * cfg.num_layers * self.cache_config.block_size *
                               cfg.num_key_value_heads * 8)

@@ -210,8 +210,14 @@ class ModelAgent:
         with an in-flight donated decode state."""
         if self._pending_deactivate and self.decode_state is not None:
             slots = sorted(self._pending_deactivate)
-            self._pending_deactivate.clear()
+            # apply BEFORE removing, and remove ONLY the applied slots:
+            # free_slot runs on the asyncio thread while this flush runs on
+            # the worker thread, so a blanket clear() would wipe any slot
+            # added between the read and the clear — a lost deactivation
+            # that leaves a stale active row decoding through freed blocks
+            # (observed: cancel landing during another row's dispatch).
             self.deactivate_rows(slots)
+            self._pending_deactivate.difference_update(slots)
 
     def free_slot(self, seq):
         import heapq
@@ -770,7 +776,7 @@ class ModelAgent:
         cfg = self.model_config
         cc = self.cache_config
         ce = self.cache_engine
-        shape = (cfg.num_layers, ce.num_blocks, cc.block_size,
+        shape = (cfg.num_layers, ce.num_blocks, 2, cc.block_size,
                  ce.padded_row_width)
         scale_shape = (cfg.num_layers, ce.num_blocks, 2,
                        cfg.num_key_value_heads, cc.block_size)
@@ -780,7 +786,7 @@ class ModelAgent:
             from ..messages import QuantPolicy
             if cc.quant_policy == QuantPolicy.KV_INT4:
                 from ..ops.kv_quant import QuantKV4
-                z = jnp.zeros(shape[:2] + (cc.block_size // 2, shape[-1]),
+                z = jnp.zeros(shape[:3] + (cc.block_size // 2, shape[-1]),
                               jnp.uint8)
                 return QuantKV4(z, jnp.zeros(scale_shape, jnp.float32),
                                 jnp.zeros(scale_shape, jnp.float32))

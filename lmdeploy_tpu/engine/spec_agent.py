@@ -67,7 +67,7 @@ class SpecExtension:
         from ..ops.attention import kv_row_width
         _, rowp = kv_row_width(dc.num_key_value_heads, dc.head_dim)
         n_draft_layers = 1 if method == 'eagle' else dc.num_layers
-        shape = (n_draft_layers, agent.num_blocks,
+        shape = (n_draft_layers, agent.num_blocks, 2,
                  agent.cache_config.block_size, rowp)
         dtype = agent.cache_engine.kv_cache.dtype
         if dtype in (jnp.int8, jnp.uint8):   # quantized target: draft unquantized

@@ -326,7 +326,7 @@ class DeepseekV2Model(LlamaModel):
                 adapter_ids=None):   # S-LoRA targets llama-family linears only
         cfg = self.config
         B, T = input_ids.shape
-        block_size = kv_cache.shape[2]
+        block_size = kv_cache.shape[3]
         hidden = params['embed'][input_ids].astype(cfg.jnp_dtype())
         if input_embeds is not None:
             hidden = jnp.where(embeds_mask[..., None],

@@ -102,7 +102,7 @@ class EagleHead:
         q, k = apply_rope(q, k, cos, sin)
         from ..ops.attention import compute_slot_mapping
         slots = compute_slot_mapping(block_tables, position, q_lens, 1,
-                                     kv_cache.shape[2])
+                                     kv_cache.shape[3])
         kv_cache = fill_kv_cache(kv_cache, k.reshape(B, nkv, D),
                                  v.reshape(B, nkv, D), slots, jnp.int32(0))
         attn = paged_attention(q, kv_cache, block_tables, position,

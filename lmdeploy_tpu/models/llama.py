@@ -359,7 +359,7 @@ class LlamaModel:
         B, T = input_ids.shape
         D = cfg.head_dim
         scale = 1.0 / math.sqrt(D)
-        block_size = kv_cache.shape[2]
+        block_size = kv_cache.shape[3]
 
         hidden = params['embed'][input_ids].astype(cfg.jnp_dtype())   # [B,T,H]
         if self.embed_scale != 1.0:

@@ -9,18 +9,19 @@ Design notes (TPU-first, round-2 layout):
   * One unified entry point serves prefill chunks, chunked-prefill continuation, and
     decode — decode is just a T=1 chunk with history.  Static shapes select the
     specialization; the engine buckets (B, T, table_width).
-  * The cache is ONE array ``[L, num_blocks, block_size, ROW]`` where a token's row
-    packs K and V for every kv head, interleaved per head:
-    ``[k_h0 | v_h0 | k_h1 | v_h1 | ...]`` padded up to a 128-lane multiple.  Chosen
-    because decode-attention on TPU is DMA-ISSUE-bound, not bandwidth-bound: the
-    round-1 head-major layout ([L, Hkv, NB, BS, Dp]) needed 2*Hkv*pages DMAs per row
-    per layer (measured 263 us/layer at TinyLlama bs64 — 17x the data floor) while one
-    packed page is a single DMA (measured 46 us/layer, ops/pallas/paged_decode.py).
-    Per-head interleaving keeps tensor-parallel sharding head-aligned: splitting the
-    row axis over 'tp' gives each shard its local heads' k|v pairs.
-  * "fill" is a flat scatter of one [ROW] line per token — layout-neutral 2-D form
-    ([rows, ROW] with [1, ROW] windows); scattering into lane columns or >=3-D views
-    makes XLA keep two copies of the multi-GB cache per step.
+  * The cache is ONE array ``[L, num_blocks, 2, block_size, HDp]``: each page holds
+    a K plane and a V plane of ``[block_size, Hkv*D]`` token rows (lane dim padded to
+    a 128 multiple).  Chosen because decode-attention on TPU is DMA-ISSUE-bound, not
+    bandwidth-bound: the round-1 head-major layout ([L, Hkv, NB, BS, Dp]) needed
+    2*Hkv*pages DMAs per row per layer (measured 263 us/layer at TinyLlama bs64 —
+    17x the data floor) while one packed page ([2, BS, HDp], K and V adjacent) is a
+    single DMA.  Keeping K and V as separate PLANES (not interleaved per token) lets
+    the decode kernel's pv product and accumulator span only the HDp lanes instead
+    of 2*HDp.  Tensor-parallel sharding splits the last (head-major) dim, which is
+    head-aligned for any tp dividing Hkv.
+  * "fill" is a flat scatter of one [HDp] line per token per plane — layout-neutral
+    2-D form ([rows, HDp] with [1, HDp] windows); scattering into lane columns or
+    higher-D views makes XLA keep two copies of the multi-GB cache per step.
   * GQA is computed without materializing repeated KV heads (einsum grouping).
 """
 from __future__ import annotations
@@ -34,25 +35,27 @@ NEG_INF = float('-inf')
 
 
 def kv_row_width(num_kv_heads: int, head_dim: int) -> Tuple[int, int]:
-    """(valid, padded) lane width of one token's packed k|v row."""
-    row = 2 * num_kv_heads * head_dim
+    """(valid, padded) lane width of one K or V plane row (Hkv * D)."""
+    row = num_kv_heads * head_dim
     return row, ((row + 127) // 128) * 128
 
 
-def interleave_kv(k_new: jax.Array, v_new: jax.Array, padded: int) -> jax.Array:
-    """[N, Hkv, D] x2 -> [N, ROWp] per-head-interleaved packed rows."""
-    n, h, d = k_new.shape
-    rows = jnp.stack([k_new, v_new], axis=2).reshape(n, 2 * h * d)
+def plane_rows(x: jax.Array, padded: int) -> jax.Array:
+    """[N, Hkv, D] -> [N, HDp] head-major plane rows (lane padded)."""
+    n = x.shape[0]
+    rows = x.reshape(n, -1)
     if rows.shape[-1] < padded:
         rows = jnp.pad(rows, ((0, 0), (0, padded - rows.shape[-1])))
     return rows
 
 
-def split_kv_rows(rows: jax.Array, num_kv_heads: int, head_dim: int):
-    """[..., ROWp] -> (k [..., Hkv, D], v [..., Hkv, D])."""
-    hd2 = 2 * num_kv_heads * head_dim
-    r = rows[..., :hd2].reshape(rows.shape[:-1] + (num_kv_heads, 2, head_dim))
-    return r[..., 0, :], r[..., 1, :]
+def split_kv_planes(pages: jax.Array, num_kv_heads: int, head_dim: int):
+    """[..., 2, BS, HDp] -> (k [..., BS, Hkv, D], v [..., BS, Hkv, D])."""
+    hd = num_kv_heads * head_dim
+    k = pages[..., 0, :, :hd]
+    v = pages[..., 1, :, :hd]
+    shp = k.shape[:-1] + (num_kv_heads, head_dim)
+    return k.reshape(shp), v.reshape(shp)
 
 
 def fill_kv_cache(kv_cache, k_new: jax.Array, v_new: jax.Array,
@@ -78,18 +81,24 @@ def fill_kv_cache(kv_cache, k_new: jax.Array, v_new: jax.Array,
     if isinstance(kv_cache, QuantKV4):
         return _fill_kv4(kv_cache, k_new, v_new, slot_mapping, layer)
 
+    def plane_idx(nb, bs):
+        # flat row index into the [L*NB*2*BS, HDp] view for (k plane, v plane)
+        block = slot_mapping // bs
+        off = slot_mapping % bs
+        k_idx = ((layer * nb + block) * 2 + 0) * bs + off
+        return k_idx, k_idx + bs
+
     if isinstance(kv_cache, QuantKV):
-        L, nb, bs, rowp = kv_cache.data.shape
+        L, nb, two, bs, hdp = kv_cache.data.shape
         h = kv_cache.scale.shape[3]
-        d = k_new.shape[-1]
         # per-(token, head) int8 with the head axis quantized independently
         kq, ksc = quantize_rows(k_new)                   # [N,Hkv,D], [N,Hkv]
         vq, vsc = quantize_rows(v_new)
-        rows = interleave_kv(kq, vq, rowp)
-        n = slot_mapping.shape[0]
-        flat_rows = layer * (nb * bs) + slot_mapping
-        data = kv_cache.data.reshape(L * nb * bs, rowp)
-        data = data.at[flat_rows].set(rows.astype(kv_cache.data.dtype))
+        k_idx, v_idx = plane_idx(nb, bs)
+        data = kv_cache.data.reshape(L * nb * 2 * bs, hdp)
+        data = data.at[jnp.concatenate([k_idx, v_idx])].set(
+            jnp.concatenate([plane_rows(kq, hdp), plane_rows(vq, hdp)]
+                            ).astype(kv_cache.data.dtype))
         # scales [L, NB, 2, Hkv, BS]: scalar 1-D scatter per (kv, head, token)
         block = slot_mapping // bs
         off = slot_mapping % bs
@@ -100,15 +109,16 @@ def fill_kv_cache(kv_cache, k_new: jax.Array, v_new: jax.Array,
         scale = kv_cache.scale.reshape(-1)
         scale = scale.at[k_pos.reshape(-1)].set(ksc.reshape(-1))
         scale = scale.at[v_pos.reshape(-1)].set(vsc.reshape(-1))
-        return QuantKV(data.reshape(L, nb, bs, rowp),
+        return QuantKV(data.reshape(L, nb, 2, bs, hdp),
                        scale.reshape(L, nb, 2, h, bs))
 
-    L, nb, bs, rowp = kv_cache.shape
-    rows = interleave_kv(k_new, v_new, rowp)
-    flat_rows = layer * (nb * bs) + slot_mapping
-    flat = kv_cache.reshape(L * nb * bs, rowp)
-    flat = flat.at[flat_rows].set(rows.astype(kv_cache.dtype))
-    return flat.reshape(L, nb, bs, rowp)
+    L, nb, two, bs, hdp = kv_cache.shape
+    k_idx, v_idx = plane_idx(nb, bs)
+    flat = kv_cache.reshape(L * nb * 2 * bs, hdp)
+    flat = flat.at[jnp.concatenate([k_idx, v_idx])].set(
+        jnp.concatenate([plane_rows(k_new, hdp), plane_rows(v_new, hdp)]
+                        ).astype(kv_cache.dtype))
+    return flat.reshape(L, nb, 2, bs, hdp)
 
 
 def _fill_kv4(kv_cache, k_new, v_new, slot_mapping, layer):
@@ -122,20 +132,21 @@ def _fill_kv4(kv_cache, k_new, v_new, slot_mapping, layer):
     """
     from .kv_quant import QuantKV4, deint_scale_pos, quantize_rows_int4
 
-    L, nb, bs2, rowp = kv_cache.data.shape
+    L, nb, two, bs2, hdp = kv_cache.data.shape
     bs = bs2 * 2
     h = kv_cache.scale.shape[3]
     kq, ksc, kmn = quantize_rows_int4(k_new)             # [N,Hkv,D] u8 0..15
     vq, vsc, vmn = quantize_rows_int4(v_new)
-    rows = interleave_kv(kq, vq, rowp)                   # [N, ROWp] u8
+    rows = jnp.concatenate([plane_rows(kq, hdp), plane_rows(vq, hdp)])
     n = slot_mapping.shape[0]
 
     block = slot_mapping // bs
     off = slot_mapping % bs
-    pair_rows = layer * (nb * bs2) + block * bs2 + off // 2          # [N]
-    odd = off % 2
+    k_pair = ((layer * nb + block) * 2 + 0) * bs2 + off // 2         # [N]
+    pair_rows = jnp.concatenate([k_pair, k_pair + bs2])              # [2N]
+    odd = jnp.tile(off % 2, 2)
 
-    flat = kv_cache.data.reshape(L * nb * bs2, rowp)
+    flat = kv_cache.data.reshape(L * nb * 2 * bs2, hdp)
     for parity in (0, 1):
         sel = odd == parity
         r_idx = jnp.where(sel, pair_rows, 0)
@@ -159,7 +170,7 @@ def _fill_kv4(kv_cache, k_new, v_new, slot_mapping, layer):
         dst = dst.at[v_pos.reshape(-1)].set(vvals.reshape(-1))
         return dst.reshape(L, nb, 2, h, bs)
 
-    return QuantKV4(flat.reshape(L, nb, bs2, rowp),
+    return QuantKV4(flat.reshape(L, nb, 2, bs2, hdp),
                     put(kv_cache.scale, ksc, vsc),
                     put(kv_cache.minv, kmn, vmn))
 
@@ -176,16 +187,21 @@ def gather_layer_kv(kv_cache, layer, block_tables, num_kv_heads: int,
 
     B, W = block_tables.shape
 
+    def to_heads(x, bs):
+        # [B, W, BS, Hkv*D(+pad)] -> [Hkv, B, W*BS, D]
+        hd = num_kv_heads * head_dim
+        x = x[..., :hd].reshape(B, W, bs, num_kv_heads, head_dim)
+        return jnp.moveaxis(x, 3, 0).reshape(num_kv_heads, B, W * bs, head_dim)
+
     if isinstance(kv_cache, QuantKV4):
         data = jax.lax.dynamic_index_in_dim(kv_cache.data, layer, 0, False)
         scale = jax.lax.dynamic_index_in_dim(kv_cache.scale, layer, 0, False)
         minv = jax.lax.dynamic_index_in_dim(kv_cache.minv, layer, 0, False)
-        NB, bs2, rowp = data.shape
-        packed = data[block_tables]                      # [B, W, bs2, ROWp]
+        NB, _, bs2, hdp = data.shape
+        packed = data[block_tables]                      # [B, W, 2, bs2, HDp]
         lo = (packed & 0xF).astype(jnp.float32)
         hi = (packed >> 4).astype(jnp.float32)
-        rows = jnp.stack([lo, hi], axis=3).reshape(B, W, 2 * bs2, rowp)
-        k_q, v_q = split_kv_rows(rows, num_kv_heads, head_dim)   # [B,W,BS,Hkv,D]
+        planes = jnp.stack([lo, hi], axis=4).reshape(B, W, 2, 2 * bs2, hdp)
 
         def tok_order(x, kv):
             # [NB, 2, Hkv, BS] de-interleaved ([even|odd]) -> token-order
@@ -195,38 +211,38 @@ def gather_layer_kv(kv_cache, layer, block_tables, num_kv_heads: int,
             g = jnp.swapaxes(g, 3, 4).reshape(B, W, num_kv_heads, 2 * bs2)
             return jnp.moveaxis(g, 2, 3)                 # [B, W, BS, Hkv]
 
-        S = W * 2 * bs2
+        def deq(kv):
+            hd = num_kv_heads * head_dim
+            q = planes[:, :, kv, :, :hd].reshape(
+                B, W, 2 * bs2, num_kv_heads, head_dim)
+            out = (q * tok_order(scale, kv)[..., None]
+                   + tok_order(minv, kv)[..., None])
+            return jnp.moveaxis(out, 3, 0).reshape(
+                num_kv_heads, B, W * 2 * bs2, head_dim)
 
-        def deq(q, sc, mn):
-            out = q * sc[..., None] + mn[..., None]      # [B,W,BS,Hkv,D]
-            return jnp.moveaxis(out, 3, 0).reshape(num_kv_heads, B, S, head_dim)
-
-        k = deq(k_q, tok_order(scale, 0), tok_order(minv, 0))
-        v = deq(v_q, tok_order(scale, 1), tok_order(minv, 1))
-        return k, v
+        return deq(0), deq(1)
 
     if isinstance(kv_cache, QuantKV):
         data = jax.lax.dynamic_index_in_dim(kv_cache.data, layer, 0, False)
         scale = jax.lax.dynamic_index_in_dim(kv_cache.scale, layer, 0, False)
-        NB, bs, rowp = data.shape
-        rows = data[block_tables].astype(jnp.float32)    # [B, W, BS, ROWp]
-        k, v = split_kv_rows(rows, num_kv_heads, head_dim)   # [B,W,BS,Hkv,D]
+        NB, _, bs, hdp = data.shape
+        pages = data[block_tables].astype(jnp.float32)   # [B, W, 2, BS, HDp]
         sc = scale[block_tables]                         # [B, W, 2, Hkv, BS]
-        k = k * jnp.moveaxis(sc[:, :, 0], 3, 2)[..., None]
-        v = v * jnp.moveaxis(sc[:, :, 1], 3, 2)[..., None]
-        S = W * bs
-        k = jnp.moveaxis(k, 3, 0).reshape(num_kv_heads, B, S, head_dim)
-        v = jnp.moveaxis(v, 3, 0).reshape(num_kv_heads, B, S, head_dim)
-        return k, v
+        hd = num_kv_heads * head_dim
+
+        def deq(kv):
+            x = pages[:, :, kv, :, :hd].reshape(
+                B, W, bs, num_kv_heads, head_dim)
+            x = x * jnp.moveaxis(sc[:, :, kv], 3, 2)[..., None]
+            return jnp.moveaxis(x, 3, 0).reshape(
+                num_kv_heads, B, W * bs, head_dim)
+
+        return deq(0), deq(1)
 
     pages = jax.lax.dynamic_index_in_dim(kv_cache, layer, 0, False)
-    NB, bs, rowp = pages.shape
-    rows = pages[block_tables]                           # [B, W, BS, ROWp]
-    k, v = split_kv_rows(rows, num_kv_heads, head_dim)
-    S = W * bs
-    k = jnp.moveaxis(k, 3, 0).reshape(num_kv_heads, B, S, head_dim)
-    v = jnp.moveaxis(v, 3, 0).reshape(num_kv_heads, B, S, head_dim)
-    return k, v
+    NB, _, bs, hdp = pages.shape
+    g = pages[block_tables]                              # [B, W, 2, BS, HDp]
+    return to_heads(g[:, :, 0], bs), to_heads(g[:, :, 1], bs)
 
 
 def attention_dense_gathered(q, k, v, history_lens, scale,

@@ -8,19 +8,20 @@ TPU design (round 2 — rebuilt around the measured bottleneck):
   * Decode attention on TPU is DMA-ISSUE-bound, not bandwidth-bound.  The round-1
     head-major layout needed 2*Hkv DMAs per (row, page) — 1024 issues/layer at
     TinyLlama bs64, measured 263 us/layer vs a ~15 us data floor.  The unified page
-    ``[BS, ROWp]`` packs K and V for every kv head per token
-    (``[k_h0|v_h0|k_h1|v_h1|...]``, ops/attention.py kv_row_width), so one page is
-    ONE DMA: measured 46 us/layer — 5.7x faster.
+    ``[2, BS, HDp]`` (a K plane and a V plane of head-major token rows,
+    ops/attention.py kv_row_width) makes one page ONE DMA, and plane separation
+    keeps the score dot, pv product and accumulator at HDp lanes instead of
+    2*HDp.
   * Grid = (B / RB,).  Each program handles RB rows, loops over their pages with
     double-buffered DMAs, and prefetches the NEXT program's first page before
     computing its own last one (cross-program pipelining, legal because Pallas
     scratch persists across sequential TPU grid steps).
-  * All kv heads' scores in ONE MXU dot via block-diagonal q: q_bd [Hkv*G, ROWp]
-    places head h's [G, D] query block at its k lanes and zeros elsewhere, so
-    ``q_bd @ page^T`` yields every head's scores in a single issue (the extra MXU
-    FLOPs are free — decode is memory-bound).  The p@page product accumulates a
-    block matrix whose diagonal [G, D] blocks (at each head's v lanes) are the
-    outputs; extraction is one cheap XLA select outside the kernel.
+  * All kv heads' scores in ONE MXU dot via block-diagonal q: q_bd [Hkv*G, HDp]
+    places head h's [G, D] query block at its lanes and zeros elsewhere, so
+    ``q_bd @ k_plane^T`` yields every head's scores in a single issue (the extra
+    MXU FLOPs are free — decode is memory-bound).  The p@v_plane product
+    accumulates a block matrix whose diagonal [G, D] blocks are the outputs;
+    extraction is one cheap XLA select outside the kernel.
   * Quantized caches (int8 / int4 token-pair-packed) dequantize on the score side:
     ``s *= k_scale`` and ``out += (p * v_scale) @ v_q`` — off-diagonal blocks get the
     wrong head's v_scale, but only diagonal blocks are kept.  Scales stream as one
@@ -42,10 +43,14 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def _pick_rb(B: int, hkv_g: int, rowp: int) -> int:
-    """Rows per program: bounded by VMEM (acc [RB, HkvG, ROWp] f32 ~<= 2MB)."""
-    budget = max(1, (2 << 20) // (hkv_g * rowp * 4))
+    """Rows per program: bounded by VMEM (acc [RB, HkvG, HDp] f32 <= ~4MB).
+
+    Measured on v5e (TinyLlama shapes, 2 pages/row): RB=8 -> 72 us/layer,
+    RB=16 -> 30 us/layer (DMA issue overlap + wider VPU batching), RB=32 ->
+    59 us/layer (VMEM pressure) — 16 is the knee."""
+    budget = max(1, (4 << 20) // (hkv_g * rowp * 4))
     rb = 1
-    while rb * 2 <= min(8, B, budget):
+    while rb * 2 <= min(16, B, budget):
         rb *= 2
     return rb
 
@@ -65,6 +70,27 @@ def _row_lens(lengths_ref, rb, RB, shape):
     for r in range(RB):
         lens = jnp.where(riota == r, lengths_ref[rb * RB + r], lens)
     return lens
+
+
+def _prog_pages(lengths_ref, rb_idx, RB, BS):
+    """Pages this program loops over: max over its rows' page counts, min 1
+    (a floor of one keeps the cross-program prefetch chain unbroken when all
+    of a program's rows are inactive)."""
+    n = jnp.int32(1)
+    for r in range(RB):
+        n = jnp.maximum(n, pl.cdiv(lengths_ref[rb_idx * RB + r], BS))
+    return n
+
+
+def _base_parity(lengths_ref, rb, RB, BS):
+    """Parity of the total page count of all programs before ``rb`` — the
+    buffer slot where the previous program prefetched this one's page 0.
+    Page counts are dynamic (per-program max), so the slot schedule is a
+    prefix sum over SMEM lengths rather than a static stride."""
+    def body(j, acc):
+        return acc + _prog_pages(lengths_ref, j, RB, BS)
+    total = jax.lax.fori_loop(0, rb, body, jnp.int32(0))
+    return jax.lax.rem(total, 2)
 
 
 def _softmax_update(s, m_ref, l_ref, acc_ref, v, pr_scale=None, pr_const=None):
@@ -119,6 +145,12 @@ def _decode_kernel(lengths_ref, tables_ref, layer_ref,        # scalar prefetch
                 pltpu.make_async_copy(buf.at[slot, r], buf.at[slot, r],
                                       sems.at[slot, r]).wait()
 
+    # dynamic page bound: loop only as far as this program's longest row —
+    # compiling to the static table width would burn a full masked
+    # dot+softmax pass (and an 8MB buffer zero-fill) per skipped page
+    n_pages = _prog_pages(lengths_ref, rb, RB, BS)
+    base = _base_parity(lengths_ref, rb, RB, BS)
+
     @pl.when(rb == 0)
     def _():
         start(0, 0, 0)
@@ -127,35 +159,35 @@ def _decode_kernel(lengths_ref, tables_ref, layer_ref,        # scalar prefetch
     acc_ref[...] = jnp.zeros_like(acc_ref)
     m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
     l_ref[...] = jnp.zeros_like(l_ref)
+    shape = (RB, q.shape[1], BS)
+    pos0 = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    lens = _row_lens(lengths_ref, rb, RB, shape)
 
     def body(p, _):
-        # slot parity follows the GLOBAL chunk counter (rb * w_max + p), not
-        # the local page index: with odd w_max a per-page parity would make
-        # the cross-program prefetch land page 0 in slot 1 while the next
-        # program waits on slot 0 — a semaphore deadlock on hardware
-        slot = jax.lax.rem(rb * w_max + p, 2)
+        # slot parity continues the global prefix-sum schedule so the
+        # cross-program prefetch lands where the receiver waits
+        slot = jax.lax.rem(base + p, 2)
 
-        @pl.when(p + 1 < w_max)
+        @pl.when(p + 1 < n_pages)
         def _():
             start(rb, p + 1, 1 - slot)
 
-        @pl.when((p + 1 == w_max) & (rb + 1 < num_rb))
+        @pl.when((p + 1 == n_pages) & (rb + 1 < num_rb))
         def _():
             start(rb + 1, 0, 1 - slot)
 
         wait(slot, rb, p)
-        page = buf[slot].astype(jnp.float32)              # [RB, BS, ROWp]
-        s = jax.lax.dot_general(q, page, (((2,), (2,)), ((0,), (0,))),
+        k = buf[slot, :, 0].astype(jnp.float32)           # [RB, BS, HDp]
+        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
         if logit_softcap is not None:
             s = jnp.tanh(s / logit_softcap) * logit_softcap
-        pos = p * BS + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-        lens = _row_lens(lengths_ref, rb, RB, s.shape)
-        s = jnp.where(pos < lens, s, MASK_VALUE)
-        _softmax_update(s, m_ref, l_ref, acc_ref, page)
+        s = jnp.where(p * BS + pos0 < lens, s, MASK_VALUE)
+        _softmax_update(s, m_ref, l_ref, acc_ref,
+                        buf[slot, :, 1].astype(jnp.float32))
         return 0
 
-    jax.lax.fori_loop(0, w_max, body, 0)
+    jax.lax.fori_loop(0, n_pages, body, 0)
     l = l_ref[...]
     out_ref[...] = (acc_ref[...] / jnp.where(l == 0.0, 1.0, l)
                     ).astype(out_ref.dtype)
@@ -200,6 +232,9 @@ def _decode_kernel_quant(lengths_ref, tables_ref, layer_ref,
                 pltpu.make_async_copy(sc_buf.at[slot, r], sc_buf.at[slot, r],
                                       sc_sems.at[slot, r]).wait()
 
+    n_pages = _prog_pages(lengths_ref, rb, RB, BS)
+    base = _base_parity(lengths_ref, rb, RB, BS)
+
     @pl.when(rb == 0)
     def _():
         start(0, 0, 0)
@@ -208,38 +243,36 @@ def _decode_kernel_quant(lengths_ref, tables_ref, layer_ref,
     acc_ref[...] = jnp.zeros_like(acc_ref)
     m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
     l_ref[...] = jnp.zeros_like(l_ref)
+    shape = (RB, q.shape[1], BS)
+    pos0 = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    lens = _row_lens(lengths_ref, rb, RB, shape)
 
     def body(p, _):
-        # slot parity follows the GLOBAL chunk counter (rb * w_max + p), not
-        # the local page index: with odd w_max a per-page parity would make
-        # the cross-program prefetch land page 0 in slot 1 while the next
-        # program waits on slot 0 — a semaphore deadlock on hardware
-        slot = jax.lax.rem(rb * w_max + p, 2)
+        slot = jax.lax.rem(base + p, 2)
 
-        @pl.when(p + 1 < w_max)
+        @pl.when(p + 1 < n_pages)
         def _():
             start(rb, p + 1, 1 - slot)
 
-        @pl.when((p + 1 == w_max) & (rb + 1 < num_rb))
+        @pl.when((p + 1 == n_pages) & (rb + 1 < num_rb))
         def _():
             start(rb + 1, 0, 1 - slot)
 
         wait(slot, rb, p)
-        page = buf[slot].astype(jnp.float32)              # [RB, BS, ROWp]
+        k = buf[slot, :, 0].astype(jnp.float32)           # [RB, BS, HDp]
         ksc = _expand_heads(sc_buf[slot, :, 0], G)        # [RB, HkvG, BS]
         vsc = _expand_heads(sc_buf[slot, :, 1], G)
-        s = jax.lax.dot_general(q, page, (((2,), (2,)), ((0,), (0,))),
+        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
         s = s * ksc
         if logit_softcap is not None:
             s = jnp.tanh(s / logit_softcap) * logit_softcap
-        pos = p * BS + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-        lens = _row_lens(lengths_ref, rb, RB, s.shape)
-        s = jnp.where(pos < lens, s, MASK_VALUE)
-        _softmax_update(s, m_ref, l_ref, acc_ref, page, pr_scale=vsc)
+        s = jnp.where(p * BS + pos0 < lens, s, MASK_VALUE)
+        _softmax_update(s, m_ref, l_ref, acc_ref,
+                        buf[slot, :, 1].astype(jnp.float32), pr_scale=vsc)
         return 0
 
-    jax.lax.fori_loop(0, w_max, body, 0)
+    jax.lax.fori_loop(0, n_pages, body, 0)
     l = l_ref[...]
     out_ref[...] = (acc_ref[...] / jnp.where(l == 0.0, 1.0, l)
                     ).astype(out_ref.dtype)
@@ -263,7 +296,6 @@ def _decode_kernel_quant4(lengths_ref, tables_ref, layer_ref,
     ``out += (p*v_sc) @ v_q + rowsum(p*v_min)``."""
     rb = pl.program_id(0)
     layer = layer_ref[0]
-    BS2 = BS // 2
 
     def start(rb_idx, p, slot):
         for r in range(RB):
@@ -294,6 +326,9 @@ def _decode_kernel_quant4(lengths_ref, tables_ref, layer_ref,
                     pltpu.make_async_copy(b.at[slot, r], b.at[slot, r],
                                           sm.at[slot, r]).wait()
 
+    n_pages = _prog_pages(lengths_ref, rb, RB, BS)
+    base = _base_parity(lengths_ref, rb, RB, BS)
+
     @pl.when(rb == 0)
     def _():
         start(0, 0, 0)
@@ -303,82 +338,78 @@ def _decode_kernel_quant4(lengths_ref, tables_ref, layer_ref,
     acc_ref[...] = jnp.zeros_like(acc_ref)
     m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
     l_ref[...] = jnp.zeros_like(l_ref)
+    shape = (RB, q.shape[1], BS)
+    riota = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    BS2 = BS // 2
+    tok0 = jnp.where(riota < BS2, 2 * riota, 2 * riota - BS + 1)
+    lens = _row_lens(lengths_ref, rb, RB, shape)
 
     def body(p, _):
-        # slot parity follows the GLOBAL chunk counter (rb * w_max + p), not
-        # the local page index: with odd w_max a per-page parity would make
-        # the cross-program prefetch land page 0 in slot 1 while the next
-        # program waits on slot 0 — a semaphore deadlock on hardware
-        slot = jax.lax.rem(rb * w_max + p, 2)
+        slot = jax.lax.rem(base + p, 2)
 
-        @pl.when(p + 1 < w_max)
+        @pl.when(p + 1 < n_pages)
         def _():
             start(rb, p + 1, 1 - slot)
 
-        @pl.when((p + 1 == w_max) & (rb + 1 < num_rb))
+        @pl.when((p + 1 == n_pages) & (rb + 1 < num_rb))
         def _():
             start(rb + 1, 0, 1 - slot)
 
         wait(slot, rb, p)
-        packed = buf[slot].astype(jnp.int32)              # [RB, BS2, ROWp]
-        page = jnp.concatenate([packed & 0xF, (packed >> 4) & 0xF],
-                               axis=1).astype(jnp.float32)   # [RB, BS, ROWp]
+        kp = buf[slot, :, 0].astype(jnp.int32)            # [RB, BS2, HDp]
+        vp = buf[slot, :, 1].astype(jnp.int32)
+        k = jnp.concatenate([kp & 0xF, (kp >> 4) & 0xF],
+                            axis=1).astype(jnp.float32)   # [RB, BS, HDp]
+        v = jnp.concatenate([vp & 0xF, (vp >> 4) & 0xF],
+                            axis=1).astype(jnp.float32)
         ksc = _expand_heads(sc_buf[slot, :, 0], G)
         kmn = _expand_heads(mn_buf[slot, :, 0], G)
         vsc = _expand_heads(sc_buf[slot, :, 1], G)
         vmn = _expand_heads(mn_buf[slot, :, 1], G)
 
-        s = jax.lax.dot_general(q, page, (((2,), (2,)), ((0,), (0,))),
+        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
         s = s * ksc + qsum * kmn
         if logit_softcap is not None:
             s = jnp.tanh(s / logit_softcap) * logit_softcap
-        # column j of the de-interleaved page holds token 2j (j < BS2) or
-        # 2(j - BS2) + 1
-        j = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-        tok = jnp.where(j < BS2, 2 * j, 2 * j - BS + 1)
-        pos = p * BS + tok
-        lens = _row_lens(lengths_ref, rb, RB, s.shape)
-        s = jnp.where(pos < lens, s, MASK_VALUE)
-        _softmax_update(s, m_ref, l_ref, acc_ref, page,
+        # column j of the de-interleaved plane holds token 2j (j < BS2) or
+        # 2(j - BS2) + 1 (tok0 precomputed above)
+        s = jnp.where(p * BS + tok0 < lens, s, MASK_VALUE)
+        _softmax_update(s, m_ref, l_ref, acc_ref, v,
                         pr_scale=vsc, pr_const=vmn)
         return 0
 
-    jax.lax.fori_loop(0, w_max, body, 0)
+    jax.lax.fori_loop(0, n_pages, body, 0)
     l = l_ref[...]
     out_ref[...] = (acc_ref[...] / jnp.where(l == 0.0, 1.0, l)
                     ).astype(out_ref.dtype)
 
 
-def _block_diag_q(q: jax.Array, num_kv_heads: int, rowp: int) -> jax.Array:
-    """[B, Hq, D] -> [B, Hkv*G, ROWp] with head h's [G, D] block at its k
-    lanes (2*h*D .. 2*h*D + D) and zeros elsewhere (v lanes + padding)."""
+def _block_diag_q(q: jax.Array, num_kv_heads: int, hdp: int) -> jax.Array:
+    """[B, Hq, D] -> [B, Hkv*G, HDp] with head h's [G, D] block at lanes
+    (h*D .. (h+1)*D) and zeros elsewhere."""
     B, Hq, D = q.shape
     G = Hq // num_kv_heads
     qg = q.reshape(B, num_kv_heads, G, D)
     eye = (jnp.arange(num_kv_heads)[:, None]
            == jnp.arange(num_kv_heads)[None, :])
-    # [B, Hkv, G, Hkv', 2, D]: only (h' == h, kv == 0) — head h's k lanes —
-    # carries the query; v lanes and other heads' lanes are zero
-    sel = (eye[None, :, None, :, None, None]
-           & (jnp.arange(2) == 0)[None, None, None, None, :, None])
-    q6 = jnp.where(sel, qg[:, :, :, None, None, :], 0.0)
-    q_bd = q6.reshape(B, num_kv_heads * G, 2 * num_kv_heads * D)
-    if q_bd.shape[-1] < rowp:
-        q_bd = jnp.pad(q_bd, ((0, 0), (0, 0), (0, rowp - q_bd.shape[-1])))
+    q5 = jnp.where(eye[None, :, None, :, None], qg[:, :, :, None, :], 0.0)
+    q_bd = q5.reshape(B, num_kv_heads * G, num_kv_heads * D)
+    if q_bd.shape[-1] < hdp:
+        q_bd = jnp.pad(q_bd, ((0, 0), (0, 0), (0, hdp - q_bd.shape[-1])))
     return q_bd
 
 
 def _extract_v_diag(out: jax.Array, num_kv_heads: int, G: int, D: int
                     ) -> jax.Array:
-    """[B, Hkv*G, ROWp] block matrix -> [B, Hq, D] (diagonal v blocks)."""
+    """[B, Hkv*G, HDp] block matrix -> [B, Hq, D] (diagonal blocks)."""
     B = out.shape[0]
-    hd2 = 2 * num_kv_heads * D
-    o6 = out[..., :hd2].reshape(B, num_kv_heads, G, num_kv_heads, 2, D)
+    hd = num_kv_heads * D
+    o5 = out[..., :hd].reshape(B, num_kv_heads, G, num_kv_heads, D)
     eye = (jnp.arange(num_kv_heads)[:, None]
-           == jnp.arange(num_kv_heads)[None, :]).astype(o6.dtype)
-    diag = jnp.sum(o6 * eye[None, :, None, :, None, None], axis=3)  # [B,Hkv,G,2,D]
-    return diag[..., 1, :].reshape(B, num_kv_heads * G, D)
+           == jnp.arange(num_kv_heads)[None, :]).astype(o5.dtype)
+    diag = jnp.sum(o5 * eye[None, :, None, :, None], axis=3)  # [B,Hkv,G,D]
+    return diag.reshape(B, num_kv_heads * G, D)
 
 
 @functools.partial(jax.jit, static_argnames=('scale', 'num_kv_heads',
@@ -400,11 +431,11 @@ def paged_decode_attention(q: jax.Array, kv_cache, block_tables: jax.Array,
     quant8 = isinstance(kv_cache, QuantKV)
     quant4 = isinstance(kv_cache, QuantKV4)
     data = kv_cache.data if (quant8 or quant4) else kv_cache
-    rowp = data.shape[-1]
-    BS = data.shape[2] * (2 if quant4 else 1)
+    hdp = data.shape[-1]
+    BS = data.shape[3] * (2 if quant4 else 1)
 
-    q_bd = _block_diag_q(q, num_kv_heads, rowp)
-    RB = _pick_rb(B, HkvG, rowp)
+    q_bd = _block_diag_q(q, num_kv_heads, hdp)
+    RB = _pick_rb(B, HkvG, hdp)
     num_rb = -(-B // RB)
     if num_rb * RB != B:           # batch buckets are powers of two; safety pad
         pad = num_rb * RB - B
@@ -414,10 +445,10 @@ def paged_decode_attention(q: jax.Array, kv_cache, block_tables: jax.Array,
 
     common = dict(RB=RB, BS=BS, scale=scale, w_max=W, num_rb=num_rb,
                   logit_softcap=logit_softcap)
-    q_spec = pl.BlockSpec((RB, HkvG, rowp), lambda rb, *_: (rb, 0, 0))
-    out_spec = pl.BlockSpec((RB, HkvG, rowp), lambda rb, *_: (rb, 0, 0))
+    q_spec = pl.BlockSpec((RB, HkvG, hdp), lambda rb, *_: (rb, 0, 0))
+    out_spec = pl.BlockSpec((RB, HkvG, hdp), lambda rb, *_: (rb, 0, 0))
     softmax_scratch = [
-        pltpu.VMEM((RB, HkvG, rowp), jnp.float32),
+        pltpu.VMEM((RB, HkvG, hdp), jnp.float32),
         pltpu.VMEM((RB, HkvG, 1), jnp.float32),
         pltpu.VMEM((RB, HkvG, 1), jnp.float32),
     ]
@@ -432,7 +463,7 @@ def paged_decode_attention(q: jax.Array, kv_cache, block_tables: jax.Array,
                 in_specs=[q_spec] + [pl.BlockSpec(memory_space=pltpu.HBM)] * 3,
                 out_specs=out_spec,
                 scratch_shapes=[
-                    pltpu.VMEM((2, RB, BS // 2, rowp), jnp.uint8),
+                    pltpu.VMEM((2, RB, 2, BS // 2, hdp), jnp.uint8),
                     pltpu.VMEM((2, RB, 2, num_kv_heads, BS), jnp.float32),
                     pltpu.VMEM((2, RB, 2, num_kv_heads, BS), jnp.float32),
                     pltpu.SemaphoreType.DMA((2, RB)),
@@ -440,7 +471,7 @@ def paged_decode_attention(q: jax.Array, kv_cache, block_tables: jax.Array,
                     pltpu.SemaphoreType.DMA((2, RB)),
                 ] + softmax_scratch,
             ),
-            out_shape=jax.ShapeDtypeStruct((num_rb * RB, HkvG, rowp), q.dtype),
+            out_shape=jax.ShapeDtypeStruct((num_rb * RB, HkvG, hdp), q.dtype),
         )(kv_lens, block_tables, layer_arr, q_bd, kv_cache.data,
           kv_cache.scale, kv_cache.minv)
     elif quant8:
@@ -453,13 +484,13 @@ def paged_decode_attention(q: jax.Array, kv_cache, block_tables: jax.Array,
                 in_specs=[q_spec] + [pl.BlockSpec(memory_space=pltpu.HBM)] * 2,
                 out_specs=out_spec,
                 scratch_shapes=[
-                    pltpu.VMEM((2, RB, BS, rowp), kv_cache.data.dtype),
+                    pltpu.VMEM((2, RB, 2, BS, hdp), kv_cache.data.dtype),
                     pltpu.VMEM((2, RB, 2, num_kv_heads, BS), jnp.float32),
                     pltpu.SemaphoreType.DMA((2, RB)),
                     pltpu.SemaphoreType.DMA((2, RB)),
                 ] + softmax_scratch,
             ),
-            out_shape=jax.ShapeDtypeStruct((num_rb * RB, HkvG, rowp), q.dtype),
+            out_shape=jax.ShapeDtypeStruct((num_rb * RB, HkvG, hdp), q.dtype),
         )(kv_lens, block_tables, layer_arr, q_bd, kv_cache.data,
           kv_cache.scale)
     else:
@@ -472,11 +503,11 @@ def paged_decode_attention(q: jax.Array, kv_cache, block_tables: jax.Array,
                 in_specs=[q_spec, pl.BlockSpec(memory_space=pltpu.HBM)],
                 out_specs=out_spec,
                 scratch_shapes=[
-                    pltpu.VMEM((2, RB, BS, rowp), kv_cache.dtype),
+                    pltpu.VMEM((2, RB, 2, BS, hdp), kv_cache.dtype),
                     pltpu.SemaphoreType.DMA((2, RB)),
                 ] + softmax_scratch,
             ),
-            out_shape=jax.ShapeDtypeStruct((num_rb * RB, HkvG, rowp), q.dtype),
+            out_shape=jax.ShapeDtypeStruct((num_rb * RB, HkvG, hdp), q.dtype),
         )(kv_lens, block_tables, layer_arr, q_bd, kv_cache)
 
     return _extract_v_diag(out[:B], num_kv_heads, G, D)

@@ -49,7 +49,7 @@ def dryrun_step(n_devices: int, dp: Optional[int] = None, tp: Optional[int] = No
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, shardings)
     from ..ops.attention import kv_row_width
     _, rowp = kv_row_width(cfg.num_key_value_heads, cfg.head_dim)
-    kc = jax.device_put(jnp.zeros((cfg.num_layers, NB, BS, rowp), jnp.float32),
+    kc = jax.device_put(jnp.zeros((cfg.num_layers, NB, 2, BS, rowp), jnp.float32),
                         NamedSharding(mesh, cache_sharding(
                             cfg.num_key_value_heads)))
     cos, sin = make_rope_table(cfg.head_dim, cfg.max_position_embeddings,
@@ -130,7 +130,7 @@ def dryrun_moe(n_devices: int, verbose: bool = False):
     B, T, W, BS, NB = max(2, dp), 8, 2, 16, 16
     from ..ops.attention import kv_row_width
     _, rowp = kv_row_width(cfg.num_key_value_heads, cfg.head_dim)
-    kc = jax.device_put(jnp.zeros((cfg.num_layers, NB, BS, rowp), jnp.float32),
+    kc = jax.device_put(jnp.zeros((cfg.num_layers, NB, 2, BS, rowp), jnp.float32),
                         NamedSharding(mesh, cache_sharding(
                             cfg.num_key_value_heads)))
     cos, sin = make_rope_table(cfg.head_dim, 64, cfg.rope_theta)
@@ -180,7 +180,7 @@ def dryrun_cp(n_devices: int, verbose: bool = False):
     from ..ops.attention import kv_row_width
     _, rowp = kv_row_width(cfg.num_key_value_heads, cfg.head_dim)
     with mesh:
-        kc = jnp.zeros((cfg.num_layers, NB, BS, rowp), jnp.float32)
+        kc = jnp.zeros((cfg.num_layers, NB, 2, BS, rowp), jnp.float32)
         cos, sin = make_rope_table(cfg.head_dim, cfg.max_position_embeddings)
         rng = np.random.RandomState(0)
         seq_spec = NamedSharding(mesh, P(None, 'cp'))
@@ -237,7 +237,7 @@ def dryrun_cp_decode(n_devices: int, verbose: bool = False):
     params = model.init_params(jax.random.PRNGKey(0))
     from ..ops.attention import kv_row_width
     _, rowp = kv_row_width(cfg.num_key_value_heads, cfg.head_dim)
-    kv0 = rng.randn(cfg.num_layers, NB, BS, rowp).astype(np.float32)
+    kv0 = rng.randn(cfg.num_layers, NB, 2, BS, rowp).astype(np.float32)
     ids = rng.randint(0, cfg.vocab_size, (B, 1)).astype(np.int32)
     pos = hist[:, None].astype(np.int32)
     tables = np.stack([np.arange(1, W + 1),

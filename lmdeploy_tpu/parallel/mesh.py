@@ -105,12 +105,11 @@ def make_llama_shardings(model, shard_vocab: bool = True) -> Dict:
 
 
 def cache_sharding(num_kv_heads: int = 0, cp: int = 1):
-    """[L, num_blocks, block_size, ROWp] unified pages — shard the packed
-    k|v row over tp (per-head interleaving keeps the split head-aligned:
-    each shard owns its local heads' k|v pairs) and, with context
-    parallelism, stripe each block's token slots over 'cp' (reference:
-    cp_utils.h KV striping; the attention reference path's softmax
-    reductions over the sharded slot dim become GSPMD partial-(M,L)
+    """[L, num_blocks, 2, block_size, HDp] unified pages — shard the
+    head-major plane lanes over tp (head-aligned for tp dividing Hkv) and,
+    with context parallelism, stripe each block's token slots over 'cp'
+    (reference: cp_utils.h KV striping; the attention reference path's
+    softmax reductions over the sharded slot dim become GSPMD partial-(M,L)
     collectives).
 
     A single-kv-head cache (MQA / MLA latent) cannot split its head axis, so
@@ -119,8 +118,8 @@ def cache_sharding(num_kv_heads: int = 0, cp: int = 1):
     from jax.sharding import PartitionSpec as P
     slot = 'cp' if cp > 1 else None
     if num_kv_heads == 1:
-        return P(None, None, slot, None)
-    return P(None, None, slot, 'tp')
+        return P(None, None, None, slot, None)
+    return P(None, None, None, slot, 'tp')
 
 
 def data_sharding(batch_axes: int = 2):

@@ -22,7 +22,7 @@ def _q4(L, Hkv, NB, BS, D):
     from lmdeploy_tpu.ops.attention import kv_row_width
     from lmdeploy_tpu.ops.kv_quant import QuantKV4
     _, rowp = kv_row_width(Hkv, D)
-    return QuantKV4(jnp.zeros((L, NB, BS // 2, rowp), jnp.uint8),
+    return QuantKV4(jnp.zeros((L, NB, 2, BS // 2, rowp), jnp.uint8),
                     jnp.zeros((L, NB, 2, Hkv, BS), jnp.float32),
                     jnp.zeros((L, NB, 2, Hkv, BS), jnp.float32))
 
@@ -129,7 +129,7 @@ def test_engine_e2e_kv_int4(tiny_model_dir):
                 kc = eng.model_agent.cache_engine.kv_cache
                 assert isinstance(kc, QuantKV4)
                 assert kc.data.dtype == jnp.uint8
-                assert kc.data.shape[2] == 8     # block_size // 2
+                assert kc.data.shape[3] == 8     # block_size // 2
 
             async def run():
                 inst = eng.create_instance()

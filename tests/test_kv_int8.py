@@ -32,7 +32,7 @@ def test_fill_and_attention_quant_matches_manual_dequant():
     L, Hkv, NB, BS, D = 2, 2, 8, 16, 64
     B, T, Hq = 2, 8, 4
     _, rowp = kv_row_width(Hkv, D)
-    kv = QuantKV(jnp.zeros((L, NB, BS, rowp), jnp.int8),
+    kv = QuantKV(jnp.zeros((L, NB, 2, BS, rowp), jnp.int8),
                  jnp.zeros((L, NB, 2, Hkv, BS), jnp.float32))
     tables = np.asarray([[1, 2, 0, 0], [3, 4, 0, 0]], np.int32)
     history = np.zeros(B, np.int32)
@@ -57,7 +57,7 @@ def test_fill_and_attention_quant_matches_manual_dequant():
                                rtol=1e-5, atol=1e-5)
 
     # and the quantized attention tracks an UNQUANTIZED cache closely
-    kf = jnp.zeros((L, NB, BS, rowp), jnp.float32)
+    kf = jnp.zeros((L, NB, 2, BS, rowp), jnp.float32)
     kf = fill_kv_cache(kf, jnp.asarray(k_new), jnp.asarray(v_new), slot, layer)
     kd, vd = gather_layer_kv(kf, layer, jnp.asarray(tables), Hkv, D)
     plain = attention_dense_gathered(jnp.asarray(q), kd, vd,

@@ -59,7 +59,7 @@ def test_gemma_hooks():
     cos, sin = make_rope_table(8, 64, cfg.rope_theta)
     from lmdeploy_tpu.ops.attention import kv_row_width
     _, rowp = kv_row_width(1, 8)
-    kv = jnp.zeros((1, 8, 16, rowp), jnp.float32)
+    kv = jnp.zeros((1, 8, 2, 16, rowp), jnp.float32)
     meta = AttnMeta(block_tables=jnp.asarray([[1, 2]], jnp.int32),
                     history_lens=jnp.zeros(1, jnp.int32),
                     q_lens=jnp.asarray([3], jnp.int32))

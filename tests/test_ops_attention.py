@@ -6,7 +6,7 @@ import pytest
 
 from lmdeploy_tpu.ops.attention import (compute_slot_mapping, fill_kv_cache,
                                         kv_row_width, paged_attention,
-                                        split_kv_rows)
+                                        split_kv_planes)
 
 
 def naive_attention(q, k, v, history_len, q_len, scale):
@@ -31,7 +31,7 @@ def naive_attention(q, k, v, history_len, q_len, scale):
 def setup_cache(B, max_ctx, block_size, Hkv, D):
     num_blocks = B * (max_ctx // block_size) + 8
     _, rowp = kv_row_width(Hkv, D)
-    kv_cache = jnp.zeros((1, num_blocks, block_size, rowp), jnp.float32)
+    kv_cache = jnp.zeros((1, num_blocks, 2, block_size, rowp), jnp.float32)
     W = max_ctx // block_size
     # assign disjoint blocks per row, skipping block 0
     tables = np.arange(1, 1 + B * W, dtype=np.int32).reshape(B, W)
@@ -87,14 +87,14 @@ def test_fill_kv_cache_padding_block():
     """Padded tokens scatter into reserved block 0 and leave real blocks intact."""
     B, T, Hkv, D, block_size = 1, 8, 2, 4, 16
     _, rowp = kv_row_width(Hkv, D)
-    kv_cache = jnp.zeros((1, 4, block_size, rowp), jnp.float32)
+    kv_cache = jnp.zeros((1, 4, 2, block_size, rowp), jnp.float32)
     tables = jnp.asarray([[1]], dtype=jnp.int32)
     q_lens = jnp.asarray([3], jnp.int32)   # 3 valid of 8
     slots = compute_slot_mapping(tables, jnp.zeros((1,), jnp.int32), q_lens,
                                  T, block_size)
     k_new = jnp.ones((T, Hkv, D), jnp.float32)
     kv_cache = fill_kv_cache(kv_cache, k_new, k_new, slots, jnp.int32(0))
-    k, v = split_kv_rows(jnp.asarray(kv_cache), Hkv, D)
+    k, v = split_kv_planes(jnp.asarray(kv_cache), Hkv, D)
     k = np.asarray(k)   # [1, NB, BS, Hkv, D]
     # valid tokens landed in block 1
     assert k[0, 1, :3].sum() == 3 * Hkv * D
@@ -108,7 +108,7 @@ def test_sliding_window_mask():
     B, T, Hq, Hkv, D = 1, 1, 2, 2, 8
     block_size, W = 16, 2
     _, rowp = kv_row_width(Hkv, D)
-    kv_cache = jnp.asarray(rng.randn(1, 4, block_size, rowp).astype(np.float32))
+    kv_cache = jnp.asarray(rng.randn(1, 4, 2, block_size, rowp).astype(np.float32))
     tables = jnp.asarray([[1, 2]], jnp.int32)
     history = jnp.asarray([20], jnp.int32)
     q_lens = jnp.asarray([1], jnp.int32)

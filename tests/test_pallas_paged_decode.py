@@ -9,8 +9,8 @@ import numpy as np
 import pytest
 
 from lmdeploy_tpu.ops.attention import (attention_dense_gathered,
-                                        gather_layer_kv, interleave_kv,
-                                        kv_row_width)
+                                        gather_layer_kv, kv_row_width,
+                                        plane_rows)
 from lmdeploy_tpu.ops.kv_quant import (QuantKV, QuantKV4, quantize_rows,
                                        quantize_rows_int4)
 from lmdeploy_tpu.ops.pallas import paged_decode
@@ -27,13 +27,14 @@ def interpret_mode(monkeypatch):
 
 
 def make_dense_cache(rng, Hkv, NB, BS, D):
-    """Unified pages [L, NB, BS, ROWp] from random dense K/V."""
-    _, rowp = kv_row_width(Hkv, D)
+    """Unified plane pages [L, NB, 2, BS, HDp] from random dense K/V."""
+    _, hdp = kv_row_width(Hkv, D)
     k = rng.randn(L, NB, BS, Hkv, D).astype(np.float32)
     v = rng.randn(L, NB, BS, Hkv, D).astype(np.float32)
-    rows = interleave_kv(jnp.asarray(k.reshape(-1, Hkv, D)),
-                         jnp.asarray(v.reshape(-1, Hkv, D)), rowp)
-    return rows.reshape(L, NB, BS, rowp)
+    kr = plane_rows(jnp.asarray(k.reshape(-1, Hkv, D)), hdp)
+    vr = plane_rows(jnp.asarray(v.reshape(-1, Hkv, D)), hdp)
+    return jnp.stack([kr.reshape(L, NB, BS, hdp),
+                      vr.reshape(L, NB, BS, hdp)], axis=2)
 
 
 def reference(q, kv_cache, tables, kv_lens, scale, Hkv, D, softcap=None):
@@ -99,14 +100,15 @@ def test_decode_softcap():
 
 def make_int8_cache(rng, Hkv, NB, BS, D):
     """QuantKV with per-(token, head) scales from random dense K/V."""
-    _, rowp = kv_row_width(Hkv, D)
+    _, hdp = kv_row_width(Hkv, D)
     k = rng.randn(L, NB, BS, Hkv, D).astype(np.float32)
     v = rng.randn(L, NB, BS, Hkv, D).astype(np.float32)
     kq, ksc = quantize_rows(jnp.asarray(k))          # [L,NB,BS,Hkv]
     vq, vsc = quantize_rows(jnp.asarray(v))
-    rows = interleave_kv(jnp.asarray(np.asarray(kq).reshape(-1, Hkv, D)),
-                         jnp.asarray(np.asarray(vq).reshape(-1, Hkv, D)), rowp)
-    data = rows.reshape(L, NB, BS, rowp).astype(jnp.int8)
+    kr = plane_rows(jnp.asarray(np.asarray(kq).reshape(-1, Hkv, D)), hdp)
+    vr = plane_rows(jnp.asarray(np.asarray(vq).reshape(-1, Hkv, D)), hdp)
+    data = jnp.stack([kr.reshape(L, NB, BS, hdp),
+                      vr.reshape(L, NB, BS, hdp)], axis=2).astype(jnp.int8)
     # scales [L, NB, 2, Hkv, BS]
     sc = jnp.stack([jnp.moveaxis(ksc, 3, 2), jnp.moveaxis(vsc, 3, 2)], axis=2)
     return QuantKV(data, sc)
@@ -137,16 +139,18 @@ def test_quant_decode_matches_reference(lens, G):
 
 def make_int4_cache(rng, Hkv, NB, BS, D):
     """QuantKV4 (token-pair packed, de-interleaved scales) from dense K/V."""
-    _, rowp = kv_row_width(Hkv, D)
+    _, hdp = kv_row_width(Hkv, D)
     k = rng.randn(L, NB, BS, Hkv, D).astype(np.float32)
     v = rng.randn(L, NB, BS, Hkv, D).astype(np.float32)
     kq, ksc, kmn = quantize_rows_int4(jnp.asarray(k))
     vq, vsc, vmn = quantize_rows_int4(jnp.asarray(v))
-    rows = np.asarray(interleave_kv(
-        jnp.asarray(np.asarray(kq).reshape(-1, Hkv, D)),
-        jnp.asarray(np.asarray(vq).reshape(-1, Hkv, D)),
-        rowp)).reshape(L, NB, BS, rowp)
-    packed = (rows[:, :, 0::2] | (rows[:, :, 1::2] << 4)).astype(np.uint8)
+    kr = np.asarray(plane_rows(
+        jnp.asarray(np.asarray(kq).reshape(-1, Hkv, D)), hdp))
+    vr = np.asarray(plane_rows(
+        jnp.asarray(np.asarray(vq).reshape(-1, Hkv, D)), hdp))
+    rows = np.stack([kr.reshape(L, NB, BS, hdp),
+                     vr.reshape(L, NB, BS, hdp)], axis=2)  # [L,NB,2,BS,HDp]
+    packed = (rows[:, :, :, 0::2] | (rows[:, :, :, 1::2] << 4)).astype(np.uint8)
 
     def deint(x):                                    # [L,NB,BS,Hkv] -> deint
         x = np.moveaxis(np.asarray(x), 3, 2)         # [L,NB,Hkv,BS]

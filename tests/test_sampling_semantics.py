@@ -271,8 +271,23 @@ def test_freed_slot_deactivates_decode_row(engine):
     # B's continuation is bit-identical to its solo run: no cross-request
     # corruption from A's freed blocks
     assert ids_b == expect_b
-    # A's row is deactivated (flushed at B's subsequent step dispatches) or
-    # still pending if no step ran after the cancel
+    # the real invariant (ADVICE r1 high): once every request has finished,
+    # every still-active device row must be pending deactivation (flushed at
+    # the next dispatch) — a stale active row outside that set would keep
+    # decoding through freed blocks.  Read-only poll: the engine thread owns
+    # the device state, so the test must not mutate it.
+    import time
     agent = engine.model_agent
-    active = np.asarray(agent.decode_state.active)
-    assert (not active[slot]) or slot in agent._pending_deactivate
+    ok = False
+    for _ in range(100):
+        try:
+            active = np.asarray(agent.decode_state.active)
+        except RuntimeError:            # donated mid-dispatch; retry
+            time.sleep(0.05)
+            continue
+        pend = set(agent._pending_deactivate)
+        ok = all((not active[s]) or (s in pend) for s in range(len(active)))
+        if ok:
+            break
+        time.sleep(0.05)
+    assert ok, (active, agent._pending_deactivate)
