@@ -76,15 +76,32 @@ async def run_round(eng, batch, seed):
     return sum(counts), dt
 
 
-def _emit(tok_s: float, note: str = ''):
+def _emit(tok_s: float, note: str = '', eng=None):
     unit = 'out tok/s (1x TPU v5e chip)' + (f' [{note}]' if note else '')
     wtag = 'w4a16' if QUANT == 'w4a16' else 'bf16'
-    print(json.dumps({
+    out = {
         'metric': f'decode_tok_s_tinyllama1.1b_{wtag}_bs{BATCH}_{PROMPT_LEN}i{NEW_TOKENS}o',
         'value': round(tok_s, 2),
         'unit': unit,
         'vs_baseline': round(tok_s / BASELINE, 4),
-    }), flush=True)
+    }
+    if eng is not None and tok_s > 0:
+        # achieved HBM streaming rate vs the v5e roofline: each decode step
+        # reads all weights plus the batch's KV pages (VERDICT r1 item 2)
+        import jax
+        wbytes = sum(x.nbytes for x in
+                     jax.tree_util.tree_leaves(eng.model_agent.params))
+        cfg = eng.configs.model
+        avg_ctx = PROMPT_LEN + NEW_TOKENS / 2
+        kv_bytes = (cfg.num_layers * 2 * cfg.num_key_value_heads
+                    * cfg.head_dim * 2 * avg_ctx * BATCH)
+        step_bytes = wbytes + kv_bytes
+        gbs = step_bytes * (tok_s / BATCH) / 1e9
+        out['achieved_gbs'] = round(gbs, 1)
+        out['roofline_frac'] = round(gbs / 819.0, 3)
+        # device-side ceiling measured by benchmark/profile_decode.py slope
+        # timing (RTT-free); the gap to it is tunnel dispatch+fetch latency
+    print(json.dumps(out), flush=True)
 
 
 async def main():
@@ -113,7 +130,7 @@ async def main():
     try:
         total, dt = await asyncio.wait_for(run_round(eng, BATCH, seed=2),
                                            round_timeout)
-        _emit(total / dt)
+        _emit(total / dt, eng=eng)
     except asyncio.TimeoutError:
         # report the compile-inclusive warmup rate rather than nothing
         _emit(warmup_rate, 'measured round stalled; warmup-round rate')

@@ -53,6 +53,11 @@ def _host_driven(seq, spec=None) -> bool:
     return spec is not None and seq.sampling_params.logprobs > 0
 
 
+def _is_full_vocab_sampling(p) -> bool:
+    return bool(p.do_sample and p.top_k <= 0 and p.top_p >= 1.0
+                and p.min_p <= 0.0)
+
+
 def _row_top(top, i, seq):
     """Slice one row's (top_vals, top_ids) when the request asked for them."""
     if top is None or seq.sampling_params.logprobs <= 0:
@@ -463,8 +468,13 @@ class Engine:
                            for s in survivors) else 0
         kmax = topk_bucket(max(s.sampling_params.top_k for s in survivors),
                            self.configs.model.vocab_size)
+        # pure-ancestral rows (sampled with no top-k/p/min-p truncation) need
+        # the full-vocab draw; everyone else samples over the top-kmax
+        # candidate set (ops/sampling.py)
+        fv = any(_is_full_vocab_sampling(s.sampling_params) for s in survivors)
         step = await loop.run_in_executor(self._executor, agent.decode_run,
-                                          num_rows, k, simple, top_lp, kmax)
+                                          num_rows, k, simple, top_lp, kmax,
+                                          fv)
         tokens = step.tokens_np()          # [k, B]
         logprobs = step.logprobs_np()
         tops = step.top_np()               # ([k, B, L], [k, B, L]) or None

@@ -269,7 +269,8 @@ class ModelAgent:
                 t_valid = (jnp.arange(T, dtype=jnp.int32)[None, :]
                            < q_lens[:, None]).reshape(-1)
                 prows = prows.at[b_idx, input_ids.reshape(-1)].max(t_valid)
-            tokens, logprob, top = sample_logits(logits, sampling, rows, prows)
+            tokens, logprob, top = sample_logits(logits, sampling, rows, prows,
+                                                 full_vocab=True)
             rows = rows.at[jnp.arange(B), tokens].add(valid_mask.astype(rows.dtype))
             token_counts = token_counts.at[slot_rows].set(rows)
             if count_inputs:
@@ -550,12 +551,13 @@ class ModelAgent:
                           if not (isinstance(k, tuple) and k and k[0] == 'run')}
 
     def _get_run_fn(self, k: int, B: int, simple: bool = False,
-                    top_lp: int = 0, kmax: int = TOPK_CANDIDATES):
+                    top_lp: int = 0, kmax: int = TOPK_CANDIDATES,
+                    full_vocab: bool = False):
         import dataclasses
         import jax
         import jax.numpy as jnp
 
-        key = ('run', k, B, simple, top_lp, kmax)
+        key = ('run', k, B, simple, top_lp, kmax, full_vocab)
         fn = self._step_fns.get(key)
         if fn is not None:
             return fn
@@ -598,7 +600,8 @@ class ModelAgent:
                     do_sample=st['do_sample'], seeds=seeds,
                     max_top_logprobs=top_lp)
                 tokens, lp, top = sample_logits(logits, si, counts, pmask,
-                                                kmax=kmax)
+                                                kmax=kmax,
+                                                full_vocab=full_vocab)
                 new_token = jnp.where(act, tokens, st['token'])
                 counts_full = counts_full.at[jnp.arange(B), tokens].add(
                     act.astype(counts_full.dtype))
@@ -673,7 +676,8 @@ class ModelAgent:
 
     def decode_run(self, num_rows: int, k: Optional[int] = None,
                    simple: bool = False, top_lp: int = 0,
-                   kmax: int = TOPK_CANDIDATES) -> StepOutput:
+                   kmax: int = TOPK_CANDIDATES,
+                   full_vocab: bool = False) -> StepOutput:
         """Dispatch k device-side decode steps over rows [0, num_rows).
 
         Returns tokens [k, B] (fetch once).  Capacity (blocks + table rows) for k
@@ -686,7 +690,7 @@ class ModelAgent:
         k = k or self.decode_run_steps
         B = bucketize(num_rows, self.batch_buckets)
         self._flush_deactivations()
-        fn = self._get_run_fn(k, B, simple, top_lp, kmax)
+        fn = self._get_run_fn(k, B, simple, top_lp, kmax, full_vocab)
         (kv_cache, self.decode_state, toks, lps, tv, ti) = fn(
             self.params, self.rope_cos, self.rope_sin,
             self.cache_engine.kv_cache, self.decode_state)

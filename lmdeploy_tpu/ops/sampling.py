@@ -184,35 +184,114 @@ def _top_k_p_min_p_mask(logits: jax.Array, inputs: SamplingInputs,
 def sample_logits(logits: jax.Array, inputs: SamplingInputs, token_counts: jax.Array,
                   prompt_mask: Optional[jax.Array] = None,
                   kmax: int = TOPK_CANDIDATES,
+                  full_vocab: bool = False,
                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Full sampling pipeline.
 
-    Returns (next_tokens [B] i32, logprob_of_sampled [B] f32, top_logprob_vals/ids or
-    zeros when logprobs disabled).
+    The default ("candidate") path keeps everything after the penalties on the
+    top-``kmax`` candidate set: one lax.top_k, [B, kmax] filter math, and a
+    gumbel-max draw over kmax candidates — the round-1 path spent ~1.7 ms/step
+    at bs64/V=32k, dominated by full-vocab threefry for the categorical draw
+    plus several [B, V] passes.  Exact whenever every sampled row's effective
+    support fits in kmax (the engine widens kmax per decode run, and routes
+    batches containing a pure-ancestral row — do_sample with no top-k/p/min-p
+    truncation — to ``full_vocab=True``, which samples over the whole vocab).
+
+    Returns (next_tokens [B] i32, logprob_of_sampled [B] f32, top_logprob
+    vals/ids or zeros when logprobs disabled).
     """
     logits = logits.astype(jnp.float32)
     if inputs.bad_words_mask is not None:
         logits = jnp.where(inputs.bad_words_mask, NEG_INF, logits)
     logits = apply_penalties(logits, token_counts, inputs, prompt_mask)
+    B, V = logits.shape
+    kmax = min(kmax, V)
 
-    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if full_vocab:
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        scaled = logits / inputs.temperature[:, None]
+        keep = _top_k_p_min_p_mask(scaled, inputs, kmax)
+        masked = jnp.where(keep, scaled, NEG_INF)
+        sampled = jax.vmap(lambda s, row: jax.random.categorical(
+            jax.random.key(s), row))(inputs.seeds, masked).astype(jnp.int32)
+        next_tokens = jnp.where(inputs.do_sample, sampled, greedy)
+        logprobs_all = jax.nn.log_softmax(logits, axis=-1)
+        chosen_lp = jnp.take_along_axis(logprobs_all, next_tokens[:, None],
+                                        axis=-1)[:, 0]
+        if inputs.max_top_logprobs > 0:
+            top_vals, top_ids = jax.lax.top_k(logprobs_all,
+                                              inputs.max_top_logprobs)
+        else:
+            top_vals = jnp.zeros((B, 1), jnp.float32)
+            top_ids = jnp.zeros((B, 1), jnp.int32)
+        return next_tokens, chosen_lp, (top_vals, top_ids)
 
-    scaled = logits / inputs.temperature[:, None]
-    keep = _top_k_p_min_p_mask(scaled, inputs, kmax)
-    masked = jnp.where(keep, scaled, NEG_INF)
+    # temperature > 0 is monotonic, so candidate order is temperature-free:
+    # ONE top-k on the raw (penalized) logits serves filtering, sampling,
+    # greedy (candidate 0) and top-logprobs.  lax.top_k lowers to a FULL
+    # [B, V] sort inside the decode-run scan (measured 1.6 ms/step at bs64,
+    # V=32k); the TPU-native two-pass PartialReduce (approx_max_k at recall
+    # 1.0 = exact) plus a [B, kmax] re-sort is ~20x cheaper.
+    cand_raw, cand_ids = jax.lax.approx_max_k(logits, kmax,
+                                              recall_target=1.0)
+    order = jnp.argsort(-cand_raw, axis=-1)
+    cand_raw = jnp.take_along_axis(cand_raw, order, axis=-1)  # [B, kmax] desc
+    cand_ids = jnp.take_along_axis(cand_ids, order, axis=-1)
+    greedy = cand_ids[:, 0].astype(jnp.int32)
+    temp = inputs.temperature[:, None]
+    cand = cand_raw / temp                                  # scaled candidates
+    max_s = cand[:, :1]
+    # full-vocab softmax denominator over SCALED logits (top-p needs true
+    # probabilities); the /temp folds into the single [B, V] reduce
+    denom_s = jnp.sum(jnp.exp(logits / temp - max_s), axis=-1, keepdims=True)
+    cand_probs = jnp.exp(cand - max_s) / denom_s            # [B, kmax]
 
-    sampled = jax.vmap(lambda s, row: jax.random.categorical(
-        jax.random.key(s), row))(inputs.seeds, masked).astype(jnp.int32)
+    j = jnp.arange(kmax, dtype=jnp.int32)[None, :]
+    keep = jnp.where((inputs.top_k > 0)[:, None],
+                     j < inputs.top_k[:, None], True)
+    cumsum = jnp.cumsum(cand_probs, axis=-1)
+    include = (cumsum - cand_probs) < inputs.top_p[:, None]  # prefix-exclusive
+    covered = cumsum[:, -1:] >= inputs.top_p[:, None]
+    active_p = (inputs.top_p < 1.0)[:, None] & covered
+    keep &= jnp.where(active_p, include, True)
+    minp_thresh = max_s + jnp.log(jnp.maximum(inputs.min_p, 1e-38))[:, None]
+    keep &= jnp.where((inputs.min_p > 0)[:, None], cand >= minp_thresh, True)
+    keep = keep.at[:, 0].set(True)                          # argmax always kept
 
+    # gumbel-max over the kept candidates == categorical over their softmax.
+    # Noise comes from a counter-based integer hash (murmur3 finalizer) over
+    # (per-row seed, candidate index) rather than a vmap of 64 threefry key
+    # setups — measured 0.57 ms/step cheaper inside the decode run at bs64,
+    # with the same per-request determinism (a pure function of the request
+    # seed and step counter folded into inputs.seeds).
+    ctr = (inputs.seeds[:, None] * jnp.uint32(0x9E3779B9)
+           + (jnp.arange(kmax, dtype=jnp.uint32)
+              * jnp.uint32(0x85EBCA6B))[None, :])
+    x = ctr
+    x ^= x >> 16
+    x *= jnp.uint32(0x7FEB352D)
+    x ^= x >> 15
+    x *= jnp.uint32(0x846CA68B)
+    x ^= x >> 16
+    u = (x >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-12
+    gumbel = -jnp.log(-jnp.log(u))
+    z = jnp.where(keep, cand + gumbel, NEG_INF)
+    sampled = jnp.take_along_axis(
+        cand_ids, jnp.argmax(z, axis=-1)[:, None], axis=-1)[:, 0].astype(jnp.int32)
     next_tokens = jnp.where(inputs.do_sample, sampled, greedy)
 
-    logprobs_all = jax.nn.log_softmax(logits, axis=-1)
-    chosen_lp = jnp.take_along_axis(logprobs_all, next_tokens[:, None], axis=-1)[:, 0]
+    # log Z of the UNSCALED distribution for reported logprobs
+    max0 = cand_raw[:, :1]
+    logz = max0 + jnp.log(jnp.sum(jnp.exp(logits - max0), axis=-1,
+                                  keepdims=True))
+    chosen_lp = (jnp.take_along_axis(logits, next_tokens[:, None], axis=-1)
+                 - logz)[:, 0]
 
     if inputs.max_top_logprobs > 0:
-        top_vals, top_ids = jax.lax.top_k(logprobs_all, inputs.max_top_logprobs)
+        n = min(inputs.max_top_logprobs, kmax)
+        top_vals = cand_raw[:, :n] - logz
+        top_ids = cand_ids[:, :n]
     else:
-        B = logits.shape[0]
         top_vals = jnp.zeros((B, 1), jnp.float32)
         top_ids = jnp.zeros((B, 1), jnp.int32)
     return next_tokens, chosen_lp, (top_vals, top_ids)
