@@ -96,10 +96,14 @@ class Engine:
         self.scheduler = Scheduler(self.configs.scheduler, self.configs.cache,
                                    num_blocks=self.model_agent.num_blocks)
         self.spec = None
-        if speculative_config is not None and speculative_config.model:
+        if speculative_config is not None and (
+                speculative_config.model
+                or speculative_config.method == 'deepseek_mtp'):
             from .spec_agent import SpecExtension
+            # MTP weights live in the target checkpoint itself
+            draft_path = speculative_config.model or model_path
             self.spec = SpecExtension(
-                self.model_agent, speculative_config.model,
+                self.model_agent, draft_path,
                 speculative_config.num_speculative_tokens,
                 draft_empty_init=self.configs.misc.empty_init,
                 method=speculative_config.method or 'draft_model')

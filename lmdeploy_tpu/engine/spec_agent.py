@@ -45,9 +45,18 @@ class SpecExtension:
         self.agent = agent
         self.k = num_speculative_tokens
         self.method = method
-        self.draft_config = ModelConfig.from_pretrained(draft_model_path,
-                                                        dtype=agent.model_config.dtype)
-        if method == 'eagle':
+        if method == 'deepseek_mtp':
+            # the MTP module's weights live IN the target checkpoint
+            # (model.layers.{num_layers}.*) and share its embed/lm_head
+            self.draft_config = agent.model_config
+            from ..models.deepseek import DeepseekMTP
+            self.draft_model = DeepseekMTP(self.draft_config)
+            self.hidden = jnp.zeros(
+                (agent.max_batch, agent.model_config.hidden_size),
+                agent.model_config.jnp_dtype())
+        elif method == 'eagle':
+            self.draft_config = ModelConfig.from_pretrained(
+                draft_model_path, dtype=agent.model_config.dtype)
             from ..models.eagle import EagleHead
             self.draft_model = EagleHead(self.draft_config)
             # feature buffer: last accepted pre-norm target feature per row.
@@ -57,6 +66,8 @@ class SpecExtension:
                 (agent.max_batch, agent.model_config.hidden_size),
                 agent.model_config.jnp_dtype())
         else:
+            self.draft_config = ModelConfig.from_pretrained(
+                draft_model_path, dtype=agent.model_config.dtype)
             self.draft_model = build_model(self.draft_config)
         if draft_empty_init:
             self.draft_params = self.draft_model.init_params(jax.random.PRNGKey(1))
@@ -65,8 +76,10 @@ class SpecExtension:
             self.draft_params = load_model_params(self.draft_model, draft_model_path)
         dc = self.draft_config
         from ..ops.attention import kv_row_width
-        _, rowp = kv_row_width(dc.num_key_value_heads, dc.head_dim)
-        n_draft_layers = 1 if method == 'eagle' else dc.num_layers
+        # cache_head_dim covers MLA drafts (latent+rope vector, 1 kv head)
+        _, rowp = kv_row_width(dc.num_key_value_heads, dc.cache_head_dim)
+        n_draft_layers = 1 if method in ('eagle', 'deepseek_mtp') \
+            else dc.num_layers
         shape = (n_draft_layers, agent.num_blocks, 2,
                  agent.cache_config.block_size, rowp)
         dtype = agent.cache_engine.kv_cache.dtype
@@ -316,7 +329,7 @@ class SpecExtension:
         from ..config import bucketize
         agent = self.agent
         B = bucketize(num_rows, agent.batch_buckets)
-        if self.method == 'eagle':
+        if self.method in ('eagle', 'deepseek_mtp'):
             fn = self._get_fn_eagle(B)
             (kc, self.draft_kv, agent.decode_state,
              self.hidden, out_toks, n_emitted, out_lps) = fn(

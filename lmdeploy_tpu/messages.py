@@ -134,6 +134,9 @@ class SpeculativeConfig:
     via rejection sampling).
     method 'eagle': a 1-layer EAGLE head conditioned on the target's pre-norm
     features proposes instead (models/eagle.py); same exactness guarantee.
+    method 'deepseek_mtp': the DeepSeek-V3 Multi-Token-Prediction module
+    (the checkpoint's extra layer, models/deepseek.py DeepseekMTP) proposes;
+    ``model`` may be omitted — the MTP weights live in the target checkpoint.
     """
 
     method: str = 'draft_model'

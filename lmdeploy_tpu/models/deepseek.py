@@ -323,7 +323,8 @@ class DeepseekV2Model(LlamaModel):
     def forward(self, params, input_ids, positions, kv_cache,
                 meta: AttnMeta, rope_cos, rope_sin, return_all_logits=False,
                 fresh_prefill=False, input_embeds=None, embeds_mask=None,
-                adapter_ids=None):   # S-LoRA targets llama-family linears only
+                adapter_ids=None,    # S-LoRA targets llama-family linears only
+                return_hidden=False):
         cfg = self.config
         B, T = input_ids.shape
         block_size = kv_cache.shape[3]
@@ -356,6 +357,7 @@ class DeepseekV2Model(LlamaModel):
         carry, _ = jax.lax.scan(make_layer_fn(True), carry,
                                 params['moe_layers'])
         hidden, kv_cache, _ = carry
+        hidden_prenorm = hidden    # MTP/EAGLE condition on pre-norm features
         hidden = rms_norm(hidden, params['final_norm'], cfg.rms_norm_eps)
 
         lm_head = params.get('lm_head')
@@ -366,8 +368,167 @@ class DeepseekV2Model(LlamaModel):
             return jnp.dot(x, lm_head, preferred_element_type=jnp.float32)
 
         if return_all_logits:
+            if return_hidden:
+                return head(hidden), kv_cache, hidden_prenorm
             return head(hidden), kv_cache
         last_idx = jnp.maximum(meta.q_lens - 1, 0)
         last_hidden = jnp.take_along_axis(
             hidden, last_idx[:, None, None], axis=1)[:, 0]
         return head(last_hidden), kv_cache
+
+
+class DeepseekMTP(DeepseekV2Model):
+    """DeepSeek-V3 Multi-Token-Prediction module as a speculative proposer.
+
+    Reference analog: ``lmdeploy/pytorch/spec_decode`` MTP proposers and the
+    DeepSeek-V3 checkpoint's extra layer (``model.layers.{num_layers}``):
+    the draft input is ``eh_proj([enorm(embed(tok)) ; hnorm(h_target)])``
+    followed by ONE standard DeepSeek block (MLA attention + MoE), with the
+    module's shared_head norm and the target's lm_head producing draft
+    logits.  Embeddings and lm_head are shared with the target model, so the
+    proposer adds only one layer of weights and one 1-layer latent KV cache.
+
+    The ``step`` signature matches ``EagleHead.step`` — the engine reuses the
+    feature-conditioned (EAGLE) speculative machinery, and batched rejection
+    sampling keeps outputs exactly on the target distribution regardless of
+    draft quality (see engine/spec_agent.py).
+    """
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        # the MTP layer sits after the main stack; DeepSeek configs place it
+        # past first_k_dense_replace, so its mlp is MoE whenever the model
+        # has routed experts (tiny test configs without experts fall back to
+        # the dense mlp)
+        self.mtp_index = config.num_layers
+        self.moe_mlp = bool(config.num_experts)
+
+    # -- parameters ---------------------------------------------------------------------
+    def param_shapes(self) -> Dict[str, Any]:
+        cfg = self.config
+        H = cfg.hidden_size
+        layer = self._attn_shapes(1)
+        if self.moe_mlp:
+            E = cfg.num_experts
+            Ie = cfg.moe_intermediate_size or cfg.intermediate_size
+            Is = (cfg.num_shared_experts or 0) * Ie
+            layer.update(router=(1, H, E), router_bias=(1, E),
+                         we_gate=(1, E, H, Ie), we_up=(1, E, H, Ie),
+                         we_down=(1, E, Ie, H))
+            if Is:
+                layer.update(ws_gate=(1, H, Is), ws_up=(1, H, Is),
+                             ws_down=(1, Is, H))
+        else:
+            I = cfg.intermediate_size
+            layer.update(w_gate=(1, H, I), w_up=(1, H, I), w_down=(1, I, H))
+        return {
+            'enorm': (H,),
+            'hnorm': (H,),
+            'eh_proj': (2 * H, H),
+            'shead_norm': (H,),
+            'layer': layer,
+        }
+
+    def make_assign_plan(self):
+        cfg = self.config
+        nh, dn, dr, dv, r = self.nh, self.dn, self.dr, self.dv, self.r
+
+        def T(x):
+            return np.ascontiguousarray(np.swapaxes(x, -1, -2))
+
+        def uk(x):
+            return np.ascontiguousarray(x.reshape(nh, dn + dv, r)[:, :dn, :])
+
+        def uv(x):
+            return np.ascontiguousarray(
+                np.swapaxes(x.reshape(nh, dn + dv, r)[:, dn:, :], -1, -2))
+
+        ident = lambda x: x  # noqa: E731
+        p = f'model.layers.{self.mtp_index}.'
+        plan: Dict[str, Any] = {
+            p + 'enorm.weight': (('enorm',), ident, None),
+            p + 'hnorm.weight': (('hnorm',), ident, None),
+            p + 'eh_proj.weight': (('eh_proj',), T, None),
+            p + 'shared_head.norm.weight': (('shead_norm',), ident, None),
+            p + 'input_layernorm.weight': (('layer', 'attn_norm', 0), ident, None),
+            p + 'post_attention_layernorm.weight':
+                (('layer', 'mlp_norm', 0), ident, None),
+            p + 'self_attn.kv_a_proj_with_mqa.weight':
+                (('layer', 'wdkv', 0), T, None),
+            p + 'self_attn.kv_a_layernorm.weight':
+                (('layer', 'kv_norm', 0), ident, None),
+            p + 'self_attn.kv_b_proj.weight': [
+                (('layer', 'wuk', 0), uk, None), (('layer', 'wuv', 0), uv, None)],
+            p + 'self_attn.o_proj.weight': (('layer', 'wo', 0), T, None),
+        }
+        if self.rq:
+            plan.update({
+                p + 'self_attn.q_a_proj.weight': (('layer', 'wdq', 0), T, None),
+                p + 'self_attn.q_a_layernorm.weight':
+                    (('layer', 'q_norm', 0), ident, None),
+                p + 'self_attn.q_b_proj.weight': (('layer', 'wuq', 0), T, None),
+            })
+        else:
+            plan[p + 'self_attn.q_proj.weight'] = (('layer', 'wq', 0), T, None)
+        if self.moe_mlp:
+            from .mixtral import _ExpertSlice
+            E = self.config.num_experts
+            plan[p + 'mlp.gate.weight'] = (('layer', 'router', 0), T, None)
+            plan[p + 'mlp.gate.e_score_correction_bias'] = \
+                (('layer', 'router_bias', 0), ident, None)
+            for e in range(E):
+                q = p + f'mlp.experts.{e}.'
+                plan[q + 'gate_proj.weight'] = \
+                    (('layer', 'we_gate', 0), T, _ExpertSlice(e))
+                plan[q + 'up_proj.weight'] = \
+                    (('layer', 'we_up', 0), T, _ExpertSlice(e))
+                plan[q + 'down_proj.weight'] = \
+                    (('layer', 'we_down', 0), T, _ExpertSlice(e))
+            if self.config.num_shared_experts:
+                q = p + 'mlp.shared_experts.'
+                plan[q + 'gate_proj.weight'] = (('layer', 'ws_gate', 0), T, None)
+                plan[q + 'up_proj.weight'] = (('layer', 'ws_up', 0), T, None)
+                plan[q + 'down_proj.weight'] = (('layer', 'ws_down', 0), T, None)
+        else:
+            plan[p + 'mlp.gate_proj.weight'] = (('layer', 'w_gate', 0), T, None)
+            plan[p + 'mlp.up_proj.weight'] = (('layer', 'w_up', 0), T, None)
+            plan[p + 'mlp.down_proj.weight'] = (('layer', 'w_down', 0), T, None)
+        return plan
+
+    # -- draft step (EagleHead-compatible) ----------------------------------------------
+    def step(self, params, tparams, h_cond, token, position, kv_cache,
+             block_tables, q_lens, cos_tab, sin_tab, max_len):
+        """One MTP draft step.
+
+        Args: ``h_cond`` [B, H] target pre-final-norm features; ``token`` [B];
+        ``position`` [B].  Returns (logits [B, V], h_new [B, H], kv_cache).
+        """
+        cfg = self.config
+        B = token.shape[0]
+
+        emb = tparams['embed'][token].astype(h_cond.dtype)           # [B, H]
+        x = jnp.concatenate(
+            [rms_norm(emb, params['enorm'], cfg.rms_norm_eps),
+             rms_norm(h_cond, params['hnorm'], cfg.rms_norm_eps)],
+            axis=-1) @ params['eh_proj']                             # [B, H]
+        xt = x[:, None, :]
+
+        pos = jnp.clip(position, 0, max_len - 1)[:, None]
+        cos, sin = cos_tab[pos], sin_tab[pos]
+        slot = compute_slot_mapping(block_tables, position, q_lens, 1,
+                                    kv_cache.shape[3])
+        w = jax.tree_util.tree_map(lambda a: a[0], params['layer'])
+        meta = AttnMeta(block_tables=block_tables, history_lens=position,
+                        q_lens=q_lens)
+        h, kv_cache = self._attn_block(xt, w, jnp.int32(0), kv_cache, meta,
+                                       cos, sin, slot, False)
+        y = rms_norm(h, w['mlp_norm'], cfg.rms_norm_eps)
+        h = h + (self._moe_mlp(w, y) if self.moe_mlp else self._mlp(w, y))
+        h_new = h[:, 0]
+
+        lm_head = tparams.get('lm_head')
+        if lm_head is None:
+            lm_head = tparams['embed'].T
+        hn = rms_norm(h_new, params['shead_norm'], cfg.rms_norm_eps)
+        logits = jnp.dot(hn, lm_head, preferred_element_type=jnp.float32)
+        return logits, h_new, kv_cache
