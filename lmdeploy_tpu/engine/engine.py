@@ -709,6 +709,30 @@ class Engine:
             req.finished = True
         self._requests.clear()
 
+    # -- EPLB (reference: nn/eplb.py EPLBManager) -----------------------------------------
+    def rebalance_experts(self, load, num_physical: Optional[int] = None):
+        """Install an EPLB-balanced expert layout from measured [L, E] (or
+        [E]) load counts: hot experts replicate into the extra physical slots
+        and slots pack so each 'ep' rank carries near-equal load.  Expert
+        stacks are re-laid in place; the step executables recompile on next
+        dispatch (rebalances are rare — reference EPLBManager cadence)."""
+        from ..parallel.eplb import install_eplb
+        agent = self.model_agent
+        groups = [g for g in ('layers', 'moe_layers')
+                  if g in agent.params and 'we_gate' in agent.params[g]]
+        if not groups:
+            raise ValueError('model has no routed-expert stacks to balance')
+        ep = max(1, getattr(self.configs.dist, 'ep', 1))
+        import numpy as np
+        for g in groups:
+            E = agent.params[g]['we_gate'].shape[1]
+            S = num_physical or E + max(ep, E // 8)     # default redundancy
+            S += (-S) % ep
+            agent.params[g] = install_eplb(agent.params[g], np.asarray(load),
+                                           S, ep)
+        agent._step_fns.clear()
+        return {g: int(agent.params[g]['we_gate'].shape[1]) for g in groups}
+
     # -- LoRA adapters (reference: pytorch/adapter) --------------------------------------
     def load_lora(self, name: str, path: str):
         if not hasattr(self, '_lora'):

@@ -308,7 +308,8 @@ class DeepseekV2Model(LlamaModel):
         if cfg.norm_topk_prob:
             top_w = top_w / (top_w.sum(-1, keepdims=True) + 1e-20)
         top_w = top_w * cfg.routed_scaling_factor
-        from ..ops.moe import moe_ffn
+        from ..ops.moe import eplb_remap, moe_ffn
+        top_idx = eplb_remap(w, top_idx)
         out = moe_ffn(xf, top_idx, top_w, w['we_gate'], w['we_up'],
                       w['we_down'], x.dtype,
                       allow_ragged=not getattr(self, 'ep_sharded', False))

@@ -70,7 +70,7 @@ class GptOssModel(LlamaModel):
 
     # -- MoE mlp -----------------------------------------------------------------------
     def _mlp(self, w, x: jax.Array) -> jax.Array:
-        from ..ops.moe import moe_ffn
+        from ..ops.moe import eplb_remap, moe_ffn
         cfg = self.config
         k = cfg.num_experts_per_tok
         limit = self.swiglu_limit
@@ -88,6 +88,7 @@ class GptOssModel(LlamaModel):
             glu = gate * jax.nn.sigmoid(gate * 1.702)
             return (up + 1.0) * glu
 
+        top_idx = eplb_remap(w, top_idx)
         out = moe_ffn(xf, top_idx, top_w, w['we_gate'], w['we_up'],
                       w['we_down'], x.dtype,
                       allow_ragged=not getattr(self, 'ep_sharded', False),

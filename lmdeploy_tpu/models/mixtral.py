@@ -44,7 +44,7 @@ class MixtralModel(LlamaModel):
         }
 
     def _mlp(self, w, x: jax.Array) -> jax.Array:
-        from ..ops.moe import moe_ffn
+        from ..ops.moe import eplb_remap, moe_ffn
         cfg = self.config
         k = cfg.num_experts_per_tok
         B, T, H = x.shape
@@ -59,6 +59,7 @@ class MixtralModel(LlamaModel):
             probs = jax.nn.softmax(logits, axis=-1)
             top_w, top_idx = jax.lax.top_k(probs, k)
 
+        top_idx = eplb_remap(w, top_idx)
         out = moe_ffn(xf, top_idx, top_w, w['we_gate'], w['we_up'],
                       w['we_down'], x.dtype,
                       allow_ragged=not getattr(self, 'ep_sharded', False))

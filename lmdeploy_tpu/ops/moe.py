@@ -26,6 +26,24 @@ def _silu_mul(gate, up):
     return jax.nn.silu(gate) * up
 
 
+def eplb_remap(w: dict, top_idx: jax.Array) -> jax.Array:
+    """Map the router's LOGICAL expert choices to EPLB physical slots.
+
+    No-op unless parallel/eplb.py installed a balanced layout (tables ride
+    the layer scan as per-layer params).  Replicas of a hot expert are
+    spread across tokens round-robin, splitting its load.
+    """
+    if 'eplb_l2p' not in w:
+        return top_idx
+    l2p = w['eplb_l2p']          # [E, Rmax] physical slot per replica
+    reps = w['eplb_reps']        # [E] replica counts
+    N, k = top_idx.shape
+    r = (jnp.arange(N, dtype=jnp.int32)[:, None]
+         + jnp.arange(k, dtype=jnp.int32)[None, :])
+    choice = r % reps[top_idx]
+    return l2p[top_idx, choice]
+
+
 def moe_ffn(xf: jax.Array,           # [N, H]
             top_idx: jax.Array,      # [N, k] i32 expert choices
             top_w: jax.Array,        # [N, k] f32 routing weights
