@@ -8,8 +8,11 @@ imports them into freshly allocated blocks and continues decoding with no
 recompute.  The wire format is a dict of numpy arrays (npz over HTTP via the
 /distserve endpoints in serve/api_server.py).
 
-The cache layout makes this cheap on both sides: blocks are contiguous slices of
-``[L, Hkv, NB, BS, Dp]``, so export is one gather and import one scatter.
+The cache layout makes this cheap on both sides: blocks are contiguous slices
+of the unified pages ``[L, NB, 2, BS, HDp]``, so export is one gather and
+import one scatter per pytree leaf — quantized caches (QuantKV int8 /
+QuantKV4 int4) migrate the same way, their scale planes riding along as
+additional leaves.
 """
 from __future__ import annotations
 
@@ -35,19 +38,20 @@ def export_session_kv(engine, session_id: int) -> Dict[str, np.ndarray]:
     seq = next(iter(session.sequences.values()))
     assert seq.logical_blocks, 'sequence holds no KV blocks (already released?)'
 
+    import jax
     agent = engine.model_agent
-    from .ops.kv_quant import QuantKV, QuantKV4
-    if isinstance(agent.cache_engine.kv_cache, (QuantKV, QuantKV4)):
-        raise NotImplementedError('PD KV migration with quantized caches '
-                                  '(quant_policy=4/8) is not implemented yet')
-    blocks = np.asarray(seq.logical_blocks, np.int32)
-    kv = np.asarray(agent.cache_engine.kv_cache[:, jnp.asarray(blocks)])
-    return {
+    blocks = jnp.asarray(np.asarray(seq.logical_blocks, np.int32))
+    leaves = jax.tree_util.tree_leaves(agent.cache_engine.kv_cache)
+    out = {
         'token_ids': np.asarray(seq.history_ids, np.int32),
         'num_computed': np.asarray(seq.num_computed_tokens, np.int64),
-        'kv_blocks': kv,                    # [L, n, BS, ROWp]
         'block_size': np.asarray(engine.configs.cache.block_size, np.int64),
+        'num_leaves': np.asarray(len(leaves), np.int64),
     }
+    # every cache leaf (pages; int8/int4 scale planes) has blocks at dim 1
+    for i, leaf in enumerate(leaves):
+        out[f'kv_leaf_{i}'] = np.asarray(leaf[:, blocks])
+    return out
 
 
 def release_exported(engine, session_id: int):
@@ -68,7 +72,7 @@ def import_session_kv(engine, session_id: int, payload: Dict[str, np.ndarray],
         'block_size mismatch between PD peers'
     token_ids = payload['token_ids'].tolist()
     num_computed = int(payload['num_computed'])
-    n_blocks = payload['kv_blocks'].shape[1]
+    n_blocks = payload['kv_leaf_0'].shape[1]
 
     engine.add_session(session_id)
     session = engine.scheduler.seq_manager.get_session(session_id)
@@ -80,10 +84,15 @@ def import_session_kv(engine, session_id: int, payload: Dict[str, np.ndarray],
     seq.status = MessageStatus.RUNNING
 
     agent = engine.model_agent
+    import jax
     idx = jnp.asarray(np.asarray(seq.logical_blocks, np.int32))
-    kv_cache = agent.cache_engine.kv_cache.at[:, idx].set(
-        jnp.asarray(payload['kv_blocks'], agent.cache_engine.kv_cache.dtype))
-    agent.cache_engine.swap_caches(kv_cache)
+    leaves, treedef = jax.tree_util.tree_flatten(agent.cache_engine.kv_cache)
+    assert len(leaves) == int(payload['num_leaves']), 'quant_policy mismatch'
+    new_leaves = [
+        leaf.at[:, idx].set(jnp.asarray(payload[f'kv_leaf_{i}'], leaf.dtype))
+        for i, leaf in enumerate(leaves)]
+    agent.cache_engine.swap_caches(
+        jax.tree_util.tree_unflatten(treedef, new_leaves))
     agent.insert_decode_rows([seq])
     # fresh slot: clear the seen-token counts + prompt mask (skipped prefill)
     V = engine.configs.model.vocab_size

@@ -814,17 +814,27 @@ class ModelAgent:
         self._slept_level = 0
 
     def update_params(self, named_arrays) -> int:
-        """Online weight update (RL weight sync; reference agent.py:1277).
+        """Online weight update (RL weight sync; reference agent.py:1277
+        in-place CUDA-IPC update).
 
-        ``named_arrays``: iterable of (hf_tensor_name, np.ndarray) in checkpoint
-        naming; routed through the model's assign plan.  Returns tensors applied.
+        ``named_arrays``: iterable of (hf_tensor_name, np.ndarray) in
+        checkpoint naming, routed through the model's assign plan.  Each
+        update touches ONLY its target leaf on device (a leaf-sized
+        ``.at[...].set`` — XLA donates and overwrites in place), so syncing a
+        few tensors moves a few tensors, not the whole parameter tree: the
+        round-1 implementation device_get the FULL params to host and re-put
+        them, orders of magnitude more traffic for its RL weight-sync
+        purpose.  Returns the number of tensors applied.
         """
         import jax
-        from ..weight_loader import _assign
+        import jax.numpy as jnp
         plan = self.model.make_assign_plan()
-        # device_get returns read-only views; copy so the assign plan can write
-        params_np = jax.tree_util.tree_map(lambda x: np.array(x),
-                                           jax.device_get(self.params))
+
+        def put_leaf(arr, value):
+            if self.mesh is not None:
+                value = jax.device_put(value, arr.sharding)
+            return value
+
         applied = 0
         for name, tensor in named_arrays:
             entry = plan.get(name)
@@ -832,14 +842,32 @@ class ModelAgent:
                 continue
             entries = entry if isinstance(entry, list) else [entry]
             for path, transform, col in entries:
-                _assign(params_np, path, transform(np.asarray(tensor)), col)
+                new_np = transform(np.asarray(tensor))
+                layer = None
+                p = path
+                if isinstance(p[-1], int):
+                    layer, p = p[-1], p[:-1]
+                node = self.params
+                for part in p[:-1]:
+                    node = node[part]
+                leaf = node[p[-1]]
+                upd = jnp.asarray(new_np, leaf.dtype)
+                if layer is None and col is None:
+                    node[p[-1]] = put_leaf(leaf, upd)
+                else:
+                    idx = ()
+                    if layer is not None:
+                        idx += (layer,)
+                    if col is None:
+                        pass
+                    elif isinstance(col, slice):
+                        idx += (Ellipsis, col)
+                    elif hasattr(col, 'e'):      # expert row (_ExpertSlice)
+                        idx += (col.e,)
+                    else:
+                        idx += (Ellipsis, col)
+                    node[p[-1]] = leaf.at[idx].set(upd) if idx else leaf
                 applied += 1
-        shardings = None
-        if self.mesh is not None:
-            from ..parallel.mesh import make_llama_shardings
-            shardings = make_llama_shardings(self.model)
-        from ..weight_loader import put_params
-        self.params = put_params(params_np, shardings, self.mesh)
         return applied
 
     def warmup(self, batch_sizes: Optional[List[int]] = None,

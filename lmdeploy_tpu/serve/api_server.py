@@ -375,6 +375,38 @@ def create_app(engine: AsyncEngine, model_name: str, api_key: Optional[str] = No
         engine.engine.wakeup()
         return web.json_response({'status': 'ok'})
 
+    async def update_weights(request):
+        """Online weight sync (reference: endpoints/management.py
+        update_weights): body is an .npz archive keyed by HF tensor names;
+        each tensor updates its target leaf in place on device."""
+        import io
+
+        import numpy as np
+        body = await request.read()
+        try:
+            arrays = np.load(io.BytesIO(body))
+            items = [(k, arrays[k]) for k in arrays.files]
+        except Exception as e:  # noqa: BLE001
+            return error_response(f'invalid npz payload: {e}', 400)
+        applied = engine.engine.model_agent.update_params(items)
+        return web.json_response({'status': 'ok', 'applied': applied,
+                                  'received': len(items)})
+
+    async def terminate(request):
+        """Graceful shutdown (reference: endpoints/management.py
+        terminate): finish in-flight requests, then stop the process."""
+        import asyncio as aio
+        import os
+        import signal
+
+        async def _exit():
+            await aio.sleep(0.2)          # let the response flush
+            engine.engine.close()
+            os.kill(os.getpid(), signal.SIGTERM)
+
+        aio.get_running_loop().create_task(_exit())
+        return web.json_response({'status': 'terminating'})
+
     app = web.Application(middlewares=[auth_middleware])
     from .anthropic_api import add_anthropic_routes
     add_anthropic_routes(app, engine, model_name)
@@ -389,6 +421,8 @@ def create_app(engine: AsyncEngine, model_name: str, api_key: Optional[str] = No
     app.router.add_post('/abort_request', abort_request)
     app.router.add_post('/sleep', sleep_ep)
     app.router.add_post('/wakeup', wakeup_ep)
+    app.router.add_post('/update_weights', update_weights)
+    app.router.add_post('/terminate', terminate)
     app.router.add_get('/distserve/export/{session_id}', distserve_export)
     app.router.add_post('/distserve/import', distserve_import)
     app.router.add_post('/distserve/continue', distserve_continue)

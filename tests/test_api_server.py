@@ -231,3 +231,50 @@ def test_responses_streaming(server_client):
         return True
 
     assert loop.run_until_complete(run())
+
+
+def test_update_weights_endpoint(tiny_model_dir):
+    """POST /update_weights with an npz payload updates leaves in place
+    (reference: serve/openai/endpoints/management.py update_weights)."""
+    import asyncio
+    import io
+
+    import numpy as np
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from lmdeploy_tpu.messages import TpuEngineConfig
+    from lmdeploy_tpu.serve.api_server import create_app
+    from lmdeploy_tpu.serve.async_engine import AsyncEngine
+
+    cfg = TpuEngineConfig(dtype='float32', block_size=16, num_gpu_blocks=32,
+                          max_batch_size=2, session_len=128,
+                          max_prefill_token_num=64)
+    eng = AsyncEngine(tiny_model_dir, backend_config=cfg)
+    loop = asyncio.new_event_loop()
+
+    async def run():
+        client = TestClient(TestServer(create_app(eng, 'tiny')))
+        await client.start_server()
+        try:
+            agent = eng.engine.model_agent
+            H = agent.model_config.hidden_size
+            new_norm = np.full(H, 2.0, np.float32)
+            buf = io.BytesIO()
+            np.savez(buf, **{'model.norm.weight': new_norm})
+            r = await client.post('/update_weights', data=buf.getvalue())
+            body = await r.json()
+            assert r.status == 200 and body['applied'] == 1
+            got = np.asarray(agent.params['final_norm'])
+            np.testing.assert_allclose(got, new_norm)
+            # malformed payload -> 400
+            r = await client.post('/update_weights', data=b'not-an-npz')
+            assert r.status == 400
+        finally:
+            await client.close()
+        return True
+
+    try:
+        assert loop.run_until_complete(run())
+    finally:
+        eng.close()
+        loop.close()

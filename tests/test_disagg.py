@@ -58,7 +58,7 @@ def test_pd_migration_matches_single_engine(tiny_model_dir):
         first = _gen(pre, 7, prompt, 1, end=False)
         assert first == full[:1]
         payload = disagg.export_session_kv(pre, 7)
-        assert payload['kv_blocks'].shape[1] >= 1
+        assert payload['kv_leaf_0'].shape[1] >= 1
         wire = disagg.serialize_payload(payload)
         disagg.release_exported(pre, 7)
         assert not pre.scheduler.has_unfinished()
@@ -140,3 +140,62 @@ def test_pd_http_endpoints(tiny_model_dir):
         pre.close()
         dec.close()
         loop.close()
+
+
+def test_pd_migration_quantized_cache(tiny_model_dir):
+    """Quantized (int8 per-token) KV caches migrate too: the pytree's scale
+    planes ride along as extra leaves and the continuation matches the
+    single-engine run token-for-token."""
+    from lmdeploy_tpu import disagg
+    from lmdeploy_tpu.engine.engine import Engine
+    from lmdeploy_tpu.messages import TpuEngineConfig
+    from lmdeploy_tpu.paging.seq import SamplingParams
+
+    def make(role):
+        cfg = TpuEngineConfig(dtype='float32', block_size=16, num_gpu_blocks=48,
+                              max_batch_size=4, session_len=160,
+                              max_prefill_token_num=64, role=role,
+                              quant_policy=4)
+        return Engine.from_pretrained(tiny_model_dir, cfg)
+
+    prompt = [2, 11, 29, 47, 83, 5, 19]
+
+    hybrid = make('hybrid')
+    try:
+        full = _gen(hybrid, 1, prompt, 7)
+    finally:
+        hybrid.close()
+
+    pre = make('prefill')
+    try:
+        first = _gen(pre, 7, prompt, 1, end=False)
+        assert first == full[:1]
+        payload = disagg.export_session_kv(pre, 7)
+        assert int(payload['num_leaves']) == 2      # int8 pages + scales
+        disagg.release_exported(pre, 7)
+    finally:
+        pre.close()
+
+    from lmdeploy_tpu.messages import ResponseType
+    dec = make('decode')
+    try:
+        sp = SamplingParams(max_new_tokens=6, ignore_eos=True)
+
+        async def run():
+            disagg.import_session_kv(dec, 7, payload, sp)
+            queue = dec.continue_session(7)
+            out = None
+            while True:
+                out = await queue.get()
+                if out.status != ResponseType.SUCCESS:
+                    break
+            return out.token_ids
+
+        loop = asyncio.new_event_loop()
+        try:
+            rest = loop.run_until_complete(run())
+        finally:
+            loop.close()
+    finally:
+        dec.close()
+    assert first + rest == full, (first + rest, full)
