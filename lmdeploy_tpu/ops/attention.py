@@ -326,9 +326,12 @@ def paged_attention(q, kv_cache, block_tables, history_lens, q_lens, scale,
 
     T = q.shape[1]
     D = q.shape[3]
-    if sinks is not None or not isinstance(window_size, (int, type(None))):
-        # sink logits / traced per-layer windows: Pallas kernels don't model
-        # them yet; the XLA reference handles both
+    quant = isinstance(kv_cache, (QuantKV, QuantKV4))
+    if (sinks is not None or not isinstance(window_size, (int, type(None)))) \
+            and not (_on_tpu() and T == 1 and not quant):
+        # sink logits / traced per-layer windows outside the decode kernel's
+        # coverage (prefill, chunked continuation, quantized caches): the
+        # XLA reference handles both
         force_reference = True
     if force_reference:
         # context-parallel decode: the cache's block_size dim is sharded over
@@ -341,12 +344,15 @@ def paged_attention(q, kv_cache, block_tables, history_lens, q_lens, scale,
                                         logit_softcap, window_size, sinks)
 
     if _on_tpu():
-        if T == 1 and window_size is None:
+        if T == 1 and (not quant or window_size is None):
             from .pallas.paged_decode import paged_decode_attention
+            win = None if isinstance(window_size, int) and window_size <= 0 \
+                else window_size
             out = paged_decode_attention(
                 q[:, 0], kv_cache, block_tables,
                 history_lens + 1,     # kv length includes the token just filled
-                layer, scale, num_kv_heads, logit_softcap=logit_softcap)
+                layer, scale, num_kv_heads, logit_softcap=logit_softcap,
+                window=None if quant else win, sinks=sinks)
             return out[:, None]
         import os
         if fresh_prefill and chunk_kv is not None and logit_softcap is None \

@@ -82,6 +82,38 @@ def _prog_pages(lengths_ref, rb_idx, RB, BS):
     return n
 
 
+def _row_ws(lengths_ref, row, window, BS):
+    """First in-window token position of a row (0 when windowing is off)."""
+    ln = lengths_ref[row]
+    return jnp.where(window > 0, jnp.maximum(ln - window, 0), 0)
+
+
+def _prog_span(lengths_ref, rb_idx, RB, BS, window):
+    """(first_page, page_count >= 1) this program loops over: from the
+    earliest in-window page of its rows to the latest page.  Sliding-window
+    rows skip the pages their window has left entirely."""
+    n_end = jnp.int32(1)
+    for r in range(RB):
+        n_end = jnp.maximum(n_end, pl.cdiv(lengths_ref[rb_idx * RB + r], BS))
+    start = n_end - 1
+    for r in range(RB):
+        row = rb_idx * RB + r
+        s = jnp.where(lengths_ref[row] > 0,
+                      _row_ws(lengths_ref, row, window, BS) // BS,
+                      n_end - 1)
+        start = jnp.minimum(start, s)
+    return start, n_end - start
+
+
+def _base_parity_w(lengths_ref, rb, RB, BS, window):
+    """Window-aware prefix-sum slot parity (see _base_parity)."""
+    def body(j, acc):
+        _, cnt = _prog_span(lengths_ref, j, RB, BS, window)
+        return acc + cnt
+    total = jax.lax.fori_loop(0, rb, body, jnp.int32(0))
+    return jax.lax.rem(total, 2)
+
+
 def _base_parity(lengths_ref, rb, RB, BS):
     """Parity of the total page count of all programs before ``rb`` — the
     buffer slot where the previous program prefetched this one's page 0.
@@ -111,49 +143,60 @@ def _softmax_update(s, m_ref, l_ref, acc_ref, v, pr_scale=None, pr_const=None):
     acc_ref[...] = acc_ref[...] * alpha + upd
 
 
-def _decode_kernel(lengths_ref, tables_ref, layer_ref,        # scalar prefetch
-                   q_ref,                                     # [RB, HkvG, ROWp]
-                   pages_ref,                                 # [L, NB, BS, ROWp]
-                   out_ref,                                   # [RB, HkvG, ROWp]
-                   buf, sems, acc_ref, m_ref, l_ref,
-                   *, RB: int, BS: int, scale: float, w_max: int, num_rb: int,
-                   logit_softcap: Optional[float]):
+def _decode_kernel(lengths_ref, tables_ref, meta_ref,         # scalar prefetch
+                   q_ref,                                     # [RB, HkvG, HDp]
+                   pages_ref,                                 # [L, NB, 2, BS, HDp]
+                   *rest,                                     # [sinks?] out scratch
+                   RB: int, BS: int, scale: float, w_max: int, num_rb: int,
+                   logit_softcap: Optional[float], has_sinks: bool):
+    if has_sinks:
+        sinks_ref, out_ref, buf, sems, acc_ref, m_ref, l_ref = rest
+    else:
+        out_ref, buf, sems, acc_ref, m_ref, l_ref = rest
+        sinks_ref = None
     rb = pl.program_id(0)
-    layer = layer_ref[0]
+    layer = meta_ref[0]
+    window = meta_ref[1]          # <= 0 disables sliding-window masking
     HkvG = q_ref.shape[1]
+
+    def fetch_pred(row, p):
+        # a page is fetched iff it holds any in-window token of the row
+        ln = lengths_ref[row]
+        ws = _row_ws(lengths_ref, row, window, BS)
+        return (p * BS < ln) & ((p + 1) * BS > ws)
 
     def start(rb_idx, p, slot):
         for r in range(RB):
             row = rb_idx * RB + r
-            # skip pages past this row's length (and inactive len=0 rows);
+            # skip pages outside the row's [window_start, length) span;
             # zero the buffer instead — stale VMEM bits can decode to
             # NaN/Inf and 0 * NaN would poison the accumulator
-            @pl.when(p * BS < lengths_ref[row])
+            @pl.when(fetch_pred(row, p))
             def _():
                 pltpu.make_async_copy(
                     pages_ref.at[layer, tables_ref[row, p]],
                     buf.at[slot, r], sems.at[slot, r]).start()
 
-            @pl.when(p * BS >= lengths_ref[row])
+            @pl.when(~fetch_pred(row, p))
             def _():
                 buf[slot, r] = jnp.zeros_like(buf[slot, r])
 
     def wait(slot, rb_idx, p):
         for r in range(RB):
-            @pl.when(p * BS < lengths_ref[rb_idx * RB + r])
+            @pl.when(fetch_pred(rb_idx * RB + r, p))
             def _():
                 pltpu.make_async_copy(buf.at[slot, r], buf.at[slot, r],
                                       sems.at[slot, r]).wait()
 
-    # dynamic page bound: loop only as far as this program's longest row —
+    # dynamic page span: loop only over this program's in-window pages —
     # compiling to the static table width would burn a full masked
     # dot+softmax pass (and an 8MB buffer zero-fill) per skipped page
-    n_pages = _prog_pages(lengths_ref, rb, RB, BS)
-    base = _base_parity(lengths_ref, rb, RB, BS)
+    p_lo, n_pages = _prog_span(lengths_ref, rb, RB, BS, window)
+    base = _base_parity_w(lengths_ref, rb, RB, BS, window)
 
     @pl.when(rb == 0)
     def _():
-        start(0, 0, 0)
+        start(0, p_lo, 0)
 
     q = q_ref[...].astype(jnp.float32) * scale
     acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -162,19 +205,22 @@ def _decode_kernel(lengths_ref, tables_ref, layer_ref,        # scalar prefetch
     shape = (RB, q.shape[1], BS)
     pos0 = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
     lens = _row_lens(lengths_ref, rb, RB, shape)
+    ws_full = jnp.where(window > 0, jnp.maximum(lens - window, 0), 0)
 
-    def body(p, _):
+    def body(i, _):
+        p = p_lo + i
         # slot parity continues the global prefix-sum schedule so the
         # cross-program prefetch lands where the receiver waits
-        slot = jax.lax.rem(base + p, 2)
+        slot = jax.lax.rem(base + i, 2)
 
-        @pl.when(p + 1 < n_pages)
+        @pl.when(i + 1 < n_pages)
         def _():
             start(rb, p + 1, 1 - slot)
 
-        @pl.when((p + 1 == n_pages) & (rb + 1 < num_rb))
+        @pl.when((i + 1 == n_pages) & (rb + 1 < num_rb))
         def _():
-            start(rb + 1, 0, 1 - slot)
+            nxt_lo, _cnt = _prog_span(lengths_ref, rb + 1, RB, BS, window)
+            start(rb + 1, nxt_lo, 1 - slot)
 
         wait(slot, rb, p)
         k = buf[slot, :, 0].astype(jnp.float32)           # [RB, BS, HDp]
@@ -182,13 +228,21 @@ def _decode_kernel(lengths_ref, tables_ref, layer_ref,        # scalar prefetch
                                 preferred_element_type=jnp.float32)
         if logit_softcap is not None:
             s = jnp.tanh(s / logit_softcap) * logit_softcap
-        s = jnp.where(p * BS + pos0 < lens, s, MASK_VALUE)
+        pos = p * BS + pos0
+        s = jnp.where((pos < lens) & (pos >= ws_full), s, MASK_VALUE)
         _softmax_update(s, m_ref, l_ref, acc_ref,
                         buf[slot, :, 1].astype(jnp.float32))
         return 0
 
     jax.lax.fori_loop(0, n_pages, body, 0)
     l = l_ref[...]
+    if has_sinks:
+        # learned per-head sink logit joins the softmax denominator only
+        # (reference: flashattention.py s_aux); guard fully-masked rows
+        # whose running max is still MASK_VALUE
+        m = m_ref[...]
+        l = l + jnp.where(m > 0.5 * MASK_VALUE,
+                          jnp.exp(sinks_ref[...].astype(jnp.float32) - m), 0.0)
     out_ref[...] = (acc_ref[...] / jnp.where(l == 0.0, 1.0, l)
                     ).astype(out_ref.dtype)
 
@@ -417,16 +471,24 @@ def _extract_v_diag(out: jax.Array, num_kv_heads: int, G: int, D: int
 def paged_decode_attention(q: jax.Array, kv_cache, block_tables: jax.Array,
                            kv_lens: jax.Array, layer, scale: float,
                            num_kv_heads: int,
-                           logit_softcap: Optional[float] = None) -> jax.Array:
+                           logit_softcap: Optional[float] = None,
+                           window=None,
+                           sinks: Optional[jax.Array] = None) -> jax.Array:
     """q: [B, Hq, D]; kv_cache: unified pages (array or QuantKV/QuantKV4);
-    kv_lens: [B] valid kv length per row (0 = inactive); returns [B, Hq, D]."""
+    kv_lens: [B] valid kv length per row (0 = inactive); ``window`` is a
+    sliding-window size (int or traced per-layer scalar; None/<=0 = full
+    attention; plain caches only); ``sinks`` [Hq] learned attention-sink
+    logits join the softmax denominator.  Returns [B, Hq, D]."""
     from ..kv_quant import QuantKV, QuantKV4
 
     B, Hq, D = q.shape
     G = Hq // num_kv_heads
     HkvG = Hq
     W = block_tables.shape[1]
-    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+    if window is None:
+        window = 0
+    meta_arr = jnp.stack([jnp.asarray(layer, jnp.int32),
+                          jnp.asarray(window, jnp.int32)])
 
     quant8 = isinstance(kv_cache, QuantKV)
     quant4 = isinstance(kv_cache, QuantKV4)
@@ -472,7 +534,7 @@ def paged_decode_attention(q: jax.Array, kv_cache, block_tables: jax.Array,
                 ] + softmax_scratch,
             ),
             out_shape=jax.ShapeDtypeStruct((num_rb * RB, HkvG, hdp), q.dtype),
-        )(kv_lens, block_tables, layer_arr, q_bd, kv_cache.data,
+        )(kv_lens, block_tables, meta_arr, q_bd, kv_cache.data,
           kv_cache.scale, kv_cache.minv)
     elif quant8:
         kernel = functools.partial(_decode_kernel_quant, G=G, **common)
@@ -491,16 +553,23 @@ def paged_decode_attention(q: jax.Array, kv_cache, block_tables: jax.Array,
                 ] + softmax_scratch,
             ),
             out_shape=jax.ShapeDtypeStruct((num_rb * RB, HkvG, hdp), q.dtype),
-        )(kv_lens, block_tables, layer_arr, q_bd, kv_cache.data,
+        )(kv_lens, block_tables, meta_arr, q_bd, kv_cache.data,
           kv_cache.scale)
     else:
-        kernel = functools.partial(_decode_kernel, **common)
+        kernel = functools.partial(_decode_kernel, has_sinks=sinks is not None,
+                                   **common)
+        in_specs = [q_spec, pl.BlockSpec(memory_space=pltpu.HBM)]
+        extra = ()
+        if sinks is not None:
+            in_specs.append(pl.BlockSpec((1, HkvG, 1),
+                                         lambda rb, *_: (0, 0, 0)))
+            extra = (sinks.astype(jnp.float32).reshape(1, HkvG, 1),)
         out = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
                 grid=(num_rb,),
-                in_specs=[q_spec, pl.BlockSpec(memory_space=pltpu.HBM)],
+                in_specs=in_specs,
                 out_specs=out_spec,
                 scratch_shapes=[
                     pltpu.VMEM((2, RB, 2, BS, hdp), kv_cache.dtype),
@@ -508,6 +577,6 @@ def paged_decode_attention(q: jax.Array, kv_cache, block_tables: jax.Array,
                 ] + softmax_scratch,
             ),
             out_shape=jax.ShapeDtypeStruct((num_rb * RB, HkvG, hdp), q.dtype),
-        )(kv_lens, block_tables, layer_arr, q_bd, kv_cache)
+        )(kv_lens, block_tables, meta_arr, q_bd, kv_cache, *extra)
 
     return _extract_v_diag(out[:B], num_kv_heads, G, D)

@@ -181,3 +181,51 @@ def test_quant4_decode_matches_reference(lens, G):
         jnp.int32(LAYER), scale, Hkv))
     ref = reference(q, kv_cache, tables, kv_lens, scale, Hkv, D)
     np.testing.assert_allclose(out, np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize('window', [8, 24, 40, 1000])
+def test_decode_sliding_window(window):
+    """Windowed decode must match the reference mask, including windows that
+    start mid-page and windows wider than the context (no-ops)."""
+    rng = np.random.RandomState(5)
+    B, Hkv, G, D, BS = 3, 2, 4, 32, 16
+    NB, W = 64, 8
+    kv_cache = make_dense_cache(rng, Hkv, NB, BS, D)
+    tables = rng.permutation(np.arange(1, NB))[:B * W].reshape(B, W).astype(np.int32)
+    q = jnp.asarray(rng.randn(B, Hkv * G, D).astype(np.float32))
+    kv_lens = np.asarray([5, 64, 100], np.int32)
+    scale = D ** -0.5
+
+    out = np.asarray(paged_decode.paged_decode_attention(
+        q, kv_cache, jnp.asarray(tables), jnp.asarray(kv_lens),
+        jnp.int32(LAYER), scale, Hkv, window=window))
+
+    k, v = gather_layer_kv(kv_cache, jnp.int32(LAYER), jnp.asarray(tables),
+                           Hkv, D)
+    ref = attention_dense_gathered(q[:, None], k, v, jnp.asarray(kv_lens - 1),
+                                   scale, window_size=window)[:, 0]
+    np.testing.assert_allclose(out, np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_decode_traced_window_and_sinks():
+    """gpt-oss style: per-layer TRACED window + learned sink logits."""
+    rng = np.random.RandomState(6)
+    B, Hkv, G, D, BS = 2, 2, 2, 32, 16
+    NB, W = 32, 4
+    kv_cache = make_dense_cache(rng, Hkv, NB, BS, D)
+    tables = rng.permutation(np.arange(1, NB))[:B * W].reshape(B, W).astype(np.int32)
+    q = jnp.asarray(rng.randn(B, Hkv * G, D).astype(np.float32))
+    kv_lens = np.asarray([30, 50], np.int32)
+    sinks = jnp.asarray(rng.randn(Hkv * G).astype(np.float32))
+    scale = D ** -0.5
+
+    for win in (jnp.int32(12), jnp.int32(0)):     # traced scalars
+        out = np.asarray(paged_decode.paged_decode_attention(
+            q, kv_cache, jnp.asarray(tables), jnp.asarray(kv_lens),
+            jnp.int32(LAYER), scale, Hkv, window=win, sinks=sinks))
+        k, v = gather_layer_kv(kv_cache, jnp.int32(LAYER),
+                               jnp.asarray(tables), Hkv, D)
+        ref = attention_dense_gathered(
+            q[:, None], k, v, jnp.asarray(kv_lens - 1), scale,
+            window_size=win, sinks=sinks)[:, 0]
+        np.testing.assert_allclose(out, np.asarray(ref), rtol=2e-5, atol=2e-5)
