@@ -79,6 +79,9 @@ class ModelConfig:
     topk_group: int = 0
     # misc
     hf_config: Optional[Dict[str, Any]] = None
+    # paged-cache layer count when it differs from num_layers (hybrid models:
+    # only full-attention layers hold KV pages)
+    num_cache_layers: Optional[int] = None
     quantization_config: Optional[Dict[str, Any]] = None
     # multimodal (None => text-only); holds vision_config + image_token_index etc.
     vision: Optional[Dict[str, Any]] = None

@@ -40,6 +40,9 @@ def export_session_kv(engine, session_id: int) -> Dict[str, np.ndarray]:
 
     import jax
     agent = engine.model_agent
+    if getattr(agent.model, 'has_linear_state', False):
+        raise NotImplementedError(
+            'PD migration of linear-attention state is not implemented')
     blocks = jnp.asarray(np.asarray(seq.logical_blocks, np.int32))
     leaves = jax.tree_util.tree_leaves(agent.cache_engine.kv_cache)
     out = {

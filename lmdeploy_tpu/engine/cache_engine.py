@@ -42,8 +42,9 @@ class CacheEngine:
         cfg = model_config
         self.row_width, self.padded_row_width = kv_row_width(
             cfg.num_key_value_heads, cfg.cache_head_dim)
-        shape = (cfg.num_layers, self.num_blocks, 2, cache_config.block_size,
-                 self.padded_row_width)
+        self.cache_layers = cfg.num_cache_layers or cfg.num_layers
+        shape = (self.cache_layers, self.num_blocks, 2,
+                 cache_config.block_size, self.padded_row_width)
         dtype = self._cache_dtype()
 
         sharding = None
@@ -60,7 +61,7 @@ class CacheEngine:
                                         cache_spec[3])))
             return s
 
-        scale_shape = (cfg.num_layers, self.num_blocks, 2,
+        scale_shape = (self.cache_layers, self.num_blocks, 2,
                        cfg.num_key_value_heads, cache_config.block_size)
 
         def alloc():
@@ -102,12 +103,13 @@ class CacheEngine:
         if policy in (QuantPolicy.KV_INT8, QuantPolicy.KV_FP8):
             itemsize = 1
         _, rowp = kv_row_width(cfg.num_key_value_heads, cfg.cache_head_dim)
-        per = cfg.num_layers * 2 * self.cache_config.block_size * rowp * itemsize
+        layers = cfg.num_cache_layers or cfg.num_layers
+        per = layers * 2 * self.cache_config.block_size * rowp * itemsize
         if policy == QuantPolicy.KV_INT4:   # nibble-packed + scale + min
-            per = per // 2 + (2 * cfg.num_layers * self.cache_config.block_size *
+            per = per // 2 + (2 * layers * self.cache_config.block_size *
                               cfg.num_key_value_heads * 8)
         elif policy == QuantPolicy.KV_INT8:  # + per-token f32 scales
-            per += (2 * cfg.num_layers * self.cache_config.block_size *
+            per += (2 * layers * self.cache_config.block_size *
                     cfg.num_key_value_heads * 4)
         return per
 

@@ -92,6 +92,14 @@ class Engine:
         if getattr(engine_config, 'adapters', None):
             # S-LoRA: load adapter slot stacks before any step fn compiles
             self.model_agent.enable_slora(engine_config.adapters)
+        if getattr(self.model_agent.model, 'has_linear_state', False):
+            # hybrid linear-attention models: KV pages alone cannot rebuild
+            # the recurrent state, so prefix-block reuse and host-RAM swap
+            # are disabled (recompute preemption still works — prefill
+            # replays rebuild the state); PD migration is guarded in disagg.
+            assert self.configs.cache.num_cpu_blocks == 0, \
+                'host KV swap is unsupported for linear-attention models'
+            self.configs.cache.enable_prefix_caching = False
         # agent derives actual block count from HBM; scheduler uses it
         self.scheduler = Scheduler(self.configs.scheduler, self.configs.cache,
                                    num_blocks=self.model_agent.num_blocks)

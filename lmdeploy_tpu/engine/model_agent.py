@@ -126,6 +126,16 @@ class ModelAgent:
         self.cache_engine = CacheEngine(cfg, configs.cache, mesh, cache_spec,
                                         reserved_bytes=params_bytes)
         self.num_blocks = self.cache_engine.num_blocks
+        # hybrid linear-attention models: per-slot recurrent/conv state rides
+        # the cache pytree ({'pages', ...states}), donated through every step
+        # (slot max_batch is the garbage row used for prefill padding)
+        if getattr(self.model, 'has_linear_state', False):
+            states = {
+                name: jnp.zeros(sd.shape, sd.dtype)
+                for name, sd in self.model.state_shapes(
+                    self.max_batch + 1).items()}
+            self.cache_engine.kv_cache = dict(
+                pages=self.cache_engine.kv_cache, **states)
 
         # -- sampling state -----------------------------------------------------------
         # one extra garbage row for padding slots
@@ -249,7 +259,8 @@ class ModelAgent:
                  *mm):
             B, T = input_ids.shape
             meta = AttnMeta(block_tables=block_tables, history_lens=history_lens,
-                            q_lens=q_lens)
+                            q_lens=q_lens, slot_rows=slot_rows,
+                            reset_rows=reset_rows)
             logits, kv_cache = model.forward(
                 params, input_ids, positions, kv_cache, meta,
                 rope_cos, rope_sin, fresh_prefill=fresh_prefill,
@@ -583,7 +594,8 @@ class ModelAgent:
                 act = st['active']
                 q_lens = act.astype(jnp.int32)
                 meta = AttnMeta(block_tables=st['tables'],
-                                history_lens=st['position'], q_lens=q_lens)
+                                history_lens=st['position'], q_lens=q_lens,
+                                slot_rows=jnp.arange(B, dtype=jnp.int32))
                 logits, kc = model.forward(
                     params, st['token'][:, None],
                     jnp.clip(st['position'] + st['pos_delta'], 0,
@@ -644,7 +656,8 @@ class ModelAgent:
                 act = st['active']
                 q_lens = act.astype(jnp.int32)
                 meta = AttnMeta(block_tables=st['tables'],
-                                history_lens=st['position'], q_lens=q_lens)
+                                history_lens=st['position'], q_lens=q_lens,
+                                slot_rows=jnp.arange(B, dtype=jnp.int32))
                 logits, kc = model.forward(
                     params, st['token'][:, None],
                     jnp.clip(st['position'] + st['pos_delta'], 0,
@@ -780,9 +793,10 @@ class ModelAgent:
         cfg = self.model_config
         cc = self.cache_config
         ce = self.cache_engine
-        shape = (cfg.num_layers, ce.num_blocks, 2, cc.block_size,
+        layers = ce.cache_layers
+        shape = (layers, ce.num_blocks, 2, cc.block_size,
                  ce.padded_row_width)
-        scale_shape = (cfg.num_layers, ce.num_blocks, 2,
+        scale_shape = (layers, ce.num_blocks, 2,
                        cfg.num_key_value_heads, cc.block_size)
         dtype = ce._cache_dtype()
 
@@ -801,6 +815,12 @@ class ModelAgent:
             return z
 
         ce.kv_cache = fresh_cache()
+        if getattr(self.model, 'has_linear_state', False):
+            states = {
+                name: jnp.zeros(sd.shape, sd.dtype)
+                for name, sd in self.model.state_shapes(
+                    self.max_batch + 1).items()}
+            ce.kv_cache = dict(pages=ce.kv_cache, **states)
         self.token_counts = jnp.zeros((self.max_batch + 1, cfg.vocab_size),
                                       jnp.int16)
         self.prompt_mask = jnp.zeros((self.max_batch + 1, cfg.vocab_size),

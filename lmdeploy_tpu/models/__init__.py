@@ -122,6 +122,22 @@ register_model('Glm4ForCausalLM', 'GlmForCausalLM')(_glm4)
 register_model('Qwen3MoeForCausalLM')(_qwen3_moe)
 
 
+def _qwen3_next(config: ModelConfig):
+    from .qwen3_next import Qwen3NextModel
+    hf = config.hf_config or {}
+    lt = hf.get('layer_types')
+    if lt:
+        interval = lt.index('full_attention') + 1
+    else:
+        interval = hf.get('full_attention_interval', 4)
+    # only the full-attention layers hold paged KV
+    config.num_cache_layers = config.num_layers // interval
+    return Qwen3NextModel(config)
+
+
+register_model('Qwen3NextForCausalLM')(_qwen3_next)
+
+
 def _qwen2_vl(config: ModelConfig):
     from .qwen2_vl import build_qwen2_vl
     return build_qwen2_vl(config)

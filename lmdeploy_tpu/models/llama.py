@@ -42,10 +42,17 @@ class AttnMeta:
     block_tables: jax.Array    # [B, W] int32
     history_lens: jax.Array    # [B] int32 — cached tokens before this chunk
     q_lens: jax.Array          # [B] int32 — valid tokens in this chunk
+    slot_rows: Optional[jax.Array] = None    # [B] i32 — batch slot per row
+    reset_rows: Optional[jax.Array] = None   # [B] bool — fresh sequences
+    # (slot/reset feed per-sequence recurrent state in hybrid linear-attention
+    #  models; attention-only models ignore them)
 
 
 jax.tree_util.register_dataclass(
-    AttnMeta, data_fields=['block_tables', 'history_lens', 'q_lens'], meta_fields=[])
+    AttnMeta,
+    data_fields=['block_tables', 'history_lens', 'q_lens', 'slot_rows',
+                 'reset_rows'],
+    meta_fields=[])
 
 
 class LlamaModel:

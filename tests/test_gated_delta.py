@@ -1,0 +1,118 @@
+"""Gated DeltaNet ops vs the transformers reference implementation."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lmdeploy_tpu.ops.gated_delta import causal_conv1d, gated_delta_scan
+
+
+def _hf_recurrent(q, k, v, g, beta, state0):
+    import torch
+    from transformers.models.qwen3_next.modeling_qwen3_next import \
+        torch_recurrent_gated_delta_rule
+    out, state = torch_recurrent_gated_delta_rule(
+        torch.tensor(q), torch.tensor(k), torch.tensor(v), torch.tensor(g),
+        torch.tensor(beta), initial_state=torch.tensor(state0),
+        output_final_state=True, use_qk_l2norm_in_kernel=True)
+    return out.numpy(), state.numpy()
+
+
+def test_scan_matches_transformers_recurrence():
+    rng = np.random.RandomState(0)
+    B, T, Hv, dk, dv = 2, 9, 4, 16, 32
+    q = rng.randn(B, T, Hv, dk).astype(np.float32)
+    k = rng.randn(B, T, Hv, dk).astype(np.float32)
+    v = rng.randn(B, T, Hv, dv).astype(np.float32)
+    g = -np.abs(rng.randn(B, T, Hv)).astype(np.float32)
+    beta = (1 / (1 + np.exp(-rng.randn(B, T, Hv)))).astype(np.float32)
+    s0 = rng.randn(B, Hv, dk, dv).astype(np.float32) * 0.1
+
+    want_out, want_state = _hf_recurrent(q, k, v, g, beta, s0)
+    out, state = gated_delta_scan(jnp.asarray(q), jnp.asarray(k),
+                                  jnp.asarray(v), jnp.asarray(g),
+                                  jnp.asarray(beta), jnp.asarray(s0))
+    np.testing.assert_allclose(np.asarray(out), want_out, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(state), want_state,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_scan_chunks_equal_one_shot():
+    """Chunked prefill continuation: scan(chunk1) -> scan(chunk2 from its
+    state) must equal one scan over the concatenation, and ragged padding
+    steps must leave the state untouched."""
+    rng = np.random.RandomState(1)
+    B, T, Hv, dk, dv = 2, 12, 2, 8, 8
+    mk = lambda *s: rng.randn(*s).astype(np.float32)  # noqa: E731
+    q, k = mk(B, T, Hv, dk), mk(B, T, Hv, dk)
+    v = mk(B, T, Hv, dv)
+    g = -np.abs(mk(B, T, Hv))
+    beta = 1 / (1 + np.exp(-mk(B, T, Hv)))
+    s0 = np.zeros((B, Hv, dk, dv), np.float32)
+
+    full, full_state = gated_delta_scan(*map(jnp.asarray, (q, k, v, g, beta, s0)))
+
+    cut = 5
+    o1, s1 = gated_delta_scan(*map(jnp.asarray,
+                                   (q[:, :cut], k[:, :cut], v[:, :cut],
+                                    g[:, :cut], beta[:, :cut], s0)))
+    o2, s2 = gated_delta_scan(*map(jnp.asarray,
+                                   (q[:, cut:], k[:, cut:], v[:, cut:],
+                                    g[:, cut:], beta[:, cut:])), s1)
+    np.testing.assert_allclose(np.asarray(jnp.concatenate([o1, o2], 1)),
+                               np.asarray(full), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(full_state),
+                               rtol=1e-5, atol=1e-5)
+
+    # ragged: row 0 valid 7 tokens, row 1 valid 12 — padded steps are no-ops
+    valid = np.zeros((B, T), bool)
+    valid[0, :7] = True
+    valid[1, :] = True
+    out_r, state_r = gated_delta_scan(*map(jnp.asarray, (q, k, v, g, beta, s0)),
+                                      valid=jnp.asarray(valid))
+    short, state_short = gated_delta_scan(*map(jnp.asarray,
+                                               (q[:1, :7], k[:1, :7], v[:1, :7],
+                                                g[:1, :7], beta[:1, :7],
+                                                s0[:1])))
+    np.testing.assert_allclose(np.asarray(out_r)[0, :7], np.asarray(short)[0],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(state_r)[0], np.asarray(state_short)[0],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(state_r)[1], np.asarray(full_state)[1],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_causal_conv_matches_torch_and_chunks():
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(2)
+    B, T, C, K = 2, 10, 6, 4
+    x = rng.randn(B, T, C).astype(np.float32)
+    w = rng.randn(C, K).astype(np.float32)
+    bias = rng.randn(C).astype(np.float32)
+
+    # torch ground truth: depthwise causal conv + silu over the full sequence
+    xt = torch.tensor(x).transpose(1, 2)                  # [B, C, T]
+    conv = torch.nn.Conv1d(C, C, K, groups=C, padding=K - 1, bias=True)
+    with torch.no_grad():
+        conv.weight.copy_(torch.tensor(w)[:, None, :])
+        conv.bias.copy_(torch.tensor(bias))
+        want = F.silu(conv(xt)[:, :, :T]).transpose(1, 2).numpy()
+
+    state0 = np.zeros((B, K - 1, C), np.float32)
+    lens = np.full(B, T, np.int32)
+    y, _ = causal_conv1d(jnp.asarray(x), jnp.asarray(state0), jnp.asarray(w),
+                         jnp.asarray(bias), jnp.asarray(lens))
+    np.testing.assert_allclose(np.asarray(y), want, rtol=1e-5, atol=1e-5)
+
+    # chunked continuation with ragged lens equals the one-shot conv
+    cut = 4
+    y1, s1 = causal_conv1d(jnp.asarray(x[:, :cut]), jnp.asarray(state0),
+                           jnp.asarray(w), jnp.asarray(bias),
+                           jnp.asarray(np.full(B, cut, np.int32)))
+    y2, _ = causal_conv1d(jnp.asarray(x[:, cut:]), s1, jnp.asarray(w),
+                          jnp.asarray(bias),
+                          jnp.asarray(np.full(B, T - cut, np.int32)))
+    got = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
