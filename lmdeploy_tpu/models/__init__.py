@@ -122,6 +122,20 @@ register_model('Glm4ForCausalLM', 'GlmForCausalLM')(_glm4)
 register_model('Qwen3MoeForCausalLM')(_qwen3_moe)
 
 
+def _qwen2_reward(config: ModelConfig):
+    from .reward import Qwen2RewardModel
+    return Qwen2RewardModel(config)
+
+
+def _internlm2_reward(config: ModelConfig):
+    from .reward import InternLM2RewardModel
+    return InternLM2RewardModel(config)
+
+
+register_model('Qwen2ForRewardModel')(_qwen2_reward)
+register_model('InternLM2ForRewardModel')(_internlm2_reward)
+
+
 def _qwen3_next(config: ModelConfig):
     from .qwen3_next import Qwen3NextModel
     hf = config.hf_config or {}

@@ -338,6 +338,18 @@ class LlamaModel:
         act = act * proj(x, w['w_up']).astype(jnp.float32)
         return proj(act.astype(x.dtype), w['w_down'])
 
+    def _head(self, params, x: jax.Array) -> jax.Array:
+        """Hidden -> output logits.  Reward models override with their
+        score head (reference: qwen2_reward.py get_logits)."""
+        lm_head = params.get('lm_head')
+        if lm_head is None:
+            lm_head = params['embed'].T
+        logits = jnp.dot(x, lm_head, preferred_element_type=jnp.float32)
+        if self.final_logit_softcap:
+            cap = self.final_logit_softcap
+            logits = jnp.tanh(logits / cap) * cap
+        return logits
+
     # -- forward -----------------------------------------------------------------------
     def forward(self, params, input_ids: jax.Array, positions: jax.Array,
                 kv_cache: jax.Array, meta: AttnMeta,
@@ -450,15 +462,8 @@ class LlamaModel:
         hidden_prenorm = hidden        # EAGLE conditions on pre-final-norm features
         hidden = rms_norm(hidden, params['final_norm'], cfg.rms_norm_eps)
 
-        lm_head = params.get('lm_head')
-        if lm_head is None:
-            lm_head = params['embed'].T
         def head(x):
-            logits = jnp.dot(x, lm_head, preferred_element_type=jnp.float32)
-            if self.final_logit_softcap:
-                cap = self.final_logit_softcap
-                logits = jnp.tanh(logits / cap) * cap
-            return logits
+            return self._head(params, x)
 
         if return_all_logits:
             if return_hidden:

@@ -111,6 +111,13 @@ class Pipeline:
         out = fut.result()
         return out[0] if single else out
 
+    def get_reward_score(self, input_ids):
+        """Reward-model scores for one or more tokenized prompts
+        (reference: pipeline.get_reward_score)."""
+        fut = self._loop_thread.submit(
+            self.engine.async_get_reward_score(input_ids))
+        return fut.result()
+
     def close(self):
         if self._closed:
             return

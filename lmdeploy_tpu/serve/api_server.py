@@ -375,6 +375,37 @@ def create_app(engine: AsyncEngine, model_name: str, api_key: Optional[str] = No
         engine.engine.wakeup()
         return web.json_response({'status': 'ok'})
 
+    async def pooling(request):
+        """Reward-model scoring with an Embeddings-API-shaped input
+        (reference: serve/openai/endpoints/auxiliary.py /pooling)."""
+        try:
+            body = await request.json()
+        except Exception as e:  # noqa: BLE001
+            return error_response(f'invalid request: {e}', 400)
+        inp = body.get('input')
+        if isinstance(inp, str):
+            input_ids = [engine.tokenizer.encode(inp)]
+        elif isinstance(inp, list) and inp:
+            if isinstance(inp[0], str):
+                input_ids = [engine.tokenizer.encode(p) for p in inp]
+            elif isinstance(inp[0], int):
+                input_ids = [inp]
+            elif isinstance(inp[0], list):
+                input_ids = inp
+            else:
+                return error_response('input list contains an invalid type', 400)
+        else:
+            return error_response('input must be a string or a list', 400)
+        try:
+            scores = await engine.async_get_reward_score(input_ids)
+        except ValueError as e:
+            return error_response(str(e), 400)
+        return web.json_response({
+            'object': 'list', 'model': model_name,
+            'data': [{'object': 'pooling', 'index': i, 'data': s}
+                     for i, s in enumerate(scores)],
+        })
+
     async def update_weights(request):
         """Online weight sync (reference: endpoints/management.py
         update_weights): body is an .npz archive keyed by HF tensor names;
@@ -421,6 +452,7 @@ def create_app(engine: AsyncEngine, model_name: str, api_key: Optional[str] = No
     app.router.add_post('/abort_request', abort_request)
     app.router.add_post('/sleep', sleep_ep)
     app.router.add_post('/wakeup', wakeup_ep)
+    app.router.add_post('/pooling', pooling)
     app.router.add_post('/update_weights', update_weights)
     app.router.add_post('/terminate', terminate)
     app.router.add_get('/distserve/export/{session_id}', distserve_export)

@@ -305,6 +305,18 @@ class AsyncEngine:
                 bm.free(blocks)
         return out
 
+    async def async_get_reward_score(self, input_ids) -> List[float]:
+        """Reward-model scores, one per prompt (reference:
+        async_engine.py async_get_reward_score): the reward head's [T, 1]
+        "logits" at the last position."""
+        if not getattr(self.engine.model_agent.model, 'is_reward_model', False):
+            raise ValueError(
+                f'{self.engine.configs.model.hf_arch} is not a reward model')
+        if input_ids and isinstance(input_ids[0], int):
+            input_ids = [input_ids]
+        logits = await self.async_get_logits(input_ids)
+        return [float(x[-1].reshape(-1)[0]) for x in logits]
+
     async def async_get_ppl(self, input_ids: List[List[int]]) -> List[float]:
         """Per-prompt perplexity-style mean NLL (reference returns NLL sums/means)."""
         import numpy as np
