@@ -182,7 +182,9 @@ class ModelConfig:
             max_position_embeddings=cfg.get('max_position_embeddings', 4096),
             rope_theta=cfg.get('rope_theta', 10000.0),
             rope_scaling=rope_scaling,
-            rms_norm_eps=cfg.get('rms_norm_eps', 1e-6),
+            rms_norm_eps=cfg.get('rms_norm_eps',
+                                 cfg.get('norm_epsilon',
+                                         cfg.get('layer_norm_eps', 1e-6))),
             tie_word_embeddings=cfg.get('tie_word_embeddings', False),
             bos_token_id=cfg.get('bos_token_id', 1),
             eos_token_id=eos,

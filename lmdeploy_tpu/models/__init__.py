@@ -67,6 +67,7 @@ register_model('InternLM2ForCausalLM')(_internlm2)
 register_model('InternLM3ForCausalLM')(_internlm2)
 register_model('GemmaForCausalLM')(_gemma)
 register_model('Gemma2ForCausalLM')(_gemma)
+register_model('Gemma3ForCausalLM', 'Gemma3TextForCausalLM')(_gemma)
 
 
 def _llava(config: ModelConfig):
@@ -120,6 +121,59 @@ register_model('Phi3ForCausalLM', 'Phi3SmallForCausalLM',
                'Phi4MMForCausalLM')(_phi3)
 register_model('Glm4ForCausalLM', 'GlmForCausalLM')(_glm4)
 register_model('Qwen3MoeForCausalLM')(_qwen3_moe)
+
+
+def _baichuan(config: ModelConfig):
+    from .baichuan import BaichuanModel
+    if config.num_attention_heads == 40 and config.hidden_size == 5120:
+        raise ValueError('Baichuan-13B uses ALiBi positional bias, '
+                         'which is not supported yet')
+    return BaichuanModel(config)
+
+
+def _internlm_v1(config: ModelConfig):
+    from .baichuan import InternLMv1Model
+    return InternLMv1Model(config)
+
+
+def _deepseek_v1(config: ModelConfig):
+    # DeepSeek-MoE 16B: standard GQA attention + softmax-routed MoE with
+    # shared experts and dense first-k — the Glm4Moe geometry with softmax
+    # scoring and full rotary
+    from .glm4_moe import Glm4MoeModel
+    assert (config.hf_config or {}).get('moe_layer_freq', 1) == 1, \
+        'sparse moe_layer_freq != 1 is not supported'
+    return Glm4MoeModel(config)
+
+
+register_model('DeepseekForCausalLM')(_deepseek_v1)
+register_model('BaiChuanForCausalLM', 'BaichuanForCausalLM')(_baichuan)
+register_model('InternLMForCausalLM')(_internlm_v1)
+
+
+def _glm4_moe(config: ModelConfig):
+    from .glm4_moe import Glm4MoeModel
+    config.scoring_func = 'sigmoid'        # Glm4MoeTopkRouter is sigmoid
+    return Glm4MoeModel(config)
+
+
+register_model('Glm4MoeForCausalLM')(_glm4_moe)
+
+
+def _phimoe(config: ModelConfig):
+    from .phimoe import PhiMoeModel
+    return PhiMoeModel(config)
+
+
+register_model('PhiMoEForCausalLM', 'PhimoeForCausalLM')(_phimoe)
+
+
+def _starcoder2(config: ModelConfig):
+    from .starcoder2 import Starcoder2Model
+    return Starcoder2Model(config)
+
+
+register_model('Starcoder2ForCausalLM')(_starcoder2)
 
 
 def _qwen2_reward(config: ModelConfig):

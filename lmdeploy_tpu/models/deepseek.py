@@ -301,8 +301,10 @@ class DeepseekV2Model(LlamaModel):
             _, gidx = jax.lax.top_k(gscore, tg)                  # [N, tg]
             gmask = jnp.zeros_like(gscore, dtype=bool)
             gmask = gmask.at[jnp.arange(gmask.shape[0])[:, None], gidx].set(True)
-            choice = jnp.where(
-                jnp.repeat(gmask, gsz, axis=-1), choice, -jnp.inf)
+            # HF parity: sigmoid scores mask to 0.0 (deepseek_v3/glm4_moe
+            # masked_fill(..., 0.0)); softmax scores mask to -inf
+            fill = 0.0 if cfg.scoring_func == 'sigmoid' else -jnp.inf
+            choice = jnp.where(jnp.repeat(gmask, gsz, axis=-1), choice, fill)
         _, top_idx = jax.lax.top_k(choice, k)
         top_w = jnp.take_along_axis(scores, top_idx, axis=-1)
         if cfg.norm_topk_prob:

@@ -37,7 +37,7 @@ class Glm4Model(LlamaModel):
 
     sandwich_norms = True
 
-    def _apply_rope(self, q, k, cos, sin):
+    def _apply_rope(self, q, k, cos, sin, w=None):
         r = self.config.rope_dim
         q_rot = _deinterleave(q[..., :r])
         k_rot = _deinterleave(k[..., :r])

@@ -77,6 +77,8 @@ class LlamaModel:
         self.kv_out = cfg.num_key_value_heads * cfg.head_dim
         self.embed_scale = 1.0            # gemma: sqrt(hidden_size)
         self.final_logit_softcap = None   # gemma-2
+        self.attn_logit_softcap = None    # gemma-2 attention softcapping
+        self.attn_scale = None            # gemma: query_pre_attn_scalar**-0.5
         self.quant_method = None
         self.group_size = 128
         qcfg = cfg.quantization_config or {}
@@ -327,9 +329,10 @@ class LlamaModel:
         (Qwen2-VL) override to accept [B,T,3] multimodal position ids."""
         return rope_cos[positions], rope_sin[positions]
 
-    def _apply_rope(self, q, k, cos, sin):
+    def _apply_rope(self, q, k, cos, sin, w=None):
         """Hook for models with non-standard rotary application (partial
-        rotary, interleaved layouts)."""
+        rotary, interleaved layouts, per-layer table selection — ``w`` is
+        the current layer's weight slice)."""
         return apply_rope(q, k, cos, sin)
 
     def _mlp(self, w, x: jax.Array) -> jax.Array:
@@ -337,6 +340,12 @@ class LlamaModel:
         act = jax.nn.silu(proj(x, w['w_gate']).astype(jnp.float32))
         act = act * proj(x, w['w_up']).astype(jnp.float32)
         return proj(act.astype(x.dtype), w['w_down'])
+
+    def _norm(self, x: jax.Array, weight: jax.Array,
+              bias: Optional[jax.Array], eps: float) -> jax.Array:
+        """Pre/post-layer normalization hook (default RMSNorm; LayerNorm
+        models override — e.g. starcoder2)."""
+        return rms_norm(x, weight, eps)
 
     def _head(self, params, x: jax.Array) -> jax.Array:
         """Hidden -> output logits.  Reward models override with their
@@ -377,7 +386,7 @@ class LlamaModel:
         cfg = self.config
         B, T = input_ids.shape
         D = cfg.head_dim
-        scale = 1.0 / math.sqrt(D)
+        scale = self.attn_scale or 1.0 / math.sqrt(D)
         block_size = kv_cache.shape[3]
 
         hidden = params['embed'][input_ids].astype(cfg.jnp_dtype())   # [B,T,H]
@@ -416,7 +425,8 @@ class LlamaModel:
         def layer_fn(carry, xs):
             w, lw = xs if lora is not None else (xs, None)
             h, kv_cache, layer = carry
-            x = rms_norm(h, w['attn_norm'], cfg.rms_norm_eps)
+            x = self._norm(h, w['attn_norm'], w.get('attn_norm_b'),
+                           cfg.rms_norm_eps)
             q = lin(x, w, lw, 'wq', w.get('bq') if has_bias else None)
             k = lin(x, w, lw, 'wk', w.get('bk') if has_bias else None)
             v = lin(x, w, lw, 'wv', w.get('bv') if has_bias else None)
@@ -426,7 +436,7 @@ class LlamaModel:
             if has_qknorm:
                 q = rms_norm(q, w['q_norm'], cfg.rms_norm_eps)
                 k = rms_norm(k, w['k_norm'], cfg.rms_norm_eps)
-            q, k = self._apply_rope(q, k, cos, sin)
+            q, k = self._apply_rope(q, k, cos, sin, w)
             kv_cache = fill_kv_cache(kv_cache, k.reshape(B * T, -1, D),
                                      v.reshape(B * T, -1, D),
                                      slot_mapping, layer)
@@ -434,7 +444,9 @@ class LlamaModel:
                 else cfg.sliding_window
             attn = paged_attention(q, kv_cache, meta.block_tables,
                                    meta.history_lens, meta.q_lens, scale, layer,
-                                   cfg.num_key_value_heads, window_size=window,
+                                   cfg.num_key_value_heads,
+                                   logit_softcap=self.attn_logit_softcap,
+                                   window_size=window,
                                    chunk_kv=(k, v), fresh_prefill=fresh_prefill,
                                    force_reference=getattr(
                                        self, 'force_ref_attention', False),
@@ -444,7 +456,8 @@ class LlamaModel:
             if 'post_attn_norm' in w:
                 out = rms_norm(out, w['post_attn_norm'], cfg.rms_norm_eps)
             h = h + out
-            x = rms_norm(h, w['mlp_norm'], cfg.rms_norm_eps)
+            x = self._norm(h, w['mlp_norm'], w.get('mlp_norm_b'),
+                           cfg.rms_norm_eps)
             if lw is not None and 'w_gate' in w:
                 act = jax.nn.silu(lin(x, w, lw, 'w_gate').astype(jnp.float32))
                 act = act * lin(x, w, lw, 'w_up').astype(jnp.float32)
@@ -460,7 +473,8 @@ class LlamaModel:
         (hidden, kv_cache, _), _ = jax.lax.scan(
             layer_fn, (hidden, kv_cache, jnp.int32(0)), xs)
         hidden_prenorm = hidden        # EAGLE conditions on pre-final-norm features
-        hidden = rms_norm(hidden, params['final_norm'], cfg.rms_norm_eps)
+        hidden = self._norm(hidden, params['final_norm'],
+                            params.get('final_norm_b'), cfg.rms_norm_eps)
 
         def head(x):
             return self._head(params, x)
