@@ -305,6 +305,11 @@ class MiscConfig:
     decode_buckets: Optional[List[int]] = None
     eager_mode: bool = False
     model_format: Optional[str] = None
+    dllm_block_length: int = 0
+    dllm_unmasking_strategy: str = 'low_confidence_dynamic'
+    dllm_denoising_steps: Optional[int] = None
+    dllm_confidence_threshold: float = 0.85
+    dllm_mask_token: int = 151669
 
 
 @dataclass
@@ -348,7 +353,18 @@ class EngineConfigBundle:
                           decode_buckets=engine_config.decode_buckets,
                           eager_mode=engine_config.eager_mode,
                           model_format=engine_config.model_format
-                          or _detect_model_format(model))
+                          or _detect_model_format(model),
+                          dllm_block_length=getattr(
+                              engine_config, 'dllm_block_length', 0),
+                          dllm_unmasking_strategy=getattr(
+                              engine_config, 'dllm_unmasking_strategy',
+                              'low_confidence_dynamic'),
+                          dllm_denoising_steps=getattr(
+                              engine_config, 'dllm_denoising_steps', None),
+                          dllm_confidence_threshold=getattr(
+                              engine_config, 'dllm_confidence_threshold', 0.85),
+                          dllm_mask_token=getattr(
+                              engine_config, 'dllm_mask_token', 151669))
         return cls(model=model, cache=cache, scheduler=sched, dist=dist, misc=misc)
 
 

@@ -92,6 +92,19 @@ class Engine:
         if getattr(engine_config, 'adapters', None):
             # S-LoRA: load adapter slot stacks before any step fn compiles
             self.model_agent.enable_slora(engine_config.adapters)
+        self.dllm = None
+        misc = self.configs.misc
+        if getattr(misc, 'dllm_block_length', 0):
+            # diffusion-LM block denoising (reference: strategies/dllm):
+            # block-causal attention + host-driven unmasking loop
+            from types import SimpleNamespace
+            self.dllm = SimpleNamespace(
+                D=misc.dllm_block_length,
+                strategy=misc.dllm_unmasking_strategy,
+                steps=misc.dllm_denoising_steps,
+                threshold=misc.dllm_confidence_threshold,
+                mask_token=misc.dllm_mask_token)
+            self.model_agent.model.block_causal_size = self.dllm.D
         if getattr(self.model_agent.model, 'has_linear_state', False):
             # hybrid linear-attention models: KV pages alone cannot rebuild
             # the recurrent state, so prefix-block reuse and host-RAM swap
@@ -356,8 +369,10 @@ class Engine:
                     top = step.top_np()
                     for i, chunk in enumerate(out.prefill_chunks):
                         tok = int(tokens[i]) if chunk.is_last else None
+                        if self.dllm is not None:
+                            tok = None        # dllm samples via denoising
                         self.scheduler.on_prefill_done(chunk, tok)
-                        if chunk.is_last:
+                        if chunk.is_last and self.dllm is None:
                             seq = chunk.seq
                             if not seq.metrics.first_token_time:
                                 seq.metrics.first_token_time = time.time()
@@ -370,6 +385,7 @@ class Engine:
                     new_running = [c.seq for c in out.prefill_chunks
                                    if c.is_last
                                    and c.seq.status == MessageStatus.RUNNING
+                                   and self.dllm is None
                                    and not _host_driven(c.seq, self.spec)]
                     if new_running:
                         self.model_agent.insert_decode_rows(new_running)
@@ -412,6 +428,9 @@ class Engine:
         # per-row bad-words mask leave the device-resident run; everyone else
         # keeps full-k decode runs — one guided request no longer collapses the
         # batch (reference: logits_process.py applies masks per-row every step)
+        if self.dllm is not None:
+            await self._decode_step_dllm(seqs, loop)
+            return
         host_seqs = [s for s in seqs if _host_driven(s, self.spec)]
         seqs = [s for s in seqs if not _host_driven(s, self.spec)]
         if seqs:
@@ -508,6 +527,155 @@ class Engine:
             print(f'[trace] decode_run k={k} rows={num_rows} '
                   f'dev={(t1-t0)*1000:.0f}ms drain={(t2-t1)*1000:.0f}ms',
                   flush=True)
+
+    async def _decode_step_dllm(self, seqs, loop):
+        """One block-denoising step for every running dllm sequence.
+
+        Reference: ``lmdeploy/pytorch/strategies/dllm/`` — blocks are aligned
+        to multiples of block_length from position 0 (the prompt tail shares
+        its final block with the first masked positions); each step runs ONE
+        forward over every row's active [D] block (block-causal attention
+        makes the block internally bidirectional, and rewrites its KV), then
+        host-side sampling + unmasking decides which positions become real
+        tokens.  A fully-unmasked block commits through the normal drain
+        (stop tokens / max_new_tokens / streaming) and a fresh all-masked
+        block opens.
+        """
+        import numpy as np
+        D = self.dllm.D
+        seqs = [s for s in seqs if s.status == MessageStatus.RUNNING]
+        survivors = []
+        for seq in seqs:
+            if not hasattr(seq, 'dllm_tokens'):
+                P = seq.num_token_ids
+                rem = P % D
+                start = P - rem
+                toks = np.full(D, self.dllm.mask_token, np.int64)
+                mask = np.ones(D, bool)
+                if rem:
+                    toks[:rem] = seq.history_ids[start:P]
+                    mask[:rem] = False
+                seq.dllm_tokens, seq.dllm_mask = toks, mask
+                seq.dllm_start, seq.dllm_fixed = start, rem
+                seq.dllm_conf = np.zeros(D, np.float64)
+                seq.dllm_refresh = None
+                seq.dllm_rng = np.random.default_rng(
+                    seq.sampling_params.random_seed)
+            need = seq.dllm_start + D - seq.num_computed_tokens
+            if need <= 0 or self.scheduler.extend_decode_capacity(
+                    seq, need, exclude=survivors):
+                survivors.append(seq)
+        self._apply_pending_swaps()
+        if not survivors:
+            return
+        # a just-committed block rides along (first D positions) so its KV is
+        # rewritten from the REAL tokens — the commit-step scatter still held
+        # mask-token inputs at the last-unmasked positions (reference: the
+        # UNMASKED block is re-fed once before turning CACHED)
+        B = len(survivors)
+        refresh = any(s.dllm_refresh is not None for s in survivors)
+        T = 2 * D if refresh else D
+        ids = np.zeros((B, T), np.int32)
+        pos = np.zeros((B, T), np.int32)
+        hist = np.zeros(B, np.int32)
+        ql = np.zeros(B, np.int32)
+        off = np.zeros(B, np.int32)      # active block's offset in the row
+        for i, s in enumerate(survivors):
+            if s.dllm_refresh is not None:
+                ids[i, :D] = s.dllm_refresh
+                ids[i, D:2 * D] = s.dllm_tokens
+                pos[i, :2 * D] = np.arange(s.dllm_start - D, s.dllm_start + D)
+                hist[i], ql[i], off[i] = s.dllm_start - D, 2 * D, D
+            else:
+                ids[i, :D] = s.dllm_tokens
+                pos[i, :D] = np.arange(s.dllm_start, s.dllm_start + D)
+                pos[i, D:] = s.dllm_start + D - 1   # clamp padding in-range
+                hist[i], ql[i], off[i] = s.dllm_start, D, 0
+        W = max(len(s.logical_blocks) for s in survivors)
+        tables = np.zeros((B, W), np.int32)
+        for i, s in enumerate(survivors):
+            tables[i, :len(s.logical_blocks)] = s.logical_blocks
+        logits = await loop.run_in_executor(
+            self._executor, self.model_agent.dllm_logits,
+            ids, pos, tables, hist, ql)                       # [B, T, V]
+        for i, seq in enumerate(survivors):
+            seq.dllm_refresh = None
+            if seq.status == MessageStatus.RUNNING:
+                self._dllm_denoise_row(seq, logits[i, off[i]:off[i] + D])
+
+    def _dllm_denoise_row(self, seq, logits):
+        """Sample + unmask one row's active block; commit when complete."""
+        import numpy as np
+        dllm = self.dllm
+        D, p = dllm.D, seq.sampling_params
+        lf = logits.astype(np.float32)
+        # confidence = softmax probability of the chosen token under the RAW
+        # logits (reference: dllm/unmasking.UnmaskingProcessor._get_scores)
+        lse = lf - lf.max(-1, keepdims=True)
+        probs = np.exp(lse)
+        probs /= probs.sum(-1, keepdims=True)
+        if p.do_sample and p.temperature > 1e-6 and p.top_k != 1:
+            scaled = lf / p.temperature
+            if p.top_k > 0:
+                kth = np.partition(scaled, -p.top_k, axis=-1)[:, -p.top_k]
+                scaled = np.where(scaled < kth[:, None], -np.inf, scaled)
+            sp = np.exp(scaled - scaled.max(-1, keepdims=True))
+            sp /= sp.sum(-1, keepdims=True)
+            if 0.0 < p.top_p < 1.0:
+                order = np.argsort(sp, axis=-1)[:, ::-1]
+                srt = np.take_along_axis(sp, order, -1)
+                keep = np.cumsum(srt, -1) - srt < p.top_p
+                kept = np.where(keep, srt, 0.0)
+                kept /= kept.sum(-1, keepdims=True)
+                draws = (kept.cumsum(-1) >
+                         seq.dllm_rng.random((D, 1))).argmax(-1)
+                tok = np.take_along_axis(order, draws[:, None], -1)[:, 0]
+            else:
+                tok = (sp.cumsum(-1) >
+                       seq.dllm_rng.random((D, 1))).argmax(-1)
+        else:
+            tok = lf.argmax(-1)
+        conf = probs[np.arange(D), tok]
+        masked = seq.dllm_mask
+        scores = np.where(masked, conf, 0.0)
+        steps = dllm.steps or D
+        denoise_num = max(1, min(D // max(steps, 1), D))
+        if dllm.strategy == 'low_confidence_static':
+            picks = np.argsort(scores)[::-1][:denoise_num]
+            unmask = np.zeros(D, bool)
+            unmask[picks] = True
+            unmask &= masked
+        elif dllm.strategy == 'sequential':
+            order = np.nonzero(masked)[0]
+            unmask = np.zeros(D, bool)
+            unmask[order[:denoise_num]] = True
+        else:                                    # low_confidence_dynamic
+            unmask = masked & (scores >= dllm.threshold)
+            top1 = int(np.argmax(scores))
+            unmask[top1] = masked[top1]
+        if not unmask.any():                     # always make progress
+            top1 = int(np.argmax(scores))
+            unmask[top1] = True
+        seq.dllm_tokens[unmask] = tok[unmask]
+        seq.dllm_conf[unmask] = np.maximum(conf[unmask], 1e-20)
+        seq.dllm_mask = masked & ~unmask
+        if seq.dllm_mask.any():
+            return
+        # block complete: commit the generated suffix through the drain
+        fixed = seq.dllm_fixed
+        out = seq.dllm_tokens[fixed:]
+        lps = np.log(np.maximum(seq.dllm_conf[fixed:], 1e-20))
+        if not seq.metrics.first_token_time:
+            seq.metrics.first_token_time = time.time()
+        self._drain_decode_tokens(seq, out, lps)
+        if seq.status != MessageStatus.RUNNING:
+            return
+        seq.dllm_refresh = seq.dllm_tokens.copy()
+        seq.dllm_start += dllm.D
+        seq.dllm_fixed = 0
+        seq.dllm_tokens = np.full(dllm.D, dllm.mask_token, np.int64)
+        seq.dllm_mask = np.ones(dllm.D, bool)
+        seq.dllm_conf = np.zeros(dllm.D, np.float64)
 
     async def _decode_step_spec(self, seqs, loop):
         """One speculative step: K draft proposals + single-pass verification."""

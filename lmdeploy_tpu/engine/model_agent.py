@@ -712,6 +712,56 @@ class ModelAgent:
         self.prompt_mask = self.decode_state.prompt_mask
         return StepOutput(toks, lps, (tv, ti) if top_lp > 0 else (None, None))
 
+    # -- diffusion-LM denoising step (reference: strategies/dllm/model_agent) -----------
+    def dllm_logits(self, input_ids, positions, tables, history, q_lens
+                    ) -> np.ndarray:
+        """All-position logits over each row's active denoising block.
+
+        input_ids [B, D] (masked positions carry the mask token); the block's
+        KV is (re)written every call, so later iterations see the latest
+        unmasked tokens.  The model's block-causal attention pattern
+        (``block_causal_size``) makes the block bidirectional internally.
+        """
+        import jax
+
+        B, D = input_ids.shape
+        Bb = bucketize(B, self.batch_buckets)
+        W = bucketize(tables.shape[1], self.table_buckets)
+
+        def pad(x, fill=0):
+            out = np.full((Bb,) + x.shape[1:], fill, x.dtype)
+            out[:B] = x
+            return out
+
+        ids = pad(input_ids)
+        pos = pad(positions)
+        tb = np.zeros((Bb, W), np.int32)
+        tb[:B, :tables.shape[1]] = tables
+        hist = pad(history)
+        ql = pad(q_lens)
+
+        key = ('dllm', Bb, D, W)
+        fn = self._step_fns.get(key)
+        if fn is None:
+            model = self.model
+
+            def step(params, rope_cos, rope_sin, kv_cache, ids, pos, tb,
+                     hist, ql):
+                meta = AttnMeta(block_tables=tb, history_lens=hist, q_lens=ql)
+                logits, kv_cache = model.forward(
+                    params, ids, pos, kv_cache, meta, rope_cos, rope_sin,
+                    return_all_logits=True)
+                return logits, kv_cache
+
+            fn = jax.jit(step, donate_argnums=(3,))
+            self._step_fns[key] = fn
+        self._flush_deactivations()
+        logits, kv_cache = fn(self.params, self.rope_cos, self.rope_sin,
+                              self.cache_engine.kv_cache, ids, pos, tb, hist,
+                              ql)
+        self.cache_engine.swap_caches(kv_cache)
+        return np.asarray(logits)[:B]
+
     # -- logits / ppl export -------------------------------------------------------------
     def _get_logits_fn(self):
         import jax

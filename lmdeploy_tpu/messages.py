@@ -117,6 +117,13 @@ class TpuEngineConfig:
     download_dir: Optional[str] = None
     role: str = 'hybrid'                     # 'hybrid' | 'prefill' | 'decode' (PD)
     adapters: Optional[Dict[str, str]] = None  # S-LoRA: {name: peft_path} slots
+    # diffusion-LLM decoding (SDAR-style block denoising; reference
+    # strategies/dllm + config.py DLLMConfig).  block_length 0 = disabled.
+    dllm_block_length: int = 0
+    dllm_unmasking_strategy: str = 'low_confidence_dynamic'
+    dllm_denoising_steps: Optional[int] = None
+    dllm_confidence_threshold: float = 0.85
+    dllm_mask_token: int = 151669
 
     def validate(self):
         assert self.tp >= 1 and self.dp >= 1 and self.ep >= 1 and self.cp >= 1

@@ -50,6 +50,10 @@ register_model('LlamaForCausalLM')(_llama)
 register_model('MistralForCausalLM')(_llama)
 register_model('Qwen2ForCausalLM')(_qwen2)
 register_model('Qwen3ForCausalLM')(_qwen3)
+# SDAR diffusion LMs (block-denoising): qwen3/qwen3-moe arch + block-causal
+# attention; the engine sets model.block_causal_size from dllm_block_length
+# (reference: lmdeploy/pytorch/models/sdar.py, strategies/dllm/)
+register_model('SDARForCausalLM')(_qwen3)
 def _internlm2(config: ModelConfig):
     from .internlm2 import InternLM2Model
     return InternLM2Model(config)
@@ -121,6 +125,7 @@ register_model('Phi3ForCausalLM', 'Phi3SmallForCausalLM',
                'Phi4MMForCausalLM')(_phi3)
 register_model('Glm4ForCausalLM', 'GlmForCausalLM')(_glm4)
 register_model('Qwen3MoeForCausalLM')(_qwen3_moe)
+register_model('SDARMoeForCausalLM')(_qwen3_moe)
 
 
 def _baichuan(config: ModelConfig):

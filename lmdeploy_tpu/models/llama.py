@@ -79,6 +79,7 @@ class LlamaModel:
         self.final_logit_softcap = None   # gemma-2
         self.attn_logit_softcap = None    # gemma-2 attention softcapping
         self.attn_scale = None            # gemma: query_pre_attn_scalar**-0.5
+        self.block_causal_size = None     # diffusion-LM (SDAR) block pattern
         self.quant_method = None
         self.group_size = 128
         qcfg = cfg.quantization_config or {}
@@ -450,7 +451,8 @@ class LlamaModel:
                                    chunk_kv=(k, v), fresh_prefill=fresh_prefill,
                                    force_reference=getattr(
                                        self, 'force_ref_attention', False),
-                                   sinks=w.get('sinks'))
+                                   sinks=w.get('sinks'),
+                                   block_causal=self.block_causal_size)
             attn = attn.reshape(B, T, self.q_out)
             out = lin(attn, w, lw, 'wo', w.get('bo'))
             if 'post_attn_norm' in w:

@@ -246,8 +246,13 @@ def gather_layer_kv(kv_cache, layer, block_tables, num_kv_heads: int,
 
 
 def attention_dense_gathered(q, k, v, history_lens, scale,
-                             logit_softcap=None, window_size=None, sinks=None):
-    """Attention math over already-gathered dense KV [Hkv, B, S, D]."""
+                             logit_softcap=None, window_size=None, sinks=None,
+                             block_causal=None):
+    """Attention math over already-gathered dense KV [Hkv, B, S, D].
+
+    ``block_causal``: diffusion-LM block size — positions attend causally by
+    BLOCK (bidirectional within a block; reference: SDAR block_sparse_size).
+    """
     B, T, Hq, D = q.shape
     Hkv, _, S, _ = k.shape
     k = k[..., :D]
@@ -261,7 +266,11 @@ def attention_dense_gathered(q, k, v, history_lens, scale,
 
     pos_q = history_lens[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]   # [B,T]
     pos_k = jnp.arange(S, dtype=jnp.int32)[None, :]                           # [1,S]
-    mask = pos_k[:, None, :] <= pos_q[:, :, None]                             # [B,T,S]
+    if block_causal:
+        mask = (pos_k[:, None, :] // block_causal
+                <= pos_q[:, :, None] // block_causal)                         # [B,T,S]
+    else:
+        mask = pos_k[:, None, :] <= pos_q[:, :, None]                         # [B,T,S]
     if window_size is not None:
         if isinstance(window_size, int):
             if window_size > 0:
@@ -311,7 +320,8 @@ def paged_attention(q, kv_cache, block_tables, history_lens, q_lens, scale,
                     chunk_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
                     fresh_prefill: bool = False,
                     force_reference: bool = False,
-                    sinks: Optional[jax.Array] = None):
+                    sinks: Optional[jax.Array] = None,
+                    block_causal: Optional[int] = None):
     """Dispatch over the attention specializations.  ``kv_cache`` is the FULL
     unified cache [L, NB, BS, ROWp] (or QuantKV/QuantKV4); ``layer`` selects
     the region.
@@ -327,6 +337,12 @@ def paged_attention(q, kv_cache, block_tables, history_lens, q_lens, scale,
     T = q.shape[1]
     D = q.shape[3]
     quant = isinstance(kv_cache, (QuantKV, QuantKV4))
+    if block_causal:
+        # diffusion-LM block pattern: reference path only
+        k, v = gather_layer_kv(kv_cache, layer, block_tables, num_kv_heads, D)
+        return attention_dense_gathered(q, k, v, history_lens, scale,
+                                        logit_softcap, window_size, sinks,
+                                        block_causal=block_causal)
     if (sinks is not None or not isinstance(window_size, (int, type(None)))) \
             and not (_on_tpu() and T == 1 and not quant):
         # sink logits / traced per-layer windows outside the decode kernel's

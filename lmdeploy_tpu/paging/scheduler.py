@@ -352,9 +352,11 @@ class Scheduler:
         seq = chunk.seq
         seq.num_computed_tokens += chunk.length
         if chunk.is_last:
-            assert next_token is not None
-            seq.append_token(next_token)
-            seq.num_new_tokens += 1
+            # next_token None = the strategy samples differently (dllm block
+            # denoising); the sequence still becomes RUNNING
+            if next_token is not None:
+                seq.append_token(next_token)
+                seq.num_new_tokens += 1
             seq.status = MessageStatus.RUNNING
         if self.block_trie is not None and not getattr(seq, 'mm_spans', None):
             self.block_trie.cache_seq_blocks(seq)
