@@ -54,6 +54,23 @@ class SpecExtension:
             self.hidden = jnp.zeros(
                 (agent.max_batch, agent.model_config.hidden_size),
                 agent.model_config.jnp_dtype())
+        elif method == 'eagle3':
+            self.draft_config = ModelConfig.from_pretrained(
+                draft_model_path, dtype=agent.model_config.dtype)
+            from ..models.eagle import Eagle3Head
+            self.draft_model = Eagle3Head(self.draft_config)
+            # aux taps on the target: reference configurations/llama.py picks
+            # layer-INPUT indices (2, L//2, L-3); our scan captures layer
+            # OUTPUTS, so shift by one (clipped for tiny test models)
+            L = agent.model_config.num_layers
+            if getattr(agent.model, 'aux_hidden_layers', None) is None:
+                agent.model.aux_hidden_layers = (
+                    max(0, min(1, L - 1)),
+                    max(0, min(L // 2 - 1, L - 1)),
+                    max(0, min(L - 4, L - 1)))
+            th = self.draft_model.target_hidden
+            self.hidden = jnp.zeros((agent.max_batch, 3 * th),
+                                    agent.model_config.jnp_dtype())
         elif method == 'eagle':
             self.draft_config = ModelConfig.from_pretrained(
                 draft_model_path, dtype=agent.model_config.dtype)
@@ -78,7 +95,7 @@ class SpecExtension:
         from ..ops.attention import kv_row_width
         # cache_head_dim covers MLA drafts (latent+rope vector, 1 kv head)
         _, rowp = kv_row_width(dc.num_key_value_heads, dc.cache_head_dim)
-        n_draft_layers = 1 if method in ('eagle', 'deepseek_mtp') \
+        n_draft_layers = 1 if method in ('eagle', 'eagle3', 'deepseek_mtp') \
             else dc.num_layers
         shape = (n_draft_layers, agent.num_blocks, 2,
                  agent.cache_config.block_size, rowp)
@@ -179,12 +196,12 @@ class SpecExtension:
                 in_axes=1, out_axes=1)(logits_all)            # [B, K+1, V]
 
             # (c) accept / resample
-            step_key = jax.random.fold_in(
-                jax.random.key(0),
-                jnp.sum(sub['seed'].astype(jnp.uint32))
-                + jnp.sum(sub['step_no'].astype(jnp.uint32)))
+            # per-row verify stream (distinct mixer from the draft stream)
+            row_keys = jax.vmap(jax.random.key)(
+                sub['seed'] + sub['step_no'].astype(jnp.uint32)
+                * np.uint32(0x85EBCA6B))
             out_toks, n_emitted = reject_sample(tgt_dists, draft_dists, draft_toks,
-                                                step_key)
+                                                row_keys)
             n_emitted = jnp.where(act, n_emitted, 0)
             lp_all = jax.nn.log_softmax(logits_all.astype(jnp.float32), axis=-1)
             out_lps = jnp.take_along_axis(lp_all, out_toks[..., None],
@@ -280,12 +297,11 @@ class SpecExtension:
                 lambda lg: masked_dist(lg, sub, counts, pmask),
                 in_axes=1, out_axes=1)(logits_all)
 
-            step_key = jax.random.fold_in(
-                jax.random.key(0),
-                jnp.sum(sub['seed'].astype(jnp.uint32))
-                + jnp.sum(sub['step_no'].astype(jnp.uint32)))
+            row_keys = jax.vmap(jax.random.key)(
+                sub['seed'] + sub['step_no'].astype(jnp.uint32)
+                * np.uint32(0x85EBCA6B))
             out_toks, n_emitted = reject_sample(tgt_dists, draft_dists,
-                                                draft_toks, step_key)
+                                                draft_toks, row_keys)
             n_emitted = jnp.where(act, n_emitted, 0)
             lp_all = jax.nn.log_softmax(logits_all.astype(jnp.float32), axis=-1)
             out_lps = jnp.take_along_axis(lp_all, out_toks[..., None],
@@ -320,6 +336,123 @@ class SpecExtension:
         self._fns[key] = fn
         return fn
 
+    def _get_fn_eagle3(self, B: int):
+        """EAGLE-3 spec step.  Differences from _get_fn_eagle: the first
+        draft conditioning is ``fc`` of the TARGET's concatenated aux hidden
+        states (3 intermediate layers, captured by the verify forward);
+        later draft steps chain on the head's own pre-norm output; draft
+        logits live in a reduced draft vocab and are scattered through
+        ``d2t`` into target-vocab space before masking/acceptance."""
+        import jax
+        import jax.numpy as jnp
+
+        key = ('eagle3', B)
+        fn = self._fns.get(key)
+        if fn is not None:
+            return fn
+        agent = self.agent
+        target = agent.model
+        eagle = self.draft_model
+        K = self.k
+        V = agent.model_config.vocab_size
+        GOLDEN = np.uint32(0x9E3779B9)
+        from .decode_state import DecodeState
+        row_fields = [f.name for f in dataclasses.fields(DecodeState)
+                      if f.name not in ('token_counts', 'prompt_mask')]
+        masked_dist = self._masked_dist
+        use_own_embed = eagle.saw_embed
+        NEG = jnp.float32(-1e30)
+
+        def run(params, dparams, rope_cos, rope_sin, kc, dkc, state,
+                hidden_full):
+            sub = {n: getattr(state, n)[:B] for n in row_fields}
+            counts = state.token_counts[:B]
+            pmask = state.prompt_mask[:B]
+            act = sub['active']
+            q1 = act.astype(jnp.int32)
+            emb_table = dparams['embed'] if use_own_embed else params['embed']
+            d2t = dparams['d2t']
+
+            h0 = (hidden_full[:B].astype(jnp.float32)
+                  @ dparams['fc'].astype(jnp.float32)
+                  ).astype(emb_table.dtype)                     # [B, H_draft]
+
+            def draft_step(carry, i):
+                dkc, tok, dpos, h_cond = carry
+                dlogits, h_new, dkc = eagle.step(
+                    dparams, emb_table, h_cond, tok,
+                    jnp.clip(dpos, 0, agent.max_model_len - 1),
+                    dkc, sub['tables'], q1, rope_cos, rope_sin,
+                    agent.max_model_len)
+                # draft vocab -> target vocab (unmapped ids unreachable)
+                logits = jnp.full((B, V), NEG, jnp.float32)
+                logits = logits.at[:, d2t].set(dlogits)
+                dist = masked_dist(logits, sub, counts, pmask)
+                seeds = sub['seed'] + (sub['step_no'].astype(jnp.uint32)
+                                       + 1 + i.astype(jnp.uint32)) * GOLDEN
+                toks = jax.vmap(lambda s, p: jax.random.choice(
+                    jax.random.key(s), V, p=p))(seeds, dist)
+                toks = toks.astype(jnp.int32)
+                return (dkc, toks, dpos + q1, h_new), (toks, dist)
+
+            (dkc, _, _, _), (draft_toks, draft_dists) = jax.lax.scan(
+                draft_step,
+                (dkc, sub['token'], sub['position'], h0),
+                jnp.arange(K))
+            draft_toks = jnp.swapaxes(draft_toks, 0, 1)
+            draft_dists = jnp.swapaxes(draft_dists, 0, 1)
+
+            chunk = jnp.concatenate([sub['token'][:, None], draft_toks], axis=1)
+            positions = sub['position'][:, None] + \
+                jnp.arange(K + 1, dtype=jnp.int32)[None, :]
+            meta = AttnMeta(block_tables=sub['tables'],
+                            history_lens=sub['position'],
+                            q_lens=q1 * (K + 1))
+            logits_all, kc, aux_all = target.forward(
+                params, chunk, jnp.clip(positions, 0, agent.max_model_len - 1),
+                kc, meta, rope_cos, rope_sin, return_all_logits=True,
+                return_aux_hidden=True)
+            tgt_dists = jax.vmap(
+                lambda lg: masked_dist(lg, sub, counts, pmask),
+                in_axes=1, out_axes=1)(logits_all)
+
+            row_keys = jax.vmap(jax.random.key)(
+                sub['seed'] + sub['step_no'].astype(jnp.uint32)
+                * np.uint32(0x85EBCA6B))
+            out_toks, n_emitted = reject_sample(tgt_dists, draft_dists,
+                                                draft_toks, row_keys)
+            n_emitted = jnp.where(act, n_emitted, 0)
+            lp_all = jax.nn.log_softmax(logits_all.astype(jnp.float32), axis=-1)
+            out_lps = jnp.take_along_axis(lp_all, out_toks[..., None],
+                                          axis=-1)[..., 0]          # [B, K+1]
+
+            last_idx = jnp.clip(n_emitted - 1, 0, K)
+            new_token = jnp.take_along_axis(out_toks, last_idx[:, None],
+                                            axis=1)[:, 0]
+            new_token = jnp.where(act, new_token, sub['token'])
+            new_h = jnp.take_along_axis(
+                aux_all, last_idx[:, None, None], axis=1)[:, 0]   # [B, 3H]
+            hidden_full = hidden_full.at[:B].set(
+                jnp.where(act[:, None], new_h, hidden_full[:B]))
+            counts_upd = state.token_counts
+            emit_mask = (jnp.arange(K + 1, dtype=jnp.int32)[None, :]
+                         < n_emitted[:, None])
+            rows = jnp.broadcast_to(jnp.arange(B)[:, None], (B, K + 1))
+            counts_upd = counts_upd.at[rows.reshape(-1),
+                                       out_toks.reshape(-1)].add(
+                emit_mask.reshape(-1).astype(counts_upd.dtype))
+            sub = dict(sub, token=new_token,
+                       position=sub['position'] + n_emitted,
+                       step_no=sub['step_no'] + n_emitted)
+            state = dataclasses.replace(
+                state, token_counts=counts_upd,
+                **{n: getattr(state, n).at[:B].set(sub[n]) for n in row_fields})
+            return kc, dkc, state, hidden_full, out_toks, n_emitted, out_lps
+
+        fn = jax.jit(run, donate_argnums=(4, 5, 6, 7))
+        self._fns[key] = fn
+        return fn
+
     def spec_decode(self, num_rows: int) -> Tuple[np.ndarray, np.ndarray]:
         """Run one speculative step over rows [0, num_rows).
 
@@ -329,7 +462,14 @@ class SpecExtension:
         from ..config import bucketize
         agent = self.agent
         B = bucketize(num_rows, agent.batch_buckets)
-        if self.method in ('eagle', 'deepseek_mtp'):
+        if self.method == 'eagle3':
+            fn = self._get_fn_eagle3(B)
+            (kc, self.draft_kv, agent.decode_state,
+             self.hidden, out_toks, n_emitted, out_lps) = fn(
+                agent.params, self.draft_params, agent.rope_cos, agent.rope_sin,
+                agent.cache_engine.kv_cache,
+                self.draft_kv, agent.decode_state, self.hidden)
+        elif self.method in ('eagle', 'deepseek_mtp'):
             fn = self._get_fn_eagle(B)
             (kc, self.draft_kv, agent.decode_state,
              self.hidden, out_toks, n_emitted, out_lps) = fn(

@@ -141,6 +141,9 @@ class SpeculativeConfig:
     via rejection sampling).
     method 'eagle': a 1-layer EAGLE head conditioned on the target's pre-norm
     features proposes instead (models/eagle.py); same exactness guarantee.
+    method 'eagle3': EAGLE-3 head — 2H-wide attention over
+    [norm(embed); norm(hidden)], fc over the target's 3 concatenated aux
+    hidden layers, reduced draft vocab with d2t id translation
     method 'deepseek_mtp': the DeepSeek-V3 Multi-Token-Prediction module
     (the checkpoint's extra layer, models/deepseek.py DeepseekMTP) proposes;
     ``model`` may be omitted — the MTP weights live in the target checkpoint.

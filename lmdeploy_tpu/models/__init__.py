@@ -229,6 +229,17 @@ def _gpt_oss(config: ModelConfig):
 register_model('GptOssForCausalLM')(_gpt_oss)
 
 
+def _llama4(config: ModelConfig):
+    from .llama4 import Llama4Model
+    return Llama4Model(config)
+
+
+# ForConditionalGeneration runs the text model (the LM tree carries a
+# 'language_model.' prefix handled by the assign plan); vision tower TBD
+register_model('Llama4ForCausalLM',
+               'Llama4ForConditionalGeneration')(_llama4)
+
+
 def build_model(config: ModelConfig):
     builder = _REGISTRY.get(config.hf_arch)
     if builder is None:

@@ -80,6 +80,11 @@ class LlamaModel:
         self.attn_logit_softcap = None    # gemma-2 attention softcapping
         self.attn_scale = None            # gemma: query_pre_attn_scalar**-0.5
         self.block_causal_size = None     # diffusion-LM (SDAR) block pattern
+        # EAGLE-3 aux feature taps: per-layer-OUTPUT indices whose hidden
+        # states concat into the draft conditioning (reference llama.py
+        # aux_hidden_state_layers, which taps layer INPUTS (2, L/2, L-3) ==
+        # outputs (1, L/2-1, L-4))
+        self.aux_hidden_layers = None
         self.quant_method = None
         self.group_size = 128
         qcfg = cfg.quantization_config or {}
@@ -370,6 +375,7 @@ class LlamaModel:
                 embeds_mask: Optional[jax.Array] = None,
                 adapter_ids: Optional[jax.Array] = None,
                 return_hidden: bool = False,
+                return_aux_hidden: bool = False,
                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """One forward step.
 
@@ -469,11 +475,17 @@ class LlamaModel:
             if 'post_mlp_norm' in w:
                 out = rms_norm(out, w['post_mlp_norm'], cfg.rms_norm_eps)
             h = h + out
-            return (h, kv_cache, layer + 1), None
+            ys = h if return_aux_hidden else None
+            return (h, kv_cache, layer + 1), ys
 
         xs = lp if lora is None else (lp, lora)
-        (hidden, kv_cache, _), _ = jax.lax.scan(
+        (hidden, kv_cache, _), layer_hs = jax.lax.scan(
             layer_fn, (hidden, kv_cache, jnp.int32(0)), xs)
+        if return_aux_hidden:
+            idx = np.clip(np.asarray(self.aux_hidden_layers, np.int32),
+                          0, cfg.num_layers - 1)
+            aux_hidden = jnp.concatenate(
+                [layer_hs[i] for i in idx], axis=-1)       # [B, T, 3H]
         hidden_prenorm = hidden        # EAGLE conditions on pre-final-norm features
         hidden = self._norm(hidden, params['final_norm'],
                             params.get('final_norm_b'), cfg.rms_norm_eps)
@@ -482,6 +494,8 @@ class LlamaModel:
             return self._head(params, x)
 
         if return_all_logits:
+            if return_aux_hidden:
+                return head(hidden), kv_cache, aux_hidden
             if return_hidden:
                 return head(hidden), kv_cache, hidden_prenorm
             return head(hidden), kv_cache

@@ -247,11 +247,13 @@ def gather_layer_kv(kv_cache, layer, block_tables, num_kv_heads: int,
 
 def attention_dense_gathered(q, k, v, history_lens, scale,
                              logit_softcap=None, window_size=None, sinks=None,
-                             block_causal=None):
+                             block_causal=None, chunk_local=None):
     """Attention math over already-gathered dense KV [Hkv, B, S, D].
 
     ``block_causal``: diffusion-LM block size — positions attend causally by
     BLOCK (bidirectional within a block; reference: SDAR block_sparse_size).
+    ``chunk_local``: llama4 chunked attention — causal AND restricted to the
+    query's own chunk of this size (traced per-layer scalar; <= 0 disables).
     """
     B, T, Hq, D = q.shape
     Hkv, _, S, _ = k.shape
@@ -271,6 +273,10 @@ def attention_dense_gathered(q, k, v, history_lens, scale,
                 <= pos_q[:, :, None] // block_causal)                         # [B,T,S]
     else:
         mask = pos_k[:, None, :] <= pos_q[:, :, None]                         # [B,T,S]
+    if chunk_local is not None:
+        c = jnp.maximum(jnp.asarray(chunk_local, jnp.int32), 1)
+        cm = (pos_k[:, None, :] // c) == (pos_q[:, :, None] // c)
+        mask &= jnp.where(jnp.asarray(chunk_local) > 0, cm, True)
     if window_size is not None:
         if isinstance(window_size, int):
             if window_size > 0:
@@ -321,7 +327,8 @@ def paged_attention(q, kv_cache, block_tables, history_lens, q_lens, scale,
                     fresh_prefill: bool = False,
                     force_reference: bool = False,
                     sinks: Optional[jax.Array] = None,
-                    block_causal: Optional[int] = None):
+                    block_causal: Optional[int] = None,
+                    chunk_local=None):
     """Dispatch over the attention specializations.  ``kv_cache`` is the FULL
     unified cache [L, NB, BS, ROWp] (or QuantKV/QuantKV4); ``layer`` selects
     the region.
@@ -343,6 +350,13 @@ def paged_attention(q, kv_cache, block_tables, history_lens, q_lens, scale,
         return attention_dense_gathered(q, k, v, history_lens, scale,
                                         logit_softcap, window_size, sinks,
                                         block_causal=block_causal)
+    if chunk_local is not None:
+        # llama4 chunked attention (per-layer traced chunk size): the decode
+        # kernel has no chunk-aligned masking — reference path
+        k, v = gather_layer_kv(kv_cache, layer, block_tables, num_kv_heads, D)
+        return attention_dense_gathered(q, k, v, history_lens, scale,
+                                        logit_softcap, window_size, sinks,
+                                        chunk_local=chunk_local)
     if (sinks is not None or not isinstance(window_size, (int, type(None)))) \
             and not (_on_tpu() and T == 1 and not quant):
         # sink logits / traced per-layer windows outside the decode kernel's

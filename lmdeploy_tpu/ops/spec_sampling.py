@@ -23,7 +23,7 @@ def reject_sample(
     target_probs: jax.Array,   # [B, K+1, V] target distributions per position
     draft_probs: jax.Array,    # [B, K, V] draft distributions
     draft_tokens: jax.Array,   # [B, K] i32 proposed tokens
-    key: jax.Array,            # PRNG key
+    key: jax.Array,            # PRNG key, or [B] per-row keys
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (out_tokens [B, K+1] i32, num_emitted [B] i32).
 
@@ -33,14 +33,30 @@ def reject_sample(
     """
     B, K1, V = target_probs.shape
     K = K1 - 1
-    k_accept, k_resid, k_bonus = jax.random.split(key, 3)
+    # a single key (typed scalar key or legacy raw uint32[2]) drives the
+    # classic shared stream; a [B] typed-key batch gives per-row streams
+    batched = jnp.issubdtype(key.dtype, jax.dtypes.prng_key) and key.ndim == 1
+    if not batched:
+        k_accept, k_resid, k_bonus = jax.random.split(key, 3)
+        resid_keys = jax.random.split(k_resid, B)
+        bonus_keys = jax.random.split(k_bonus, B)
+    else:
+        # [B] per-row keys: the stream depends only on each row's own
+        # (seed, step_no) — outputs are invariant to batch composition and
+        # to stale state in other rows (matches the AR counter-hash design)
+        resid_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(key)
+        bonus_keys = jax.vmap(lambda k: jax.random.fold_in(k, 2))(key)
 
     p_tgt_at_draft = jnp.take_along_axis(
         target_probs[:, :K], draft_tokens[..., None], axis=-1)[..., 0]   # [B, K]
     p_draft_at_draft = jnp.take_along_axis(
         draft_probs, draft_tokens[..., None], axis=-1)[..., 0]           # [B, K]
 
-    u = jax.random.uniform(k_accept, (B, K))
+    if not batched:
+        u = jax.random.uniform(k_accept, (B, K))
+    else:
+        u = jax.vmap(lambda k: jax.random.uniform(
+            jax.random.fold_in(k, 0), (K,)))(key)
     ratio = p_tgt_at_draft / jnp.maximum(p_draft_at_draft, 1e-20)
     accept = u < jnp.minimum(ratio, 1.0)                                 # [B, K]
 
@@ -63,11 +79,11 @@ def reject_sample(
                          tgt_at_rej)
     resid_tok = jax.vmap(
         lambda k, p: jax.random.choice(k, V, p=p))(
-        jax.random.split(k_resid, B), residual).astype(jnp.int32)        # [B]
+        resid_keys, residual).astype(jnp.int32)                          # [B]
 
     bonus_tok = jax.vmap(
         lambda k, p: jax.random.choice(k, V, p=p))(
-        jax.random.split(k_bonus, B), target_probs[:, K]).astype(jnp.int32)
+        bonus_keys, target_probs[:, K]).astype(jnp.int32)
 
     # emit: accepted prefix, then resid (rejection) or bonus (all accepted)
     extra_tok = jnp.where(all_accepted, bonus_tok, resid_tok)            # [B]

@@ -364,3 +364,36 @@ def test_deepseek_v1_moe(tmp_path):
     a = _greedy_engine(path, prompt, 8)
     b = _greedy_engine(path, prompt, 8)
     assert a == b and len(a) == 8
+
+
+def test_llama4_matches_transformers(tmp_path):
+    """Llama-4: interleaved dense/MoE blocks, NoPE every 4th layer with
+    temperature tuning + full attention, chunked attention + qk L2-norm on
+    rope layers, sigmoid-input-scaled top-1 MoE with a shared expert."""
+    import torch
+    from transformers import Llama4TextConfig, Llama4ForCausalLM
+    from conftest import make_tiny_tokenizer
+
+    path = str(tmp_path / 'tiny_llama4')
+    cfg = Llama4TextConfig(
+        hidden_size=48, intermediate_size=32, intermediate_size_mlp=96,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, num_local_experts=4, num_experts_per_tok=1,
+        interleave_moe_layer_step=2, use_qk_norm=True,
+        attention_chunk_size=8, attn_temperature_tuning=True,
+        floor_scale=8, attn_scale=0.1,
+        vocab_size=128, max_position_embeddings=256, rms_norm_eps=1e-5,
+        rope_theta=10000.0, rope_scaling=None, attention_bias=False,
+        bos_token_id=1, eos_token_id=2, tie_word_embeddings=False)
+    torch.manual_seed(41)
+    hf = Llama4ForCausalLM(cfg).float().eval()
+    hf.save_pretrained(path, safe_serialization=True)
+    make_tiny_tokenizer(path, vocab_size=128)
+
+    import numpy as np
+    rng = np.random.RandomState(9)
+    # long enough that chunked attention (chunk 8) actually truncates context
+    prompt = rng.randint(3, 120, size=21).tolist()
+    want = _hf_greedy(hf, prompt, 8)
+    got = _greedy_engine(path, prompt, 8)
+    assert got == want, (got, want)
