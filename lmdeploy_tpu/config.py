@@ -114,6 +114,25 @@ class ModelConfig:
         """Build from a raw HF config dict. Per-arch adjustments live in models/registry."""
         archs = cfg.get('architectures') or ['LlamaForCausalLM']
         vision = None
+        if cfg.get('model_type') == 'chatglm' or 'multi_query_group_num' in cfg:
+            # legacy THUDM chatglm2/3/glm-4 configs use their own field names
+            # (reference: configurations/chatglm.py)
+            cfg = dict(cfg)
+            cfg.setdefault('num_hidden_layers', cfg.get('num_layers', 28))
+            if cfg.get('multi_query_attention'):
+                cfg.setdefault('num_key_value_heads',
+                               cfg['multi_query_group_num'])
+            cfg.setdefault('intermediate_size', cfg.get('ffn_hidden_size'))
+            cfg.setdefault('vocab_size', cfg.get('padded_vocab_size', 65024))
+            cfg.setdefault('head_dim', cfg.get('kv_channels'))
+            cfg.setdefault('rms_norm_eps', cfg.get('layernorm_epsilon', 1e-5))
+            cfg.setdefault('max_position_embeddings',
+                           cfg.get('seq_length', 8192))
+            cfg.setdefault('rope_theta',
+                           10000.0 * cfg.get('rope_ratio', 1.0))
+            cfg.setdefault('partial_rotary_factor', 0.5)
+            cfg.setdefault('attention_bias', cfg.get('add_qkv_bias', False))
+            cfg.setdefault('tie_word_embeddings', False)
         if 'vision_config' in cfg and cfg.get('model_type') in (
                 'qwen2_vl', 'qwen2_5_vl'):
             # qwen2-vl: older checkpoints are FLAT (LM fields top-level beside

@@ -240,6 +240,28 @@ register_model('Llama4ForCausalLM',
                'Llama4ForConditionalGeneration')(_llama4)
 
 
+def _minicpm(config: ModelConfig):
+    from .minicpm import MiniCPMModel
+    return MiniCPMModel(config)
+
+
+def _minicpm3(config: ModelConfig):
+    from .minicpm import MiniCPM3Model
+    return MiniCPM3Model(config)
+
+
+register_model('MiniCPMForCausalLM')(_minicpm)
+register_model('MiniCPM3ForCausalLM')(_minicpm3)
+
+
+def _chatglm(config: ModelConfig):
+    from .chatglm import ChatGLMModel
+    return ChatGLMModel(config)
+
+
+register_model('ChatGLMModel', 'ChatGLMForConditionalGeneration')(_chatglm)
+
+
 def build_model(config: ModelConfig):
     builder = _REGISTRY.get(config.hf_arch)
     if builder is None:

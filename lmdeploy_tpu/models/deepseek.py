@@ -53,6 +53,11 @@ def _deinterleave(x: jax.Array) -> jax.Array:
 class DeepseekV2Model(LlamaModel):
     """DeepSeek-V2 / V2-Lite / V3 decoder with MLA + MoE."""
 
+    # muP-style hooks (MiniCPM3) — class-level so subclasses that bypass
+    # __init__ (Glm4MoeModel) inherit the neutral defaults
+    residual_scale = None
+    logit_scale = None
+
     def __init__(self, config: ModelConfig):
         super().__init__(config)
         cfg = config
@@ -104,6 +109,10 @@ class DeepseekV2Model(LlamaModel):
                          w_up=(fk, H, cfg.intermediate_size),
                          w_down=(fk, cfg.intermediate_size, H))
             shapes['layers'] = dense
+        if Lm == 0:          # pure-MLA dense model (minicpm3)
+            if not cfg.tie_word_embeddings:
+                shapes['lm_head'] = (H, V)
+            return shapes
         moe = self._attn_shapes(Lm)
         moe.update(router=(Lm, H, E),
                    router_bias=(Lm, E),       # v3 e_score_correction_bias
@@ -215,6 +224,11 @@ class DeepseekV2Model(LlamaModel):
             dense.update(w_gate=P(None, None, 'tp'), w_up=P(None, None, 'tp'),
                          w_down=P(None, 'tp', None))
             shard['layers'] = dense
+        if self.config.num_layers == self.fk:    # all-dense (minicpm3)
+            if not self.config.tie_word_embeddings:
+                shard['lm_head'] = P(None, 'tp') if shard_vocab \
+                    else P(None, None)
+            return shard
         moe = attn(True)
         moe.update(router=P(None, None, None), router_bias=P(None, None),
                    we_gate=P(None, 'ep', None, 'tp'),
@@ -271,7 +285,10 @@ class DeepseekV2Model(LlamaModel):
                                force_reference=getattr(self, 'force_ref_attention', False))      # [B,T,nh,D]
         o = jnp.einsum('btnr,nrv->btnv', attn[..., :r].astype(jnp.float32),
                        w['wuv'].astype(jnp.float32)).astype(h.dtype)
-        h = h + proj(o.reshape(B, T, nh * dv), w['wo'])
+        out = proj(o.reshape(B, T, nh * dv), w['wo'])
+        if self.residual_scale is not None:
+            out = out * jnp.asarray(self.residual_scale, out.dtype)
+        h = h + out
         return h, kv_cache
 
     def _moe_mlp(self, w, x):
@@ -332,6 +349,8 @@ class DeepseekV2Model(LlamaModel):
         B, T = input_ids.shape
         block_size = kv_cache.shape[3]
         hidden = params['embed'][input_ids].astype(cfg.jnp_dtype())
+        if self.embed_scale != 1.0:
+            hidden = hidden * jnp.asarray(self.embed_scale, hidden.dtype)
         if input_embeds is not None:
             hidden = jnp.where(embeds_mask[..., None],
                                input_embeds.astype(hidden.dtype), hidden)
@@ -346,10 +365,11 @@ class DeepseekV2Model(LlamaModel):
                 h, kc = self._attn_block(h, w, layer, kc, meta, cos,
                                          sin, slot_mapping, fresh_prefill)
                 x = rms_norm(h, w['mlp_norm'], cfg.rms_norm_eps)
-                if moe:
-                    h = h + self._moe_mlp(w, x)
-                else:
-                    h = h + self._mlp(w, x)      # llama dense silu mlp
+                out = self._moe_mlp(w, x) if moe \
+                    else self._mlp(w, x)         # llama dense silu mlp
+                if self.residual_scale is not None:
+                    out = out * jnp.asarray(self.residual_scale, out.dtype)
+                h = h + out
                 return (h, kc, layer + 1), None
             return layer_fn
 
@@ -357,8 +377,9 @@ class DeepseekV2Model(LlamaModel):
         if 'layers' in params:
             carry, _ = jax.lax.scan(make_layer_fn(False), carry,
                                     params['layers'])
-        carry, _ = jax.lax.scan(make_layer_fn(True), carry,
-                                params['moe_layers'])
+        if 'moe_layers' in params:
+            carry, _ = jax.lax.scan(make_layer_fn(True), carry,
+                                    params['moe_layers'])
         hidden, kv_cache, _ = carry
         hidden_prenorm = hidden    # MTP/EAGLE condition on pre-norm features
         hidden = rms_norm(hidden, params['final_norm'], cfg.rms_norm_eps)
@@ -368,7 +389,10 @@ class DeepseekV2Model(LlamaModel):
             lm_head = params['embed'].T
 
         def head(x):
-            return jnp.dot(x, lm_head, preferred_element_type=jnp.float32)
+            logits = jnp.dot(x, lm_head, preferred_element_type=jnp.float32)
+            if self.logit_scale is not None:
+                logits = logits * self.logit_scale
+            return logits
 
         if return_all_logits:
             if return_hidden:

@@ -76,6 +76,7 @@ class LlamaModel:
         self.q_out = cfg.num_attention_heads * cfg.head_dim
         self.kv_out = cfg.num_key_value_heads * cfg.head_dim
         self.embed_scale = 1.0            # gemma: sqrt(hidden_size)
+        self.residual_scale = None        # minicpm: scale_depth/sqrt(L)
         self.final_logit_softcap = None   # gemma-2
         self.attn_logit_softcap = None    # gemma-2 attention softcapping
         self.attn_scale = None            # gemma: query_pre_attn_scalar**-0.5
@@ -463,6 +464,8 @@ class LlamaModel:
             out = lin(attn, w, lw, 'wo', w.get('bo'))
             if 'post_attn_norm' in w:
                 out = rms_norm(out, w['post_attn_norm'], cfg.rms_norm_eps)
+            if self.residual_scale is not None:
+                out = out * jnp.asarray(self.residual_scale, out.dtype)
             h = h + out
             x = self._norm(h, w['mlp_norm'], w.get('mlp_norm_b'),
                            cfg.rms_norm_eps)
@@ -474,6 +477,8 @@ class LlamaModel:
                 out = self._mlp(w, x)
             if 'post_mlp_norm' in w:
                 out = rms_norm(out, w['post_mlp_norm'], cfg.rms_norm_eps)
+            if self.residual_scale is not None:
+                out = out * jnp.asarray(self.residual_scale, out.dtype)
             h = h + out
             ys = h if return_aux_hidden else None
             return (h, kv_cache, layer + 1), ys

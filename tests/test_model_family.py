@@ -397,3 +397,79 @@ def test_llama4_matches_transformers(tmp_path):
     want = _hf_greedy(hf, prompt, 8)
     got = _greedy_engine(path, prompt, 8)
     assert got == want, (got, want)
+
+
+def test_chatglm_matches_transformers_glm(tmp_path):
+    """Legacy THUDM chatglm format == native transformers Glm: a tiny
+    GlmForCausalLM renamed to transformer.encoder.* with fused
+    query_key_value / dense_h_to_4h and legacy config fields must reproduce
+    the transformers greedy output token-for-token."""
+    import json
+    import torch
+    from transformers import GlmConfig, GlmForCausalLM
+    from safetensors.numpy import save_file
+    from conftest import make_tiny_tokenizer
+
+    cfg = GlmConfig(
+        hidden_size=48, intermediate_size=96, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        partial_rotary_factor=0.5, attention_bias=True, vocab_size=128,
+        max_position_embeddings=256, rms_norm_eps=1e-5, rope_theta=10000.0,
+        bos_token_id=1, eos_token_id=2, pad_token_id=0,
+        tie_word_embeddings=False)
+    torch.manual_seed(77)
+    hf = GlmForCausalLM(cfg).float().eval()
+
+    path = str(tmp_path / 'tiny_chatglm')
+    import os
+    os.makedirs(path)
+    legacy_cfg = {
+        'architectures': ['ChatGLMModel'], 'model_type': 'chatglm',
+        'num_layers': 3, 'hidden_size': 48, 'ffn_hidden_size': 96,
+        'num_attention_heads': 4, 'multi_query_attention': True,
+        'multi_query_group_num': 2, 'kv_channels': 16,
+        'padded_vocab_size': 128, 'seq_length': 256,
+        'layernorm_epsilon': 1e-5, 'add_qkv_bias': True,
+        'add_bias_linear': False, 'rope_ratio': 1.0,
+        'bos_token_id': 1, 'eos_token_id': 2, 'torch_dtype': 'float32',
+    }
+    json.dump(legacy_cfg, open(f'{path}/config.json', 'w'))
+    make_tiny_tokenizer(path, vocab_size=128)
+
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    t = {
+        'transformer.embedding.word_embeddings.weight':
+            sd['model.embed_tokens.weight'],
+        'transformer.encoder.final_layernorm.weight':
+            sd['model.norm.weight'],
+        'transformer.output_layer.weight': sd['lm_head.weight'],
+    }
+    for l in range(3):
+        src = f'model.layers.{l}.'
+        dst = f'transformer.encoder.layers.{l}.'
+        t[dst + 'input_layernorm.weight'] = sd[src + 'input_layernorm.weight']
+        t[dst + 'post_attention_layernorm.weight'] = \
+            sd[src + 'post_attention_layernorm.weight']
+        t[dst + 'self_attention.query_key_value.weight'] = np.concatenate(
+            [sd[src + 'self_attn.q_proj.weight'],
+             sd[src + 'self_attn.k_proj.weight'],
+             sd[src + 'self_attn.v_proj.weight']])
+        t[dst + 'self_attention.query_key_value.bias'] = np.concatenate(
+            [sd[src + 'self_attn.q_proj.bias'],
+             sd[src + 'self_attn.k_proj.bias'],
+             sd[src + 'self_attn.v_proj.bias']])
+        t[dst + 'self_attention.dense.weight'] = \
+            sd[src + 'self_attn.o_proj.weight']
+        t[dst + 'mlp.dense_h_to_4h.weight'] = \
+            sd[src + 'mlp.gate_up_proj.weight']
+        t[dst + 'mlp.dense_4h_to_h.weight'] = \
+            sd[src + 'mlp.down_proj.weight']
+    t = {k: np.ascontiguousarray(np.asarray(v, np.float32))
+         for k, v in t.items()}
+    save_file(t, f'{path}/model.safetensors')
+
+    rng = np.random.RandomState(5)
+    prompt = rng.randint(3, 120, size=11).tolist()
+    want = _hf_greedy(hf, prompt, 8)
+    got = _greedy_engine(path, prompt, 8)
+    assert got == want, (got, want)
