@@ -134,7 +134,7 @@ class ModelConfig:
             cfg.setdefault('attention_bias', cfg.get('add_qkv_bias', False))
             cfg.setdefault('tie_word_embeddings', False)
         if 'vision_config' in cfg and cfg.get('model_type') in (
-                'qwen2_vl', 'qwen2_5_vl'):
+                'qwen2_vl', 'qwen2_5_vl', 'qwen3_vl', 'qwen3_vl_moe'):
             # qwen2-vl: older checkpoints are FLAT (LM fields top-level beside
             # vision_config); transformers>=4.52 nests them under text_config.
             if not cfg.get('architectures'):
@@ -150,12 +150,15 @@ class ModelConfig:
                 'image_token_index': (cfg.get('image_token_id')
                                       or inner.get('image_token_id', 151655)),
                 'llm_architectures': ['Qwen2ForCausalLM'],
+                'deepstack': cfg['vision_config'].get(
+                    'deepstack_visual_indexes'),
             }
-            cfg = dict(inner)
-            cfg['architectures'] = archs
-            cfg.setdefault('model_type', 'qwen2')
-            if 'torch_dtype' not in cfg:
-                cfg['torch_dtype'] = 'bfloat16'
+            qcfg = dict(inner)
+            qcfg['architectures'] = archs
+            qcfg.setdefault('model_type', 'qwen2')
+            if 'torch_dtype' not in qcfg:
+                qcfg['torch_dtype'] = cfg.get('torch_dtype', 'bfloat16')
+            cfg = qcfg
         elif 'vision_config' in cfg and ('text_config' in cfg or 'llm_config' in cfg):
             # composite VLM config: llava family nests the LM as text_config,
             # InternVL as llm_config; keep the outer arch for registry dispatch
@@ -171,12 +174,26 @@ class ModelConfig:
                     cfg.get('vision_feature_select_strategy', 'default'),
                 'projector_hidden_act': cfg.get('projector_hidden_act', 'gelu'),
                 'downsample_ratio': cfg.get('downsample_ratio', 0.5),
+                'mm_tokens_per_image': cfg.get('mm_tokens_per_image'),
                 'llm_architectures': inner.get('architectures'),
             }
             cfg = dict(inner)
             cfg['architectures'] = archs
             if 'torch_dtype' not in cfg:
                 cfg['torch_dtype'] = 'bfloat16'
+        if 'tie_word_embeddings' not in cfg:
+            # nested sub-configs (VLM text_config) omit values equal to the
+            # transformers class default — which is True for some families
+            # (gemma); resolve the real default instead of assuming False
+            try:
+                from transformers import CONFIG_MAPPING
+                mt = cfg.get('model_type')
+                if mt in CONFIG_MAPPING:
+                    cfg = dict(cfg)
+                    cfg['tie_word_embeddings'] = bool(getattr(
+                        CONFIG_MAPPING[mt](), 'tie_word_embeddings', False))
+            except Exception:
+                pass
         num_heads = cfg.get('num_attention_heads', 32)
         hidden = cfg.get('hidden_size', 4096)
         head_dim = cfg.get('head_dim') or hidden // num_heads

@@ -202,7 +202,9 @@ class ModelAgent:
                 self.image_processor = ImageProcessor(
                     self.model.tower.image_size,
                     mean=getattr(self.model, 'image_mean', CLIP_MEAN),
-                    std=getattr(self.model, 'image_std', CLIP_STD))
+                    std=getattr(self.model, 'image_std', CLIP_STD),
+                    resize_mode=getattr(self.model, 'image_resize_mode',
+                                        'crop'))
 
     # -- slot management ---------------------------------------------------------------
     def assign_slot(self, seq) -> int:
@@ -368,7 +370,9 @@ class ModelAgent:
         mm_args = ()
         if count_inputs and any(getattr(s, 'mm_spans', None) for s in seqs):
             import jax.numpy as jnp
-            H = self.model_config.hidden_size
+            # deepstack models widen the span features with per-layer slices
+            H = getattr(self.model, 'embed_feature_width',
+                        self.model_config.hidden_size)
             embeds = np.zeros((B, T, H), np.float32)
             mask = np.zeros((B, T), bool)
             for i, (seq, start, length) in enumerate(

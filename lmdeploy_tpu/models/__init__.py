@@ -262,6 +262,28 @@ def _chatglm(config: ModelConfig):
 register_model('ChatGLMModel', 'ChatGLMForConditionalGeneration')(_chatglm)
 
 
+def _qwen3_vl(config: ModelConfig):
+    from .qwen3_vl import build_qwen3_vl
+    return build_qwen3_vl(config)
+
+
+def _qwen3_vl_moe(config: ModelConfig):
+    from .qwen3_vl import build_qwen3_vl_moe
+    return build_qwen3_vl_moe(config)
+
+
+register_model('Qwen3VLForConditionalGeneration')(_qwen3_vl)
+register_model('Qwen3VLMoeForConditionalGeneration')(_qwen3_vl_moe)
+
+
+def _gemma3_vl(config: ModelConfig):
+    from .gemma3_vl import Gemma3VLModel
+    return Gemma3VLModel(config)
+
+
+register_model('Gemma3ForConditionalGeneration')(_gemma3_vl)
+
+
 def build_model(config: ModelConfig):
     builder = _REGISTRY.get(config.hf_arch)
     if builder is None:

@@ -86,6 +86,8 @@ class LlamaModel:
         # aux_hidden_state_layers, which taps layer INPUTS (2, L/2, L-3) ==
         # outputs (1, L/2-1, L-4))
         self.aux_hidden_layers = None
+        # gemma3-VL: image tokens attend bidirectionally among themselves
+        self.bidir_image_token = None
         self.quant_method = None
         self.group_size = 128
         qcfg = cfg.quantization_config or {}
@@ -400,12 +402,28 @@ class LlamaModel:
         hidden = params['embed'][input_ids].astype(cfg.jnp_dtype())   # [B,T,H]
         if self.embed_scale != 1.0:
             hidden = hidden * jnp.asarray(self.embed_scale, hidden.dtype)
+        deepstack = None
+        if input_embeds is not None and \
+                input_embeds.shape[-1] > cfg.hidden_size:
+            # Qwen3-VL deepstack: the feature spans carry K extra per-layer
+            # visual embeddings (width (1+K)*H); layer i < K adds slice i at
+            # visual positions after its block (reference: qwen3_vl.py
+            # _deepstack_process)
+            K = input_embeds.shape[-1] // cfg.hidden_size - 1
+            ds = input_embeds[..., cfg.hidden_size:].reshape(
+                B, T, K, cfg.hidden_size)
+            deepstack = jnp.where(embeds_mask[..., None, None],
+                                  ds.astype(hidden.dtype), 0)
+            input_embeds = input_embeds[..., :cfg.hidden_size]
         if input_embeds is not None:
             hidden = jnp.where(embeds_mask[..., None],
                                input_embeds.astype(hidden.dtype), hidden)
         cos, sin = self._gather_rope(rope_cos, rope_sin, positions)  # [B,T,D/2]
         slot_mapping = compute_slot_mapping(meta.block_tables, meta.history_lens,
                                             meta.q_lens, T, block_size)
+        bidir_chunk = None
+        if self.bidir_image_token is not None and T > 1:
+            bidir_chunk = input_ids == jnp.int32(self.bidir_image_token)
 
         lp = params['layers']
         has_bias = 'bq' in lp
@@ -459,7 +477,8 @@ class LlamaModel:
                                    force_reference=getattr(
                                        self, 'force_ref_attention', False),
                                    sinks=w.get('sinks'),
-                                   block_causal=self.block_causal_size)
+                                   block_causal=self.block_causal_size,
+                                   bidir_chunk=bidir_chunk)
             attn = attn.reshape(B, T, self.q_out)
             out = lin(attn, w, lw, 'wo', w.get('bo'))
             if 'post_attn_norm' in w:
@@ -480,6 +499,10 @@ class LlamaModel:
             if self.residual_scale is not None:
                 out = out * jnp.asarray(self.residual_scale, out.dtype)
             h = h + out
+            if deepstack is not None:
+                dsK = deepstack.shape[2]
+                dsl = jnp.take(deepstack, jnp.clip(layer, 0, dsK - 1), axis=2)
+                h = h + jnp.where(layer < dsK, dsl, 0)
             ys = h if return_aux_hidden else None
             return (h, kv_cache, layer + 1), ys
 

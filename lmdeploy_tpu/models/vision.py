@@ -344,3 +344,79 @@ def pixel_shuffle(x: jax.Array, ratio: float) -> jax.Array:
     x = x.reshape(N, G // s, s, G // s, s, W)
     x = x.transpose(0, 1, 3, 2, 4, 5).reshape(N, G // s, G // s, s * s * W)
     return x
+
+
+class SiglipVisionTower(ClipVisionTower):
+    """SigLIP ViT (gemma3 / minicpm-v towers): no class token, biased patch
+    embed, no pre-layernorm, final post_layernorm, tanh-gelu MLP.
+
+    Reference analog: transformers SiglipVisionModel as used by
+    ``lmdeploy/pytorch/models/gemma3_vl.py`` (vision_tower).
+    """
+
+    def __init__(self, vision_config: Dict):
+        vc = dict(vision_config)
+        vc.setdefault('hidden_act', 'gelu_pytorch_tanh')
+        vc.setdefault('layer_norm_eps', 1e-6)
+        super().__init__(vc, feature_layer=vc.get('num_hidden_layers', 27),
+                         select_strategy='siglip')
+        self.num_image_tokens = self.num_patches
+
+    def param_shapes(self) -> Dict:
+        shapes = super().param_shapes()
+        for k in ('class_embed', 'pre_ln_w', 'pre_ln_b'):
+            shapes.pop(k)
+        W = self.width
+        shapes['patch_embed_b'] = (W,)
+        shapes['pos_embed'] = (self.num_patches, W)
+        shapes['post_ln_w'] = (W,)
+        shapes['post_ln_b'] = (W,)
+        return shapes
+
+    def make_assign_plan(self, prefix: str = 'vision_tower.vision_model.'):
+        plan = super().make_assign_plan(prefix)
+        for k in (f'{prefix}embeddings.class_embedding',
+                  f'{prefix}pre_layrnorm.weight',
+                  f'{prefix}pre_layrnorm.bias'):
+            plan.pop(k, None)
+        ident = lambda x: x  # noqa: E731
+        plan[f'{prefix}embeddings.patch_embedding.bias'] = \
+            (('patch_embed_b',), ident, None)
+        plan[f'{prefix}post_layernorm.weight'] = (('post_ln_w',), ident, None)
+        plan[f'{prefix}post_layernorm.bias'] = (('post_ln_b',), ident, None)
+        return plan
+
+    def forward(self, params, pixel_values: jax.Array) -> jax.Array:
+        """pixel_values [N, S, S, 3] -> features [N, num_patches, W]."""
+        N = pixel_values.shape[0]
+        P, G, W = self.patch_size, self.grid, self.width
+        dtype = params['patch_embed'].dtype
+        x = pixel_values.astype(dtype)
+        x = x.reshape(N, G, P, G, P, 3).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(N, G * G, P * P * 3)
+        x = x @ params['patch_embed'] + params['patch_embed_b']
+        x = x + params['pos_embed']
+
+        H = self.heads
+        D = W // H
+        scale = 1.0 / math.sqrt(D)
+        S = x.shape[1]
+
+        def layer_fn(h, w):
+            y = _layer_norm(h, w['ln1_w'], w['ln1_b'], self.eps)
+            q = (y @ w['wq'] + w['bq']).reshape(N, S, H, D)
+            k = (y @ w['wk'] + w['bk']).reshape(N, S, H, D)
+            v = (y @ w['wv'] + w['bv']).reshape(N, S, H, D)
+            att = jnp.einsum('nqhd,nkhd->nhqk', q, k) * scale
+            att = jax.nn.softmax(att.astype(jnp.float32),
+                                 axis=-1).astype(h.dtype)
+            o = jnp.einsum('nhqk,nkhd->nqhd', att, v).reshape(N, S, W)
+            h = h + o @ w['wo'] + w['bo']
+            y = _layer_norm(h, w['ln2_w'], w['ln2_b'], self.eps)
+            y = self.act(y @ w['fc1'] + w['b1'])
+            h = h + y @ w['fc2'] + w['b2']
+            return h, None
+
+        x, _ = jax.lax.scan(layer_fn, x, params['layers'])
+        return _layer_norm(x, params['post_ln_w'], params['post_ln_b'],
+                           self.eps)

@@ -109,7 +109,8 @@ def make_rope_table(head_dim: int, max_len: int, theta: float = 10000.0,
 
 
 def gather_mrope(rope_cos: jax.Array, rope_sin: jax.Array, pos3: jax.Array,
-                 sections: Tuple[int, ...]) -> Tuple[jax.Array, jax.Array]:
+                 sections: Tuple[int, ...],
+                 interleaved: bool = False) -> Tuple[jax.Array, jax.Array]:
     """Multimodal rope (Qwen2-VL family): 3-component (t, h, w) position ids
     select per-frequency-section rows of the standard rope tables.
 
@@ -122,9 +123,19 @@ def gather_mrope(rope_cos: jax.Array, rope_sin: jax.Array, pos3: jax.Array,
     path (:266-270) over ``nn/rotary_embedding.py`` mrope sections.
     """
     half = rope_cos.shape[-1]
-    comp = jnp.concatenate([
-        jnp.full((s,), i, jnp.int32) for i, s in enumerate(sections)])
-    assert comp.shape[0] == half, (sections, half)
+    if interleaved:
+        # Qwen3-VL lane-interleaved layout: T,H,W,T,H,W..., H/W lanes only up
+        # to 3*section (reference rotary_embedding.apply_interleaved_mrope)
+        import numpy as np
+        c = np.zeros(half, np.int32)
+        for dim, offset in ((1, 1), (2, 2)):
+            length = min(sections[dim] * 3, half)
+            c[offset:length:3] = dim
+        comp = jnp.asarray(c)
+    else:
+        comp = jnp.concatenate([
+            jnp.full((s,), i, jnp.int32) for i, s in enumerate(sections)])
+        assert comp.shape[0] == half, (sections, half)
     cs = [(rope_cos[pos3[..., i]], rope_sin[pos3[..., i]]) for i in range(3)]
     cos = jnp.where(comp == 0, cs[0][0], jnp.where(comp == 1, cs[1][0], cs[2][0]))
     sin = jnp.where(comp == 0, cs[0][1], jnp.where(comp == 1, cs[1][1], cs[2][1]))

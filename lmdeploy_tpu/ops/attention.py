@@ -247,13 +247,16 @@ def gather_layer_kv(kv_cache, layer, block_tables, num_kv_heads: int,
 
 def attention_dense_gathered(q, k, v, history_lens, scale,
                              logit_softcap=None, window_size=None, sinks=None,
-                             block_causal=None, chunk_local=None):
+                             block_causal=None, chunk_local=None,
+                             bidir_k=None, bidir_q=None):
     """Attention math over already-gathered dense KV [Hkv, B, S, D].
 
     ``block_causal``: diffusion-LM block size — positions attend causally by
     BLOCK (bidirectional within a block; reference: SDAR block_sparse_size).
     ``chunk_local``: llama4 chunked attention — causal AND restricted to the
     query's own chunk of this size (traced per-layer scalar; <= 0 disables).
+    ``bidir_q``/``bidir_k``: gemma3-VL image-token bidirectionality — mask
+    ADDS (q image-token) & (k image-token) pairs before the window cut.
     """
     B, T, Hq, D = q.shape
     Hkv, _, S, _ = k.shape
@@ -277,6 +280,11 @@ def attention_dense_gathered(q, k, v, history_lens, scale,
         c = jnp.maximum(jnp.asarray(chunk_local, jnp.int32), 1)
         cm = (pos_k[:, None, :] // c) == (pos_q[:, :, None] // c)
         mask &= jnp.where(jnp.asarray(chunk_local) > 0, cm, True)
+    if bidir_q is not None:
+        # image tokens attend bidirectionally among themselves (reference:
+        # gemma3_vl.py global_attn_mask img_mask == 2); the sliding-window
+        # cut below still applies on windowed layers
+        mask |= bidir_q[:, :, None] & bidir_k[:, None, :]
     if window_size is not None:
         if isinstance(window_size, int):
             if window_size > 0:
@@ -328,7 +336,8 @@ def paged_attention(q, kv_cache, block_tables, history_lens, q_lens, scale,
                     force_reference: bool = False,
                     sinks: Optional[jax.Array] = None,
                     block_causal: Optional[int] = None,
-                    chunk_local=None):
+                    chunk_local=None,
+                    bidir_chunk=None):
     """Dispatch over the attention specializations.  ``kv_cache`` is the FULL
     unified cache [L, NB, BS, ROWp] (or QuantKV/QuantKV4); ``layer`` selects
     the region.
@@ -357,6 +366,21 @@ def paged_attention(q, kv_cache, block_tables, history_lens, q_lens, scale,
         return attention_dense_gathered(q, k, v, history_lens, scale,
                                         logit_softcap, window_size, sinks,
                                         chunk_local=chunk_local)
+    if bidir_chunk is not None and T > 1:
+        # gemma3-VL prefill: this chunk's image tokens see each other
+        # bidirectionally.  Key flags live at absolute positions
+        # history + t (forward attention beyond the chunk is impossible,
+        # so history keys stay causal-only).  Reference path.
+        k, v = gather_layer_kv(kv_cache, layer, block_tables, num_kv_heads, D)
+        B, S = q.shape[0], k.shape[2]
+        pos = history_lens[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
+        rows = jnp.broadcast_to(jnp.arange(B)[:, None], (B, T))
+        bk = jnp.zeros((B, S), bool).at[
+            rows.reshape(-1), jnp.clip(pos, 0, S - 1).reshape(-1)].max(
+            bidir_chunk.reshape(-1))
+        return attention_dense_gathered(q, k, v, history_lens, scale,
+                                        logit_softcap, window_size, sinks,
+                                        bidir_k=bk, bidir_q=bidir_chunk)
     if (sinks is not None or not isinstance(window_size, (int, type(None)))) \
             and not (_on_tpu() and T == 1 and not quant):
         # sink logits / traced per-layer windows outside the decode kernel's

@@ -48,10 +48,12 @@ class ImageProcessor:
     Emits NHWC float32 — the tower's patchify consumes HWC directly.
     """
 
-    def __init__(self, image_size: int = 336, mean=CLIP_MEAN, std=CLIP_STD):
+    def __init__(self, image_size: int = 336, mean=CLIP_MEAN, std=CLIP_STD,
+                 resize_mode: str = 'crop'):
         self.image_size = image_size
         self.mean = np.asarray(mean, np.float32)
         self.std = np.asarray(std, np.float32)
+        self.resize_mode = resize_mode      # 'crop' (CLIP) | 'square' (SigLIP)
 
     def __call__(self, images: Sequence) -> np.ndarray:
         from PIL import Image
@@ -60,14 +62,18 @@ class ImageProcessor:
         out = np.empty((len(images), S, S, 3), np.float32)
         for i, img in enumerate(images):
             img = load_image(img)
-            w, h = img.size
-            scale = S / min(w, h)
-            img = img.resize((max(S, int(round(w * scale))),
-                              max(S, int(round(h * scale)))),
-                             Image.Resampling.BICUBIC)
-            w, h = img.size
-            left, top = (w - S) // 2, (h - S) // 2
-            img = img.crop((left, top, left + S, top + S))
+            if self.resize_mode == 'square':
+                # gemma3/siglip: direct (aspect-changing) resize to S x S
+                img = img.resize((S, S), Image.Resampling.BICUBIC)
+            else:
+                w, h = img.size
+                scale = S / min(w, h)
+                img = img.resize((max(S, int(round(w * scale))),
+                                  max(S, int(round(h * scale)))),
+                                 Image.Resampling.BICUBIC)
+                w, h = img.size
+                left, top = (w - S) // 2, (h - S) // 2
+                img = img.crop((left, top, left + S, top + S))
             arr = np.asarray(img, np.float32) / 255.0
             out[i] = (arr - self.mean) / self.std
         return out
