@@ -73,6 +73,7 @@ class ModelConfig:
     qk_rope_head_dim: int = 0
     v_head_dim: int = 0
     first_k_dense_replace: int = 0
+    cache_extra_dim: int = 0       # per-token sidecar cached with K (DSA)
     routed_scaling_factor: float = 1.0
     scoring_func: str = 'softmax'
     n_group: int = 0
@@ -96,10 +97,13 @@ class ModelConfig:
 
     @property
     def cache_head_dim(self) -> int:
-        """Per-head KV-cache payload dim: latent+rope vector for MLA models."""
+        """Per-head KV-cache payload dim: latent+rope vector for MLA models;
+        ``cache_extra_dim`` appends per-token sidecar state (DeepSeek-V3.2's
+        DSA indexer keys ride the K rows after the latent)."""
         if self.is_mla:
-            return self.kv_lora_rank + self.qk_rope_head_dim
-        return self.head_dim
+            return (self.kv_lora_rank + self.qk_rope_head_dim
+                    + self.cache_extra_dim)
+        return self.head_dim + self.cache_extra_dim
 
     @property
     def rope_dim(self) -> int:

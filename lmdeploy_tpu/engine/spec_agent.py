@@ -50,7 +50,12 @@ class SpecExtension:
             # (model.layers.{num_layers}.*) and share its embed/lm_head
             self.draft_config = agent.model_config
             from ..models.deepseek import DeepseekMTP
-            self.draft_model = DeepseekMTP(self.draft_config)
+            from ..models.glm4_moe import Glm4MoeModel, Glm4MoeMTP
+            if isinstance(agent.model, Glm4MoeModel):
+                # GLM-4.5/4.6 nextn layer: same skeleton, GQA attention
+                self.draft_model = Glm4MoeMTP(self.draft_config)
+            else:
+                self.draft_model = DeepseekMTP(self.draft_config)
             self.hidden = jnp.zeros(
                 (agent.max_batch, agent.model_config.hidden_size),
                 agent.model_config.jnp_dtype())

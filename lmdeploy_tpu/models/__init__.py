@@ -284,6 +284,14 @@ def _gemma3_vl(config: ModelConfig):
 register_model('Gemma3ForConditionalGeneration')(_gemma3_vl)
 
 
+def _deepseek_v32(config: ModelConfig):
+    from .deepseek_v32 import DeepseekV32Model
+    return DeepseekV32Model(config)
+
+
+register_model('DeepseekV32ForCausalLM')(_deepseek_v32)
+
+
 def build_model(config: ModelConfig):
     builder = _REGISTRY.get(config.hf_arch)
     if builder is None:

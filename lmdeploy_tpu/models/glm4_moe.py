@@ -120,3 +120,135 @@ class Glm4MoeModel(DeepseekV2Model):
                                    self, 'force_ref_attention', False))
         h = h + proj(attn.reshape(B, T, nh * D), w['wo'])
         return h, kv_cache
+
+
+class Glm4MoeMTP(Glm4MoeModel):
+    """GLM-4.5/4.6 Multi-Token-Prediction module as a speculative proposer.
+
+    Reference analog: ``lmdeploy/pytorch/models/glm4moe_mtp.py`` — the
+    DeepSeek MTP skeleton (``eh_proj([enorm(embed) ; hnorm(h_target)])`` +
+    ONE decoder block + shared_head norm) with GLM's GQA attention (qk-norm,
+    partial rotate-half rope) instead of MLA.  ``step`` matches
+    ``EagleHead.step`` so the engine's EAGLE speculative machinery drives it
+    (see engine/spec_agent.py method='deepseek_mtp').
+    """
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        self.mtp_index = config.num_layers
+        self.moe_mlp = bool(config.num_experts)
+
+    def param_shapes(self) -> Dict[str, Any]:
+        cfg = self.config
+        H = cfg.hidden_size
+        layer = self._attn_shapes(1)
+        if self.moe_mlp:
+            E = cfg.num_experts
+            Ie = cfg.moe_intermediate_size or cfg.intermediate_size
+            Is = (cfg.num_shared_experts or 0) * Ie
+            layer.update(router=(1, H, E), router_bias=(1, E),
+                         we_gate=(1, E, H, Ie), we_up=(1, E, H, Ie),
+                         we_down=(1, E, Ie, H))
+            if Is:
+                layer.update(ws_gate=(1, H, Is), ws_up=(1, H, Is),
+                             ws_down=(1, Is, H))
+        else:
+            I = cfg.intermediate_size
+            layer.update(w_gate=(1, H, I), w_up=(1, H, I), w_down=(1, I, H))
+        return {
+            'enorm': (H,), 'hnorm': (H,), 'eh_proj': (2 * H, H),
+            'shead_norm': (H,), 'layer': layer,
+        }
+
+    def make_assign_plan(self):
+        cfg = self.config
+
+        def T(x):
+            return np.ascontiguousarray(np.swapaxes(x, -1, -2))
+
+        ident = lambda x: x  # noqa: E731
+        p = f'model.layers.{self.mtp_index}.'
+        a = p + 'self_attn.'
+        plan: Dict[str, Any] = {
+            p + 'enorm.weight': (('enorm',), ident, None),
+            p + 'hnorm.weight': (('hnorm',), ident, None),
+            p + 'eh_proj.weight': (('eh_proj',), T, None),
+            p + 'shared_head.norm.weight': (('shead_norm',), ident, None),
+            p + 'input_layernorm.weight':
+                (('layer', 'attn_norm', 0), ident, None),
+            p + 'post_attention_layernorm.weight':
+                (('layer', 'mlp_norm', 0), ident, None),
+            a + 'q_proj.weight': (('layer', 'wq', 0), T, None),
+            a + 'k_proj.weight': (('layer', 'wk', 0), T, None),
+            a + 'v_proj.weight': (('layer', 'wv', 0), T, None),
+            a + 'o_proj.weight': (('layer', 'wo', 0), T, None),
+        }
+        if cfg.attention_bias:
+            plan[a + 'q_proj.bias'] = (('layer', 'bq', 0), ident, None)
+            plan[a + 'k_proj.bias'] = (('layer', 'bk', 0), ident, None)
+            plan[a + 'v_proj.bias'] = (('layer', 'bv', 0), ident, None)
+        if self.qk_norm:
+            plan[a + 'q_norm.weight'] = (('layer', 'q_norm', 0), ident, None)
+            plan[a + 'k_norm.weight'] = (('layer', 'k_norm', 0), ident, None)
+        if self.moe_mlp:
+            from .mixtral import _ExpertSlice
+            E = cfg.num_experts
+            plan[p + 'mlp.gate.weight'] = (('layer', 'router', 0), T, None)
+            plan[p + 'mlp.gate.e_score_correction_bias'] = \
+                (('layer', 'router_bias', 0), ident, None)
+            for e in range(E):
+                q = p + f'mlp.experts.{e}.'
+                plan[q + 'gate_proj.weight'] = \
+                    (('layer', 'we_gate', 0), T, _ExpertSlice(e))
+                plan[q + 'up_proj.weight'] = \
+                    (('layer', 'we_up', 0), T, _ExpertSlice(e))
+                plan[q + 'down_proj.weight'] = \
+                    (('layer', 'we_down', 0), T, _ExpertSlice(e))
+            if cfg.num_shared_experts:
+                q = p + 'mlp.shared_experts.'
+                plan[q + 'gate_proj.weight'] = \
+                    (('layer', 'ws_gate', 0), T, None)
+                plan[q + 'up_proj.weight'] = (('layer', 'ws_up', 0), T, None)
+                plan[q + 'down_proj.weight'] = \
+                    (('layer', 'ws_down', 0), T, None)
+        else:
+            plan[p + 'mlp.gate_proj.weight'] = \
+                (('layer', 'w_gate', 0), T, None)
+            plan[p + 'mlp.up_proj.weight'] = (('layer', 'w_up', 0), T, None)
+            plan[p + 'mlp.down_proj.weight'] = \
+                (('layer', 'w_down', 0), T, None)
+        return plan
+
+    # -- draft step (EagleHead-compatible; mirrors DeepseekMTP.step) ---------------------
+    def step(self, params, tparams, h_cond, token, position, kv_cache,
+             block_tables, q_lens, cos_tab, sin_tab, max_len):
+        cfg = self.config
+        from ..ops.attention import compute_slot_mapping
+        from .llama import AttnMeta
+
+        emb = tparams['embed'][token].astype(h_cond.dtype)           # [B, H]
+        x = jnp.concatenate(
+            [rms_norm(emb, params['enorm'], cfg.rms_norm_eps),
+             rms_norm(h_cond, params['hnorm'], cfg.rms_norm_eps)],
+            axis=-1) @ params['eh_proj']
+        xt = x[:, None, :]
+
+        pos = jnp.clip(position, 0, max_len - 1)[:, None]
+        cos, sin = cos_tab[pos], sin_tab[pos]
+        slot = compute_slot_mapping(block_tables, position, q_lens, 1,
+                                    kv_cache.shape[3])
+        w = jax.tree_util.tree_map(lambda a_: a_[0], params['layer'])
+        meta = AttnMeta(block_tables=block_tables, history_lens=position,
+                        q_lens=q_lens)
+        h, kv_cache = self._attn_block(xt, w, jnp.int32(0), kv_cache, meta,
+                                       cos, sin, slot, False)
+        y = rms_norm(h, w['mlp_norm'], cfg.rms_norm_eps)
+        h = h + (self._moe_mlp(w, y) if self.moe_mlp else self._mlp(w, y))
+        h_new = h[:, 0]
+
+        lm_head = tparams.get('lm_head')
+        if lm_head is None:
+            lm_head = tparams['embed'].T
+        hn = rms_norm(h_new, params['shead_norm'], cfg.rms_norm_eps)
+        logits = jnp.dot(hn, lm_head, preferred_element_type=jnp.float32)
+        return logits, h_new, kv_cache
