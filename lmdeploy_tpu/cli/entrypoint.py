@@ -92,6 +92,15 @@ def cmd_lite(args):
         raise SystemExit(f'unknown lite command {args.lite_cmd}')
 
 
+def cmd_launch_server(args):
+    from ..serve.launch_server import launch_server
+    launch_server(args.model_path, num_ranks=args.num_ranks,
+                  base_port=args.base_port, proxy_port=args.proxy_port,
+                  routing_strategy=args.routing_strategy,
+                  nnodes=args.nnodes, node_rank=args.node_rank,
+                  coordinator=args.coordinator, proxy_url=args.proxy_url)
+
+
 def build_parser():
     parser = argparse.ArgumentParser('lmdeploy_tpu',
                                      description='TPU-native LLM serving toolkit')
@@ -115,6 +124,22 @@ def build_parser():
     api.add_argument('--api-key', default=None)
     _add_engine_args(api)
     api.set_defaults(func=cmd_serve)
+
+    # multi-rank / multi-node launcher (reference: serve/openai/launch_server)
+    launch = serve_sub.add_parser(
+        'launch_server', help='N dp-rank servers (+ proxy on node 0)')
+    launch.add_argument('model_path')
+    launch.add_argument('--num-ranks', type=int, default=1)
+    launch.add_argument('--base-port', type=int, default=23334)
+    launch.add_argument('--proxy-port', type=int, default=8000)
+    launch.add_argument('--routing-strategy', default='min_expected_latency')
+    launch.add_argument('--nnodes', type=int, default=1)
+    launch.add_argument('--node-rank', type=int, default=0)
+    launch.add_argument('--coordinator', default=None,
+                        help='jax.distributed coordinator host:port (node 0)')
+    launch.add_argument('--proxy-url', default=None,
+                        help='node 0 proxy URL (required on worker nodes)')
+    launch.set_defaults(func=cmd_launch_server)
 
     lite = sub.add_parser('lite', help='offline quantization toolkit')
     lite_sub = lite.add_subparsers(dest='lite_cmd', required=True)

@@ -170,9 +170,10 @@ class ModelConfig:
             inner = cfg.get('text_config') or cfg.get('llm_config')
             vision = {
                 'vision_config': cfg['vision_config'],
-                'image_token_index': cfg.get('image_token_index',
-                                             32000 if 'text_config' in cfg
-                                             else None),
+                'image_token_index': (cfg.get('image_token_index')
+                                      or cfg.get('image_token_id')
+                                      or (32000 if 'text_config' in cfg
+                                          else None)),
                 'vision_feature_layer': cfg.get('vision_feature_layer', -2),
                 'vision_feature_select_strategy':
                     cfg.get('vision_feature_select_strategy', 'default'),

@@ -292,6 +292,15 @@ def _deepseek_v32(config: ModelConfig):
 register_model('DeepseekV32ForCausalLM')(_deepseek_v32)
 
 
+def _internvl_hf(config: ModelConfig):
+    from .internvl import build_internvl_hf
+    return build_internvl_hf(config)
+
+
+register_model('InternVLForConditionalGeneration',
+               'InternS1ForConditionalGeneration')(_internvl_hf)
+
+
 def build_model(config: ModelConfig):
     builder = _REGISTRY.get(config.hf_arch)
     if builder is None:

@@ -103,6 +103,116 @@ class _InternVLMixin:
         return {'language_model.' + k: v for k, v in base.items()}
 
 
+class _InternVL3HFMixin(_InternVLMixin):
+    """InternVL3 in the NATIVE transformers format (InternVLForConditional-
+    Generation; reference: ``lmdeploy/pytorch/models/internvl3_hf.py``).
+
+    Same compute as the legacy InternVLChatModel path — InternViT tower,
+    pixel-shuffle, LayerNorm->Linear->GELU->Linear projector — but the
+    checkpoint re-packages everything: the tower under
+    ``model.vision_tower.`` with SPLIT (bias-free) q/k/v and lambda_1/2
+    layer scales, the projector as ``model.multi_modal_projector.*``, and
+    the LM under ``model.language_model.`` (+ top-level lm_head).
+    """
+
+    def vis_assign_plan(self):
+        W = self.tower.width
+        P = self.tower.patch_size
+
+        def conv_to_mat(x):
+            return np.ascontiguousarray(
+                np.transpose(x, (2, 3, 1, 0)).reshape(P * P * 3, W))
+
+        def T(x):
+            return np.ascontiguousarray(np.swapaxes(x, -1, -2))
+
+        ident = lambda x: x  # noqa: E731
+        plan = {
+            'embeddings.patch_embeddings.projection.weight':
+                (('tower', 'patch_embed'), conv_to_mat, None),
+            'embeddings.patch_embeddings.projection.bias':
+                (('tower', 'patch_bias'), ident, None),
+            'embeddings.cls_token':
+                (('tower', 'class_embed'), lambda x: x.reshape(-1), None),
+            'embeddings.position_embeddings':
+                (('tower', 'pos_embed'), lambda x: x.reshape(-1, W), None),
+        }
+        per_layer = [
+            ('layernorm_before.weight', 'n1_w', ident, None),
+            ('layernorm_before.bias', 'n1_b', ident, None),
+            ('layernorm_after.weight', 'n2_w', ident, None),
+            ('layernorm_after.bias', 'n2_b', ident, None),
+            # split q/k/v -> fused wqkv column slices (bias-free in ckpt;
+            # the tower's zero-initialized bqkv is a no-op)
+            ('attention.q_proj.weight', 'wqkv', T, slice(0, W)),
+            ('attention.k_proj.weight', 'wqkv', T, slice(W, 2 * W)),
+            ('attention.v_proj.weight', 'wqkv', T, slice(2 * W, 3 * W)),
+            ('attention.q_proj.bias', 'bqkv', ident, slice(0, W)),
+            ('attention.k_proj.bias', 'bqkv', ident, slice(W, 2 * W)),
+            ('attention.v_proj.bias', 'bqkv', ident, slice(2 * W, 3 * W)),
+            ('attention.projection_layer.weight', 'wo', T, None),
+            ('attention.projection_layer.bias', 'bo', ident, None),
+            ('attention.q_norm.weight', 'q_norm', ident, None),
+            ('attention.k_norm.weight', 'k_norm', ident, None),
+            ('lambda_1', 'ls1', ident, None),
+            ('lambda_2', 'ls2', ident, None),
+            ('mlp.fc1.weight', 'fc1', T, None),
+            ('mlp.fc1.bias', 'b1', ident, None),
+            ('mlp.fc2.weight', 'fc2', T, None),
+            ('mlp.fc2.bias', 'b2', ident, None),
+        ]
+        for hf, name, transform, col in per_layer:
+            for layer in range(self.tower.num_layers):
+                plan[f'encoder.layer.{layer}.{hf}'] = \
+                    (('tower', 'layers', name, layer), transform, col)
+        plan = {f'vision_tower.{k}': v for k, v in plan.items()}
+        plan.update({
+            'multi_modal_projector.layer_norm.weight':
+                (('ln_w',), ident, None),
+            'multi_modal_projector.layer_norm.bias':
+                (('ln_b',), ident, None),
+            'multi_modal_projector.linear_1.weight': (('proj1',), T, None),
+            'multi_modal_projector.linear_1.bias':
+                (('proj1_b',), ident, None),
+            'multi_modal_projector.linear_2.weight': (('proj2',), T, None),
+            'multi_modal_projector.linear_2.bias':
+                (('proj2_b',), ident, None),
+        })
+        # transformers >= 4.56 nests everything under a leading 'model.'
+        for k in list(plan):
+            plan['model.' + k] = plan[k]
+        return plan
+
+    def make_assign_plan(self):
+        base = super(_InternVLMixin, self).make_assign_plan()
+        plan = {}
+        for k, v in base.items():
+            # both spellings: language_model.model.X (older transformers)
+            # and model.language_model.X (>= 4.56)
+            plan['language_model.' + k] = v
+            if k.startswith('model.'):
+                plan['model.language_model.' + k[len('model.'):]] = v
+            else:
+                plan[k] = v                     # lm_head.weight stays top-level
+        return plan
+
+
+def build_internvl_hf(config: ModelConfig):
+    vis = config.vision or {}
+    llm_archs = vis.get('llm_architectures') or ['Qwen2ForCausalLM']
+    from .llama import LlamaModel
+    base = LlamaModel
+    if any('Qwen2' in a for a in llm_archs):
+        config.attention_bias = True
+    if any('Qwen3' in a for a in llm_archs):
+        config.qk_norm = True
+
+    cls = type('InternVL3HFModel', (_InternVL3HFMixin, base), {})
+    model = cls(config)
+    model._init_vision(config)
+    return model
+
+
 def build_internvl(config: ModelConfig):
     vis = config.vision or {}
     llm_archs = vis.get('llm_architectures') or ['InternLM2ForCausalLM']

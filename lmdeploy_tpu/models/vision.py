@@ -196,14 +196,19 @@ class InternViTTower:
 
     def __init__(self, vision_config: Dict):
         vc = vision_config
-        self.image_size = vc.get('image_size', 448)
-        self.patch_size = vc.get('patch_size', 14)
+
+        def _sq(v):   # HF InternVLVisionConfig stores [h, w] lists
+            return int(v[0]) if isinstance(v, (list, tuple)) else int(v)
+
+        self.image_size = _sq(vc.get('image_size', 448))
+        self.patch_size = _sq(vc.get('patch_size', 14))
         self.width = vc.get('hidden_size', 1024)
         self.heads = vc.get('num_attention_heads', 16)
         self.mlp_dim = vc.get('intermediate_size', 4096)
         self.num_layers = vc.get('num_hidden_layers', 24)
         self.eps = vc.get('layer_norm_eps', 1e-6)
-        self.qk_norm = vc.get('qk_normalization', False)
+        self.qk_norm = vc.get('qk_normalization',
+                              vc.get('use_qk_norm', False))
         self.rms = vc.get('norm_type', 'layer_norm') == 'rms_norm'
         self.act = _ACTS.get(vc.get('hidden_act', 'gelu'), jax.nn.gelu)
         self.grid = self.image_size // self.patch_size

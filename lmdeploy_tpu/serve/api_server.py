@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import asyncio
 import json
+import os
 from typing import Optional
 
 from ..chat_template import ChatTemplateConfig
@@ -423,6 +424,61 @@ def create_app(engine: AsyncEngine, model_name: str, api_key: Optional[str] = No
         return web.json_response({'status': 'ok', 'applied': applied,
                                   'received': len(items)})
 
+    def _parse_input_ids(body):
+        inp = body.get('input')
+        if isinstance(inp, str):
+            return [engine.tokenizer.encode(inp)]
+        if isinstance(inp, list) and inp:
+            if isinstance(inp[0], str):
+                return [engine.tokenizer.encode(p) for p in inp]
+            if isinstance(inp[0], int):
+                return [inp]
+            if isinstance(inp[0], list):
+                return inp
+        raise ValueError('input must be a string or a list')
+
+    async def encode(request):
+        """Tokenize (reference: endpoints/auxiliary.py /v1/encode)."""
+        try:
+            body = await request.json()
+            ids = _parse_input_ids(body)
+        except Exception as e:  # noqa: BLE001
+            return error_response(f'invalid request: {e}', 400)
+        return web.json_response({
+            'input_ids': ids if len(ids) > 1 else ids[0],
+            'length': [len(x) for x in ids] if len(ids) > 1 else len(ids[0]),
+        })
+
+    async def get_ppl(request):
+        """Per-sequence perplexity over given token ids (reference:
+        endpoints/auxiliary.py /get_ppl)."""
+        try:
+            body = await request.json()
+            ids = body.get('input_ids') or _parse_input_ids(body)
+            if ids and isinstance(ids[0], int):
+                ids = [ids]
+        except Exception as e:  # noqa: BLE001
+            return error_response(f'invalid request: {e}', 400)
+        try:
+            ppl = await engine.async_get_ppl(ids)
+        except ValueError as e:
+            return error_response(str(e), 400)
+        return web.json_response({'ppl': [float(p) for p in ppl]})
+
+    async def is_sleeping(request):
+        return web.json_response(
+            {'is_sleeping': bool(getattr(engine.engine, '_sleeping', False))})
+
+    async def init_weights_update_group(request):
+        """RL weight-sync group setup (reference: endpoints/management.py).
+        The TPU path syncs weights through POST /update_weights (npz over
+        HTTP) instead of NCCL broadcast groups, so group setup is a no-op
+        acknowledged for API compatibility."""
+        return web.json_response({'status': 'ok', 'transport': 'http-npz'})
+
+    async def destroy_weights_update_group(request):
+        return web.json_response({'status': 'ok'})
+
     async def terminate(request):
         """Graceful shutdown (reference: endpoints/management.py
         terminate): finish in-flight requests, then stop the process."""
@@ -454,6 +510,13 @@ def create_app(engine: AsyncEngine, model_name: str, api_key: Optional[str] = No
     app.router.add_post('/wakeup', wakeup_ep)
     app.router.add_post('/pooling', pooling)
     app.router.add_post('/update_weights', update_weights)
+    app.router.add_post('/v1/encode', encode)
+    app.router.add_post('/get_ppl', get_ppl)
+    app.router.add_get('/is_sleeping', is_sleeping)
+    app.router.add_post('/init_weights_update_group',
+                        init_weights_update_group)
+    app.router.add_post('/destroy_weights_update_group',
+                        destroy_weights_update_group)
     app.router.add_post('/terminate', terminate)
     app.router.add_get('/distserve/export/{session_id}', distserve_export)
     app.router.add_post('/distserve/import', distserve_import)
@@ -469,6 +532,13 @@ def serve(model_path: str, model_name: Optional[str] = None,
     """Build engine + app and serve (reference: api_server.py serve())."""
     from aiohttp import web
 
+    if os.environ.get('LMDEPLOY_TPU_COORDINATOR'):
+        # multi-node launch (serve/launch_server.py --nnodes): join the
+        # jax.distributed job before the engine builds its mesh
+        from ..parallel.multihost import init as mh_init
+        mh_init(coordinator_address=os.environ['LMDEPLOY_TPU_COORDINATOR'],
+                num_processes=int(os.environ.get('LMDEPLOY_TPU_NNODES', 1)),
+                process_id=int(os.environ.get('LMDEPLOY_TPU_NODE_RANK', 0)))
     engine = AsyncEngine(model_path, backend_config=backend_config,
                          chat_template_config=chat_template_config, **kwargs)
     app = create_app(engine, model_name or model_path, api_key)

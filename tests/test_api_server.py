@@ -278,3 +278,30 @@ def test_update_weights_endpoint(tiny_model_dir):
     finally:
         eng.close()
         loop.close()
+
+
+def test_encode_and_ppl_and_sleep_state(server_client):
+    loop, client = server_client
+
+    async def run():
+        r = await client.post('/v1/encode', json={'input': 'hello world'})
+        assert r.status == 200
+        enc = await r.json()
+        assert isinstance(enc['input_ids'], list) and enc['length'] > 0
+
+        r = await client.post('/get_ppl',
+                              json={'input_ids': [[3, 17, 42, 99, 7, 23]]})
+        assert r.status == 200
+        ppl = (await r.json())['ppl']
+        assert len(ppl) == 1 and ppl[0] > 0
+
+        r = await client.get('/is_sleeping')
+        assert r.status == 200
+        assert (await r.json())['is_sleeping'] is False
+
+        r = await client.post('/init_weights_update_group', json={})
+        assert r.status == 200
+        r = await client.post('/destroy_weights_update_group', json={})
+        assert r.status == 200
+
+    loop.run_until_complete(run())
