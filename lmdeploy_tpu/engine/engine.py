@@ -901,13 +901,22 @@ class Engine:
         ep = max(1, getattr(self.configs.dist, 'ep', 1))
         import numpy as np
         for g in groups:
-            E = agent.params[g]['we_gate'].shape[1]
+            wg = agent.params[g]['we_gate']
+            if isinstance(wg, dict):               # quantized expert leaves
+                wg = next(iter(wg.values()))
+            E = wg.shape[1]
             S = num_physical or E + max(ep, E // 8)     # default redundancy
             S += (-S) % ep
             agent.params[g] = install_eplb(agent.params[g], np.asarray(load),
                                            S, ep)
         agent._step_fns.clear()
-        return {g: int(agent.params[g]['we_gate'].shape[1]) for g in groups}
+
+        def _slots(g):
+            wg = agent.params[g]['we_gate']
+            if isinstance(wg, dict):
+                wg = next(iter(wg.values()))
+            return int(wg.shape[1])
+        return {g: _slots(g) for g in groups}
 
     # -- LoRA adapters (reference: pytorch/adapter) --------------------------------------
     def load_lora(self, name: str, path: str):

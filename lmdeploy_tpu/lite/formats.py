@@ -86,6 +86,30 @@ _E2M1 = np.array([0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0,
                   -0.0, -0.5, -1.0, -1.5, -2.0, -3.0, -4.0, -6.0], np.float32)
 
 
+def mxfp4_codes(blocks: np.ndarray) -> np.ndarray:
+    """u8 blocks [..., G, 16] (2 e2m1 per byte, low nibble first) -> raw e2m1
+    codes u8 [..., G*32] (no dequantization — the runtime kernel decodes)."""
+    lo = blocks & 0xF
+    hi = blocks >> 4
+    out = np.stack([lo, hi], axis=-1).reshape(*blocks.shape[:-2],
+                                              blocks.shape[-2] * 32)
+    return out.astype(np.uint8)
+
+
+def pack_halfsplit(codes: np.ndarray) -> np.ndarray:
+    """4-bit codes [..., K, N] -> u8 [..., K/2, N] in the kernel's half-split
+    layout (low nibble = input row r, high nibble = row K/2 + r; see
+    ops/pallas/quant_matmul.py)."""
+    K = codes.shape[-2]
+    return (codes[..., :K // 2, :]
+            | (codes[..., K // 2:, :] << 4)).astype(np.uint8)
+
+
+def ue8m0_to_f32(scales: np.ndarray) -> np.ndarray:
+    """ue8m0 exponent bytes -> f32 2^(s-127) group scales."""
+    return np.exp2(scales.astype(np.int32) - 127).astype(np.float32)
+
+
 def mxfp4_dequant(blocks: np.ndarray, scales: np.ndarray) -> np.ndarray:
     """u8 blocks [..., G, 16] (2 e2m1 per byte, low nibble first) + ue8m0
     scales u8 [..., G] (2^(s-127) per 32-value group) -> f32 [..., G*32]."""

@@ -25,9 +25,11 @@ TPU-first MLA design — one cache format, every attention path shared:
 - Layers come in two stacked groups scanned back to back: the first
   ``first_k_dense_replace`` layers with a dense MLP ('layers') and the rest
   with DeepSeek-MoE ('moe_layers': routed experts via the all-expert einsum
-  combine from mixtral.py + always-on shared experts + routed scaling).
-  Group-limited (n_group/topk_group) routing is not yet implemented; top-k
-  runs over all routed experts.
+  combine from mixtral.py + always-on shared experts + routed scaling,
+  group-limited n_group/topk_group routing — see _moe_mlp).
+- Native blocked-fp8 checkpoints (V3): routed expert stacks stay fp8-resident
+  ({'w8','gscale'} leaves, ops/pallas/quant_bmm.py); MLA projections
+  dequantize at load.
 """
 from __future__ import annotations
 
@@ -51,6 +53,9 @@ def _deinterleave(x: jax.Array) -> jax.Array:
 
 
 class DeepseekV2Model(LlamaModel):
+
+    # class default: subclasses that bypass this __init__ (glm4_moe) read it
+    moe_fp8 = False
     """DeepSeek-V2 / V2-Lite / V3 decoder with MLA + MoE."""
 
     # muP-style hooks (MiniCPM3) — class-level so subclasses that bypass
@@ -72,6 +77,24 @@ class DeepseekV2Model(LlamaModel):
         # attention scale uses the UNCOMPRESSED head dim (nope+rope), not the
         # latent dim the kernels see
         self.scale = 1.0 / math.sqrt(self.dn + self.dr)
+        # Native blocked-fp8 checkpoints (DeepSeek-V3): the MLA projections
+        # (custom reshaped/absorbed layouts) dequantize while streaming the
+        # checkpoint, but the routed expert stacks — ~95% of V3's weights —
+        # stay fp8-resident in HBM and dequantize tile-by-tile inside
+        # ops/pallas/quant_bmm.py (reference analog: nn/moe/blocked_fp8.py).
+        self.moe_fp8 = False
+        if self.quant_method == 'fp8_blocked':
+            import os
+            self.quant_method = None
+            self.dequant_on_load = True
+            bK = getattr(self, 'fp8_block', (128, 128))[1]
+            Ie = cfg.moe_intermediate_size or cfg.intermediate_size
+            if (cfg.num_experts and cfg.hidden_size % bK == 0
+                    and Ie % bK == 0
+                    and os.environ.get('LMDEPLOY_TPU_FP8_DEQUANT') != '1'):
+                self.moe_fp8 = True
+                self.moe_fp8_block = bK
+                self.keep_fp8 = lambda name: '.mlp.experts.' in name
 
     # -- parameter allocation ----------------------------------------------------------
     def _attn_shapes(self, L: int) -> Dict[str, Any]:
@@ -115,10 +138,22 @@ class DeepseekV2Model(LlamaModel):
             return shapes
         moe = self._attn_shapes(Lm)
         moe.update(router=(Lm, H, E),
-                   router_bias=(Lm, E),       # v3 e_score_correction_bias
-                   we_gate=(Lm, E, H, Ie),
-                   we_up=(Lm, E, H, Ie),
-                   we_down=(Lm, E, Ie, H))
+                   router_bias=(Lm, E))       # v3 e_score_correction_bias
+        if self.moe_fp8:
+            import jax
+            g = self.moe_fp8_block
+
+            def qleaf(K, N):
+                return {'w8': jax.ShapeDtypeStruct((Lm, E, K, N),
+                                                   jnp.float8_e4m3fn),
+                        'gscale': jax.ShapeDtypeStruct((Lm, E, K // g, N),
+                                                       jnp.float32)}
+            moe.update(we_gate=qleaf(H, Ie), we_up=qleaf(H, Ie),
+                       we_down=qleaf(Ie, H))
+        else:
+            moe.update(we_gate=(Lm, E, H, Ie),
+                       we_up=(Lm, E, H, Ie),
+                       we_down=(Lm, E, Ie, H))
         if Is:
             moe.update(ws_gate=(Lm, H, Is), ws_up=(Lm, H, Is),
                        ws_down=(Lm, Is, H))
@@ -181,14 +216,37 @@ class DeepseekV2Model(LlamaModel):
                 plan[p + 'mlp.gate.weight'] = ((grp, 'router', i), T, None)
                 plan[p + 'mlp.gate.e_score_correction_bias'] = \
                     ((grp, 'router_bias', i), ident, None)
-                for e in range(cfg.num_experts):
-                    q = p + f'mlp.experts.{e}.'
-                    plan[q + 'gate_proj.weight'] = ((grp, 'we_gate', i), T,
-                                                    _ExpertSlice(e))
-                    plan[q + 'up_proj.weight'] = ((grp, 'we_up', i), T,
-                                                  _ExpertSlice(e))
-                    plan[q + 'down_proj.weight'] = ((grp, 'we_down', i), T,
-                                                    _ExpertSlice(e))
+                if self.moe_fp8:
+                    g = self.moe_fp8_block
+                    H = cfg.hidden_size
+                    Ie = cfg.moe_intermediate_size or cfg.intermediate_size
+
+                    def sc(n_out):
+                        # HF scale_inv [ceil(N/g), ceil(K/g)] -> transpose,
+                        # expand along N -> kernel scale rows [K/g, N]
+                        def f(s):
+                            sT = np.swapaxes(np.asarray(s, np.float32), -1, -2)
+                            return np.repeat(sT, g, axis=-1)[..., :n_out]
+                        return f
+                    for e in range(cfg.num_experts):
+                        q = p + f'mlp.experts.{e}.'
+                        for hf, leaf, n_out in (('gate_proj', 'we_gate', Ie),
+                                                ('up_proj', 'we_up', Ie),
+                                                ('down_proj', 'we_down', H)):
+                            plan[q + f'{hf}.weight'] = \
+                                ((grp, leaf, 'w8', i), T, _ExpertSlice(e))
+                            plan[q + f'{hf}.weight_scale_inv'] = \
+                                ((grp, leaf, 'gscale', i), sc(n_out),
+                                 _ExpertSlice(e))
+                else:
+                    for e in range(cfg.num_experts):
+                        q = p + f'mlp.experts.{e}.'
+                        plan[q + 'gate_proj.weight'] = ((grp, 'we_gate', i), T,
+                                                        _ExpertSlice(e))
+                        plan[q + 'up_proj.weight'] = ((grp, 'we_up', i), T,
+                                                      _ExpertSlice(e))
+                        plan[q + 'down_proj.weight'] = ((grp, 'we_down', i), T,
+                                                        _ExpertSlice(e))
                 if cfg.num_shared_experts:
                     q = p + 'mlp.shared_experts.'
                     plan[q + 'gate_proj.weight'] = ((grp, 'ws_gate', i), T, None)
@@ -230,10 +288,17 @@ class DeepseekV2Model(LlamaModel):
                     else P(None, None)
             return shard
         moe = attn(True)
-        moe.update(router=P(None, None, None), router_bias=P(None, None),
-                   we_gate=P(None, 'ep', None, 'tp'),
-                   we_up=P(None, 'ep', None, 'tp'),
-                   we_down=P(None, 'ep', 'tp', None))
+        moe.update(router=P(None, None, None), router_bias=P(None, None))
+        if self.moe_fp8:
+            gu = P(None, 'ep', None, 'tp')
+            dn = P(None, 'ep', 'tp', None)
+            moe.update(we_gate={'w8': gu, 'gscale': gu},
+                       we_up={'w8': gu, 'gscale': gu},
+                       we_down={'w8': dn, 'gscale': dn})
+        else:
+            moe.update(we_gate=P(None, 'ep', None, 'tp'),
+                       we_up=P(None, 'ep', None, 'tp'),
+                       we_down=P(None, 'ep', 'tp', None))
         if self.config.num_shared_experts:
             moe.update(ws_gate=P(None, None, 'tp'), ws_up=P(None, None, 'tp'),
                        ws_down=P(None, 'tp', None))

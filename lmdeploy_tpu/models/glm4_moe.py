@@ -37,6 +37,11 @@ class Glm4MoeModel(DeepseekV2Model):
         # entries that close over these
         self.nh, self.dn, self.dr, self.dv, self.r, self.rq = \
             cfg.num_attention_heads, 1, 1, 1, 1, None
+        if self.quant_method == 'fp8_blocked':
+            # stacked expert layouts carry no blocked leaves here (yet);
+            # dequantize while streaming so fp8 checkpoints load correctly
+            self.quant_method = None
+            self.dequant_on_load = True
 
     # -- llama-style attention shapes/plan into the dense/moe group layout --------------
     def _attn_shapes(self, L: int) -> Dict[str, Any]:

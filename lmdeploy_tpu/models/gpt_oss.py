@@ -14,12 +14,15 @@ path (``lmdeploy/pytorch/nn/moe/v4_fp4.py``).  Distinctives, all handled here:
   * router: top-k over logits (+ bias) then softmax over the k chosen logits.
   * biases everywhere: qkv/o projections and every expert matmul.
   * MXFP4 checkpoints: expert weights stored as e2m1 nibbles with ue8m0 block
-    scales (32-value groups); dequantized to the compute dtype at load time
-    (lite/formats.mxfp4_dequant) — a fused runtime MXFP4 kernel is a later
-    optimization (reference ships both paths; dequant serves V100-class HW).
+    scales (32-value groups); kept MXFP4-resident in HBM ({'nib','scale'}
+    leaves, 0.625 B/element) and dequantized tile-by-tile inside
+    ops/pallas/quant_bmm.py (reference analog: nn/moe/v4_fp4.py +
+    kernels/gemm/convert_v3.cu).  LMDEPLOY_TPU_MXFP4_DEQUANT=1 falls back to
+    load-time dequantization to the compute dtype (lite/formats.mxfp4_dequant).
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Dict
 
 import jax
@@ -42,6 +45,13 @@ class GptOssModel(LlamaModel):
         self.layer_windows = np.asarray(
             [config.sliding_window or 128 if t == 'sliding_attention' else 0
              for t in lt], np.int32)
+        qcfg = config.quantization_config or {}
+        Ie = config.moe_intermediate_size or config.intermediate_size
+        # half-split nibble packing needs 64 | K on both expert GEMM axes
+        self.moe_mxfp4 = (qcfg.get('quant_method') == 'mxfp4'
+                          and config.hidden_size % 64 == 0 and Ie % 64 == 0
+                          and os.environ.get('LMDEPLOY_TPU_MXFP4_DEQUANT')
+                          != '1')
 
     # -- parameters --------------------------------------------------------------------
     def param_shapes(self) -> Dict[str, Any]:
@@ -59,10 +69,19 @@ class GptOssModel(LlamaModel):
             layer_window=(L,),
             router=(L, H, E),
             router_bias=(L, E),
-            we_gate=(L, E, H, Ie), we_up=(L, E, H, Ie),
-            bg=(L, E, Ie), bu=(L, E, Ie),
-            we_down=(L, E, Ie, H), bd=(L, E, H),
+            bg=(L, E, Ie), bu=(L, E, Ie), bd=(L, E, H),
         )
+        if self.moe_mxfp4:
+            def qleaf(K, N):
+                return {'nib': jax.ShapeDtypeStruct((L, E, K // 2, N),
+                                                    jnp.uint8),
+                        'scale': jax.ShapeDtypeStruct((L, E, K // 32, N),
+                                                      jnp.float32)}
+            layers.update(we_gate=qleaf(H, Ie), we_up=qleaf(H, Ie),
+                          we_down=qleaf(Ie, H))
+        else:
+            layers.update(we_gate=(L, E, H, Ie), we_up=(L, E, H, Ie),
+                          we_down=(L, E, Ie, H))
         return shapes
 
     def constant_params(self):
@@ -165,13 +184,31 @@ class GptOssModel(LlamaModel):
         pair = stash[base]
         if 'blocks' not in pair or 'scales' not in pair:
             return True
-        from ..lite.formats import mxfp4_dequant
-        dense = mxfp4_dequant(pair.pop('blocks'), pair.pop('scales'))
+        blocks, scales = pair.pop('blocks'), pair.pop('scales')
         stash.pop(base, None)
         # base: model.layers.{l}.mlp.experts.{gate_up|down}_proj
         parts = base.split('.')
         l = int(parts[2])
         proj = parts[-1]
+        if self.moe_mxfp4:
+            # keep e2m1 codes + f32 group scales in the kernel layout
+            # (codes [E, rows_out, K] -> [E, K, rows_out] -> half-split pack)
+            from ..lite.formats import mxfp4_codes, pack_halfsplit, ue8m0_to_f32
+            codes = np.swapaxes(mxfp4_codes(blocks), -1, -2)
+            sc = np.swapaxes(ue8m0_to_f32(scales), -1, -2)   # [E, K/32, rows]
+            if proj == 'gate_up_proj':
+                params_np['layers']['we_gate']['nib'][l] = \
+                    pack_halfsplit(codes[..., 0::2])
+                params_np['layers']['we_up']['nib'][l] = \
+                    pack_halfsplit(codes[..., 1::2])
+                params_np['layers']['we_gate']['scale'][l] = sc[..., 0::2]
+                params_np['layers']['we_up']['scale'][l] = sc[..., 1::2]
+            else:
+                params_np['layers']['we_down']['nib'][l] = pack_halfsplit(codes)
+                params_np['layers']['we_down']['scale'][l] = sc
+            return True
+        from ..lite.formats import mxfp4_dequant
+        dense = mxfp4_dequant(blocks, scales)
         if proj == 'gate_up_proj':
             # dequantized as [E, 2Ie, H] (row-major nibble groups along H);
             # transpose to [E, H, 2Ie] then de-interleave

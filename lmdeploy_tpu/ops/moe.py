@@ -47,14 +47,23 @@ def eplb_remap(w: dict, top_idx: jax.Array) -> jax.Array:
 def moe_ffn(xf: jax.Array,           # [N, H]
             top_idx: jax.Array,      # [N, k] i32 expert choices
             top_w: jax.Array,        # [N, k] f32 routing weights
-            we_gate: jax.Array,      # [E, H, Ie]
-            we_up: jax.Array,        # [E, H, Ie]
-            we_down: jax.Array,      # [E, Ie, H]
+            we_gate,                 # [E, H, Ie] dense, or quantized leaf dict
+            we_up,                   # [E, H, Ie]
+            we_down,                 # [E, Ie, H]
             out_dtype,
             allow_ragged: bool = True,
             biases=None,             # (bg [E,Ie], bu [E,Ie], bd [E,H]) or None
             act=_silu_mul) -> jax.Array:
-    """Routed-expert FFN: act(x@We_g, x@We_u) @ We_d combined by top_w."""
+    """Routed-expert FFN: act(x@We_g, x@We_u) @ We_d combined by top_w.
+
+    Expert weights may be quantized leaf dicts kept resident in HBM —
+    ``{'w8', 'gscale'}`` (blocked fp8-e4m3, DeepSeek-V3 native) or
+    ``{'nib', 'scale'}`` (MXFP4, gpt-oss native) — dequantized tile-by-tile
+    inside the Pallas kernels of ops/pallas/quant_bmm.py.
+    """
+    if isinstance(we_gate, dict):
+        return _moe_dense_quant(xf, top_idx, top_w, we_gate, we_up, we_down,
+                                out_dtype, biases, act)
     N = xf.shape[0]
     if allow_ragged and N >= RAGGED_MIN_TOKENS:
         return _moe_ragged(xf, top_idx, top_w, we_gate, we_up, we_down,
@@ -90,6 +99,61 @@ def _moe_ragged(xf, top_idx, top_w, we_gate, we_up, we_down, out_dtype,
     wts = top_w.reshape(-1)[order].astype(jnp.float32)
     out = jnp.zeros((N, H), jnp.float32).at[tok].add(ys * wts[:, None])
     return out
+
+
+def _quant_bmm(x, leaf):
+    """Dispatch a quantized expert batched-matmul: Pallas on TPU, widen+einsum
+    reference elsewhere (CPU tests, virtual-mesh dryruns — Pallas kernels
+    under GSPMD sharding would need shard_map; the reference einsum keeps the
+    'ep' contraction GSPMD-native on multi-chip meshes)."""
+    from .attention import _on_tpu
+    from .pallas import quant_bmm as qb
+    if 'w8' in leaf:
+        if _on_tpu():
+            return qb.fp8_bmm(x, leaf['w8'], leaf['gscale'])
+        return qb.fp8_bmm_reference(x, leaf['w8'], leaf['gscale'])
+    if _on_tpu():
+        return qb.mxfp4_bmm(x, leaf['nib'], leaf['scale'])
+    return qb.mxfp4_bmm_reference(x, leaf['nib'], leaf['scale'])
+
+
+def _moe_dense_quant(xf, top_idx, top_w, we_gate, we_up, we_down, out_dtype,
+                     biases=None, act=_silu_mul):
+    """Dense-combine over quantized expert stacks: every expert's GEMM runs on
+    the quantized weights (1 B or 0.625 B per element streamed from HBM), the
+    combine weights are applied before the down GEMM, and the expert axis is
+    summed at the end (sum_e cc[n,e] * (act(..)[e,n] @ Wd[e]))."""
+    N, H = xf.shape
+    E = (we_gate['w8'] if 'w8' in we_gate else we_gate['scale']).shape[0]
+    Ie = (we_gate['w8'] if 'w8' in we_gate else we_gate['scale']).shape[-1]
+    combine = jnp.zeros((N, E), jnp.float32)
+    rows = jnp.arange(N)[:, None]
+    combine = combine.at[rows, top_idx].set(top_w.astype(jnp.float32))
+
+    # bound the [E, Nc, Ie] f32 activations to ~64MB per block
+    Nc = N
+    while Nc > 1 and Nc * E * Ie * 4 > 64 * 1024 * 1024 and Nc % 2 == 0:
+        Nc //= 2
+
+    def blk(args):
+        xc, cc = args                                     # [Nc,H], [Nc,E]
+        gate = _quant_bmm(xc, we_gate)                    # [E, Nc, Ie] f32
+        up = _quant_bmm(xc, we_up)
+        if biases is not None:
+            gate = gate + biases[0][:, None, :]
+            up = up + biases[1][:, None, :]
+        a = act(gate, up) * cc.T[:, :, None]              # [E, Nc, Ie]
+        y = _quant_bmm(a.astype(out_dtype), we_down)      # [E, Nc, H] f32
+        y = y.sum(axis=0)
+        if biases is not None:
+            # down bias applies once per selected expert, weighted by combine
+            y = y + jnp.einsum('ne,eh->nh', cc, biases[2])
+        return y
+
+    if Nc == N:
+        return blk((xf, combine))
+    out = jax.lax.map(blk, (xf.reshape(-1, Nc, H), combine.reshape(-1, Nc, E)))
+    return out.reshape(N, H)
 
 
 def _moe_dense(xf, top_idx, top_w, we_gate, we_up, we_down, out_dtype,

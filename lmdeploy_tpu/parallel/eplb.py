@@ -96,6 +96,8 @@ def install_eplb(layer_params: dict, load: np.ndarray, num_physical: int,
     import jax.numpy as jnp
 
     first = layer_params[expert_keys[0]]
+    if isinstance(first, dict):
+        first = next(iter(first.values()))
     L, E = first.shape[0], first.shape[1]
     load = np.broadcast_to(np.asarray(load, np.float64), (L, E))
 
@@ -115,12 +117,19 @@ def install_eplb(layer_params: dict, load: np.ndarray, num_physical: int,
             l2p[l, :, x.shape[1]:] = x[:, :1]
 
     out = dict(layer_params)
-    for key in expert_keys:
-        stack = layer_params[key]                 # [L, E, ...]
-        idx = jnp.asarray(p2l)
-        out[key] = jnp.take_along_axis(
+    idx = jnp.asarray(p2l)
+
+    def relay(stack):                             # [L, E, ...] -> [L, S, ...]
+        return jnp.take_along_axis(
             stack, idx.reshape(L, num_physical,
                                *([1] * (stack.ndim - 2))), axis=1)
+
+    for key in expert_keys:
+        stack = layer_params[key]
+        if isinstance(stack, dict):               # quantized expert leaves
+            out[key] = {k: relay(v) for k, v in stack.items()}
+        else:
+            out[key] = relay(stack)
     out['eplb_l2p'] = jnp.asarray(l2p)
     out['eplb_reps'] = jnp.asarray(np.maximum(reps, 1))
     return out

@@ -85,10 +85,17 @@ def make_llama_shardings(model, shard_vocab: bool = True) -> Dict:
                       w_down=linear_spec('row'))
     if 'router' in layer_shapes:      # sparse MoE: [L,E,H,I] — experts over 'ep',
         # expert-internal dims over 'tp' (reference: moe_tp + ep groups)
+        def espec(name, spec):
+            # quantized expert stacks ({'w8','gscale'} / {'nib','scale'})
+            # shard every member leaf like the dense stack would be
+            shape = layer_shapes[name]
+            if isinstance(shape, dict):
+                return {k: spec for k in shape}
+            return spec
         layers.update(router=P(None, None, None),
-                      we_gate=P(None, 'ep', None, 'tp'),
-                      we_up=P(None, 'ep', None, 'tp'),
-                      we_down=P(None, 'ep', 'tp', None))
+                      we_gate=espec('we_gate', P(None, 'ep', None, 'tp')),
+                      we_up=espec('we_up', P(None, 'ep', None, 'tp')),
+                      we_down=espec('we_down', P(None, 'ep', 'tp', None)))
     cfg = model.config
     if cfg.attention_bias:
         layers.update(bq=vec_col, bk=vec_col, bv=vec_col)

@@ -59,17 +59,19 @@ def iter_safetensors(model_path: str):
                         yield name, t.numpy()
 
 
-def _dequant_blocked_fp8(it):
+def _dequant_blocked_fp8(it, keep=None):
     """Iterator adapter: pair ``X.weight`` (fp8) with ``X.weight_scale_inv``
     (DeepSeek-V3 native blocked-fp8 checkpoints) and yield the dequantized
     float32 weight under ``X.weight``.
 
-    Used by models whose stacked parameter layouts (MLA projections, expert
-    stacks) do not carry runtime quantized leaves — the checkpoint still
-    loads and serves correctly, at the model dtype's memory cost.  The dense
-    llama family keeps blocked fp8 leaves at runtime instead (nn/linear.py
-    _w_fp8_blocked).  Reference analog: lmdeploy/pytorch/nn/linear/
-    blocked_fp8.py dequant path.
+    Used by models whose stacked parameter layouts (MLA projections) do not
+    carry runtime quantized leaves — the checkpoint still loads and serves
+    correctly, at the model dtype's memory cost.  ``keep`` is an optional
+    name predicate: matching tensors (e.g. routed expert stacks, which stay
+    fp8-resident and dequantize inside ops/pallas/quant_bmm.py) pass through
+    untouched, weight and scale_inv alike.  The dense llama family keeps
+    blocked fp8 leaves at runtime instead (nn/linear.py _w_fp8_blocked).
+    Reference analog: lmdeploy/pytorch/nn/linear/blocked_fp8.py dequant path.
     """
     import ml_dtypes
 
@@ -86,7 +88,9 @@ def _dequant_blocked_fp8(it):
     pending_w: Dict[str, Any] = {}
     pending_s: Dict[str, Any] = {}
     for name, tensor in it:
-        if name.endswith('.weight_scale_inv'):
+        if keep is not None and keep(name):
+            yield name, tensor
+        elif name.endswith('.weight_scale_inv'):
             base = name[:-len('_scale_inv')]
             if base in pending_w:
                 yield base, _deq(pending_w.pop(base), tensor)
@@ -108,7 +112,7 @@ def _dequant_blocked_fp8(it):
 def _weight_stream(model, model_path: str):
     it = iter_safetensors(model_path)
     if getattr(model, 'dequant_on_load', False):
-        it = _dequant_blocked_fp8(it)
+        it = _dequant_blocked_fp8(it, keep=getattr(model, 'keep_fp8', None))
     return it
 
 
