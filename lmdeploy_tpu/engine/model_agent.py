@@ -117,11 +117,18 @@ class ModelAgent:
             cp = getattr(configs.dist, 'cp', 1)
             cache_spec = cache_sharding(cfg.num_key_value_heads, cp=cp)
             if cp > 1:
-                # striped KV (block_size dim over 'cp'): Pallas kernels can't
-                # read sharded pages under GSPMD — use the XLA reference
-                # attention whose softmax reductions over the striped dim
-                # become the cross-'cp' partial-(M,L) collectives
-                self.model.force_ref_attention = True
+                # striped KV (block_size dim over 'cp'): decode runs the
+                # Pallas partial kernel under shard_map with a cross-'cp'
+                # (m, l, acc) combine (ops/attention.py cp_mesh branch);
+                # LMDEPLOY_TPU_CP_REF=1 falls back to the XLA reference
+                # whose softmax reductions become GSPMD collectives
+                tp = getattr(configs.dist, 'tp', 1)
+                if (os.environ.get('LMDEPLOY_TPU_CP_REF') == '1'
+                        or (tp > 1 and cfg.num_key_value_heads > 1)):
+                    # kernel CP needs a tp-replicated cache (MLA/MQA or tp=1)
+                    self.model.force_ref_attention = True
+                else:
+                    self.model.cp_mesh = mesh
         params_bytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(self.params))
         self.cache_engine = CacheEngine(cfg, configs.cache, mesh, cache_spec,
                                         reserved_bytes=params_bytes)

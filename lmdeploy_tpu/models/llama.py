@@ -478,7 +478,8 @@ class LlamaModel:
                                        self, 'force_ref_attention', False),
                                    sinks=w.get('sinks'),
                                    block_causal=self.block_causal_size,
-                                   bidir_chunk=bidir_chunk)
+                                   bidir_chunk=bidir_chunk,
+                                   cp_mesh=getattr(self, 'cp_mesh', None))
             attn = attn.reshape(B, T, self.q_out)
             out = lin(attn, w, lw, 'wo', w.get('bo'))
             if 'post_attn_norm' in w:

@@ -337,7 +337,8 @@ def paged_attention(q, kv_cache, block_tables, history_lens, q_lens, scale,
                     sinks: Optional[jax.Array] = None,
                     block_causal: Optional[int] = None,
                     chunk_local=None,
-                    bidir_chunk=None):
+                    bidir_chunk=None,
+                    cp_mesh=None):
     """Dispatch over the attention specializations.  ``kv_cache`` is the FULL
     unified cache [L, NB, BS, ROWp] (or QuantKV/QuantKV4); ``layer`` selects
     the region.
@@ -381,6 +382,28 @@ def paged_attention(q, kv_cache, block_tables, history_lens, q_lens, scale,
         return attention_dense_gathered(q, k, v, history_lens, scale,
                                         logit_softcap, window_size, sinks,
                                         bidir_k=bk, bidir_q=bidir_chunk)
+    if cp_mesh is not None:
+        # context-parallel decode (the cache's block_size dim is sharded over
+        # 'cp'): the Pallas partial kernel + cross-'cp' (m, l, acc) combine —
+        # shard_map manual over 'cp' only (ops/pallas/paged_decode.py
+        # paged_decode_attention_cp; reference analog cp_utils.h:8-28).
+        # LMDEPLOY_TPU_INTERPRET_PALLAS=1 drives the same path on the
+        # virtual CPU mesh (tests / dryruns).
+        import os
+        interp = os.environ.get('LMDEPLOY_TPU_INTERPRET_PALLAS') == '1'
+        if T == 1 and not quant and (_on_tpu() or interp):
+            from .pallas.paged_decode import paged_decode_attention_cp
+            win = None if isinstance(window_size, int) and window_size <= 0 \
+                else window_size
+            out = paged_decode_attention_cp(
+                q[:, 0], kv_cache, block_tables, history_lens + 1, layer,
+                scale, num_kv_heads, cp_mesh, logit_softcap=logit_softcap,
+                window=win, sinks=sinks, interpret=not _on_tpu())
+            return out[:, None]
+        # prefill / chunked continuation / quantized caches under cp: the
+        # XLA gather path's softmax reductions over the striped slot dim
+        # become GSPMD cross-'cp' collectives
+        force_reference = True
     if (sinks is not None or not isinstance(window_size, (int, type(None)))) \
             and not (_on_tpu() and T == 1 and not quant):
         # sink logits / traced per-layer windows outside the decode kernel's

@@ -439,6 +439,220 @@ def _decode_kernel_quant4(lengths_ref, tables_ref, layer_ref,
                     ).astype(out_ref.dtype)
 
 
+def _decode_kernel_cp(lengths_ref, tables_ref, meta_ref,       # scalar prefetch
+                      q_ref,                                   # [RB, HkvG, HDp]
+                      pages_ref,                               # [L, NB, 2, BSl, HDp]
+                      out_ref, m_out, l_out,                   # partials
+                      buf, sems, acc_ref, m_ref, l_ref, *,
+                      RB: int, BS: int, scale: float, w_max: int, num_rb: int,
+                      logit_softcap: Optional[float]):
+    """Context-parallel partial pass: this rank's page shard holds ``BS``
+    local slots of every page whose global positions are
+    ``p*stride + pos_off + j`` (meta carries pos_off/stride).  Emits the
+    UNNORMALIZED flash partials (acc, m, l) for the cross-'cp' combine
+    (reference analog: cp_utils.h partial-(M, L) exchange).  Sinks join the
+    denominator once globally — outside, after the combine."""
+    rb = pl.program_id(0)
+    layer = meta_ref[0]
+    window = meta_ref[1]
+    pos_off = meta_ref[2]         # rank * BS_local
+    stride = meta_ref[3]          # global block_size = BS_local * cp
+
+    def row_ws(row):
+        ln = lengths_ref[row]
+        return jnp.where(window > 0, jnp.maximum(ln - window, 0), 0)
+
+    def fetch_pred(row, p):
+        # page p holds a local in-window token of the row
+        ln = lengths_ref[row]
+        lo = p * stride + pos_off
+        return (lo < ln) & (lo + BS > row_ws(row))
+
+    def span(rb_idx):
+        # global page span (the position mask kills out-of-shard scores;
+        # fetch_pred skips the DMAs of pages with no local tokens)
+        n_end = jnp.int32(1)
+        for r in range(RB):
+            n_end = jnp.maximum(n_end,
+                                pl.cdiv(lengths_ref[rb_idx * RB + r], stride))
+        start = n_end - 1
+        for r in range(RB):
+            row = rb_idx * RB + r
+            s = jnp.where(lengths_ref[row] > 0, row_ws(row) // stride,
+                          n_end - 1)
+            start = jnp.minimum(start, s)
+        return start, n_end - start
+
+    def parity(rb_idx):
+        def body(j, acc):
+            _, cnt = span(j)
+            return acc + cnt
+        return jax.lax.rem(jax.lax.fori_loop(0, rb_idx, body, jnp.int32(0)), 2)
+
+    def start(rb_idx, p, slot):
+        for r in range(RB):
+            row = rb_idx * RB + r
+
+            @pl.when(fetch_pred(row, p))
+            def _():
+                pltpu.make_async_copy(
+                    pages_ref.at[layer, tables_ref[row, p]],
+                    buf.at[slot, r], sems.at[slot, r]).start()
+
+            @pl.when(~fetch_pred(row, p))
+            def _():
+                buf[slot, r] = jnp.zeros_like(buf[slot, r])
+
+    def wait(slot, rb_idx, p):
+        for r in range(RB):
+            @pl.when(fetch_pred(rb_idx * RB + r, p))
+            def _():
+                pltpu.make_async_copy(buf.at[slot, r], buf.at[slot, r],
+                                      sems.at[slot, r]).wait()
+
+    p_lo, n_pages = span(rb)
+    base = parity(rb)
+
+    @pl.when(rb == 0)
+    def _():
+        start(0, p_lo, 0)
+
+    q = q_ref[...].astype(jnp.float32) * scale
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
+    l_ref[...] = jnp.zeros_like(l_ref)
+    shape = (RB, q.shape[1], BS)
+    pos0 = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    lens = _row_lens(lengths_ref, rb, RB, shape)
+    ws_full = jnp.where(window > 0, jnp.maximum(lens - window, 0), 0)
+
+    def body(i, _):
+        p = p_lo + i
+        slot = jax.lax.rem(base + i, 2)
+
+        @pl.when(i + 1 < n_pages)
+        def _():
+            start(rb, p + 1, 1 - slot)
+
+        @pl.when((i + 1 == n_pages) & (rb + 1 < num_rb))
+        def _():
+            nxt_lo, _cnt = span(rb + 1)
+            start(rb + 1, nxt_lo, 1 - slot)
+
+        wait(slot, rb, p)
+        k = buf[slot, :, 0].astype(jnp.float32)           # [RB, BS, HDp]
+        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        if logit_softcap is not None:
+            s = jnp.tanh(s / logit_softcap) * logit_softcap
+        pos = p * stride + pos_off + pos0
+        s = jnp.where((pos < lens) & (pos >= ws_full), s, MASK_VALUE)
+        _softmax_update(s, m_ref, l_ref, acc_ref,
+                        buf[slot, :, 1].astype(jnp.float32))
+        return 0
+
+    jax.lax.fori_loop(0, n_pages, body, 0)
+    out_ref[...] = acc_ref[...]
+    # (m, l) broadcast over a full lane tile: 1-lane outputs don't tile well
+    m_out[...] = jnp.broadcast_to(m_ref[...], m_out.shape)
+    l_out[...] = jnp.broadcast_to(l_ref[...], l_out.shape)
+
+
+def paged_decode_attention_cp(q: jax.Array, kv_cache, block_tables: jax.Array,
+                              kv_lens: jax.Array, layer, scale: float,
+                              num_kv_heads: int, mesh,
+                              logit_softcap: Optional[float] = None,
+                              window=None,
+                              sinks: Optional[jax.Array] = None,
+                              interpret: bool = False) -> jax.Array:
+    """Context-parallel paged decode: the cache's block_size axis is sharded
+    over the 'cp' mesh axis (parallel/mesh.py cache_sharding); each rank runs
+    the Pallas partial kernel over its local slots, then (m, l, acc) combine
+    across 'cp' with pmax/psum (shard_map manual over 'cp' only — other mesh
+    axes stay GSPMD-auto).  Plain (non-quant) caches; sinks and sliding
+    windows supported.  Reference analog: cp_utils.h:8-28."""
+    from jax.sharding import PartitionSpec as P
+
+    B, Hq, D = q.shape
+    G = Hq // num_kv_heads
+    HkvG = Hq
+    hdp = kv_cache.shape[-1]
+    if window is None:
+        window = 0
+    cp = mesh.shape['cp']
+
+    q_bd = _block_diag_q(q, num_kv_heads, hdp)
+    RB = _pick_rb(B, HkvG, hdp)
+    num_rb = -(-B // RB)
+    if num_rb * RB != B:
+        pad = num_rb * RB - B
+        q_bd = jnp.pad(q_bd, ((0, pad), (0, 0), (0, 0)))
+        block_tables = jnp.pad(block_tables, ((0, pad), (0, 0)))
+        kv_lens = jnp.pad(kv_lens, (0, pad))
+    Bp = num_rb * RB
+    W = block_tables.shape[1]
+    meta_host = jnp.stack([jnp.asarray(layer, jnp.int32),
+                           jnp.asarray(window, jnp.int32)])
+    sinks_arr = (sinks.astype(jnp.float32).reshape(1, HkvG, 1)
+                 if sinks is not None else jnp.zeros((1, HkvG, 1), jnp.float32))
+
+    def local(q_bd, pages, tables, lens, meta2, sinks_a):
+        BSl = pages.shape[3]
+        rank = jax.lax.axis_index('cp')
+        meta = jnp.concatenate([
+            meta2, jnp.stack([rank.astype(jnp.int32) * BSl,
+                              jnp.int32(BSl * cp)])])
+        kernel = functools.partial(
+            _decode_kernel_cp, RB=RB, BS=BSl, scale=scale, w_max=W,
+            num_rb=num_rb, logit_softcap=logit_softcap)
+        q_spec = pl.BlockSpec((RB, HkvG, hdp), lambda rb, *_: (rb, 0, 0))
+        acc, m, l = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(num_rb,),
+                in_specs=[q_spec, pl.BlockSpec(memory_space=pltpu.HBM)],
+                out_specs=[
+                    pl.BlockSpec((RB, HkvG, hdp), lambda rb, *_: (rb, 0, 0)),
+                    pl.BlockSpec((RB, HkvG, 128), lambda rb, *_: (rb, 0, 0)),
+                    pl.BlockSpec((RB, HkvG, 128), lambda rb, *_: (rb, 0, 0)),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((2, RB, 2, BSl, hdp), pages.dtype),
+                    pltpu.SemaphoreType.DMA((2, RB)),
+                    pltpu.VMEM((RB, HkvG, hdp), jnp.float32),
+                    pltpu.VMEM((RB, HkvG, 1), jnp.float32),
+                    pltpu.VMEM((RB, HkvG, 1), jnp.float32),
+                ],
+            ),
+            out_shape=[jax.ShapeDtypeStruct((Bp, HkvG, hdp), jnp.float32),
+                       jax.ShapeDtypeStruct((Bp, HkvG, 128), jnp.float32),
+                       jax.ShapeDtypeStruct((Bp, HkvG, 128), jnp.float32)],
+            interpret=interpret,
+        )(lens, tables, meta, q_bd, pages)
+        m = m[..., :1]
+        l = l[..., :1]
+        m_g = jax.lax.pmax(m, 'cp')
+        alpha = jnp.exp(m - m_g)
+        l_g = jax.lax.psum(l * alpha, 'cp')
+        acc_g = jax.lax.psum(acc * alpha, 'cp')
+        if sinks is not None:
+            l_g = l_g + jnp.where(m_g > 0.5 * MASK_VALUE,
+                                  jnp.exp(sinks_a - m_g), 0.0)
+        return (acc_g / jnp.where(l_g == 0.0, 1.0, l_g)).astype(q.dtype)
+
+    # full-manual over the whole mesh (interpret-mode pallas rejects partial
+    # automatic sharding); inputs other than the striped pages replicate.
+    # Requires a tp-replicated cache — single-kv-head (MLA/MQA, the long-KV
+    # families CP serves) or tp == 1; model_agent gates on that.
+    out = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(None, None, None, 'cp', None), P(), P(), P(), P()),
+        out_specs=P(), axis_names=set(mesh.axis_names), check_vma=False,
+    )(q_bd, kv_cache, block_tables, kv_lens, meta_host, sinks_arr)
+    return _extract_v_diag(out[:B], num_kv_heads, G, D)
+
+
 def _block_diag_q(q: jax.Array, num_kv_heads: int, hdp: int) -> jax.Array:
     """[B, Hq, D] -> [B, Hkv*G, HDp] with head h's [G, D] block at lanes
     (h*D .. (h+1)*D) and zeros elsewhere."""

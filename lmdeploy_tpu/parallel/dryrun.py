@@ -246,8 +246,9 @@ def dryrun_cp_decode(n_devices: int, verbose: bool = False):
                     history_lens=jnp.asarray(hist),
                     q_lens=jnp.ones(B, jnp.int32))
 
-    def run(mesh, spec):
-        model.force_ref_attention = mesh is not None
+    def run(mesh, spec, kernel=False):
+        model.force_ref_attention = mesh is not None and not kernel
+        model.cp_mesh = mesh if kernel else None
         kc = jnp.asarray(kv0)
         if mesh is not None:
             kc = jax.device_put(kc, NamedSharding(mesh, spec))
@@ -263,10 +264,22 @@ def dryrun_cp_decode(n_devices: int, verbose: bool = False):
 
     base = run(None, None)
     mesh = build_mesh(cp=cp, devices=jax.devices()[:cp])
-    sharded = run(mesh, cache_sharding(cfg.num_key_value_heads, cp=cp))
-    model.force_ref_attention = False
+    spec = cache_sharding(cfg.num_key_value_heads, cp=cp)
+    sharded = run(mesh, spec)
     err = np.abs(base - sharded).max()
-    assert err < 1e-4, f'cp={cp} decode diverged: {err}'
+    assert err < 1e-4, f'cp={cp} decode (reference) diverged: {err}'
+    # the serving path: Pallas partial kernel + cross-'cp' (m,l,acc) combine
+    # (interpret mode off-TPU)
+    import os
+    os.environ['LMDEPLOY_TPU_INTERPRET_PALLAS'] = '1'
+    try:
+        kerr = np.abs(base - run(mesh, spec, kernel=True)).max()
+    finally:
+        os.environ.pop('LMDEPLOY_TPU_INTERPRET_PALLAS', None)
+        model.force_ref_attention = False
+        model.cp_mesh = None
+    assert kerr < 1e-4, f'cp={cp} decode (pallas kernel) diverged: {kerr}'
     if verbose:
-        print(f'cp decode dryrun ok: cp={cp}, max|Δlogits|={err:.2e}')
+        print(f'cp decode dryrun ok: cp={cp}, '
+              f'max|Δlogits| ref={err:.2e} kernel={kerr:.2e}')
     return True

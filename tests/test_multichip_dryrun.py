@@ -48,13 +48,19 @@ def test_cp_decode_dryrun():
 
 def test_engine_cp2_end_to_end(tiny_model_dir):
     """Engine accepts cp=2: mesh built from the full DistConfig (r1 dropped
-    cp), KV striped across the axis, greedy output identical to cp=1."""
+    cp), KV striped across the axis, greedy output identical to cp=1.
+    Decode carries the kernel-CP mesh (ops/attention.py cp_mesh branch);
+    pallas=True drives the actual Pallas partial kernel + cross-'cp'
+    combine through the REAL engine via interpret mode."""
     import asyncio
+    import os
 
     from lmdeploy_tpu.engine.engine import Engine
     from lmdeploy_tpu.messages import GenerationConfig, TpuEngineConfig
 
-    def gen(cp):
+    def gen(cp, pallas=False):
+        if pallas:
+            os.environ['LMDEPLOY_TPU_INTERPRET_PALLAS'] = '1'
         cfg = TpuEngineConfig(dtype='float32', block_size=16, num_gpu_blocks=48,
                               max_batch_size=4, session_len=128,
                               max_prefill_token_num=64, cp=cp)
@@ -62,7 +68,7 @@ def test_engine_cp2_end_to_end(tiny_model_dir):
         try:
             if cp > 1:
                 assert eng.mesh is not None and eng.mesh.shape['cp'] == cp
-                assert eng.model_agent.model.force_ref_attention
+                assert eng.model_agent.model.cp_mesh is not None
 
             async def run():
                 inst = eng.create_instance()
@@ -79,5 +85,8 @@ def test_engine_cp2_end_to_end(tiny_model_dir):
                 loop.close()
         finally:
             eng.close()
+            os.environ.pop('LMDEPLOY_TPU_INTERPRET_PALLAS', None)
 
-    assert gen(2) == gen(1)
+    base = gen(1)
+    assert gen(2) == base
+    assert gen(2, pallas=True) == base

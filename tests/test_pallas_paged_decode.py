@@ -229,3 +229,71 @@ def test_decode_traced_window_and_sinks():
             q[:, None], k, v, jnp.asarray(kv_lens - 1), scale,
             window_size=win, sinks=sinks)[:, 0]
         np.testing.assert_allclose(out, np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+# -- context-parallel decode (shard_map partial kernel + cross-'cp' combine) ----------
+
+def _cp_mesh(cp=2):
+    from lmdeploy_tpu.parallel.mesh import build_mesh
+    return build_mesh(cp=cp, devices=jax.devices()[:cp])
+
+
+@pytest.mark.parametrize('lens', [[1], [37, 128, 1, 200]])
+def test_cp_decode_matches_unsharded(lens):
+    """Striped-KV partial kernel + (m, l, acc) combine == unsharded kernel."""
+    from jax.sharding import NamedSharding
+
+    from lmdeploy_tpu.parallel.mesh import cache_sharding
+
+    rng = np.random.RandomState(10)
+    B = len(lens)
+    Hkv, G, D, BS = 2, 4, 64, 16
+    NB, W = 128, 16
+    kv_cache = make_dense_cache(rng, Hkv, NB, BS, D)
+    tables = rng.permutation(np.arange(1, NB))[:B * W].reshape(B, W).astype(np.int32)
+    q = jnp.asarray(rng.randn(B, Hkv * G, D).astype(np.float32))
+    kv_lens = np.asarray(lens, np.int32)
+    scale = D ** -0.5
+
+    base = np.asarray(paged_decode.paged_decode_attention(
+        q, kv_cache, jnp.asarray(tables), jnp.asarray(kv_lens),
+        jnp.int32(LAYER), scale, Hkv))
+
+    mesh = _cp_mesh(2)
+    kc = jax.device_put(kv_cache, NamedSharding(mesh, cache_sharding(Hkv, cp=2)))
+    got = np.asarray(paged_decode.paged_decode_attention_cp(
+        q, kc, jnp.asarray(tables), jnp.asarray(kv_lens),
+        jnp.int32(LAYER), scale, Hkv, mesh, interpret=True))
+    np.testing.assert_allclose(got, base, rtol=2e-5, atol=2e-5)
+
+
+def test_cp_decode_window_and_sinks():
+    """CP decode with a traced sliding window + sink logits (gpt-oss long-KV
+    shape): sinks must enter the denominator once globally, not per rank."""
+    from jax.sharding import NamedSharding
+
+    from lmdeploy_tpu.parallel.mesh import cache_sharding
+
+    rng = np.random.RandomState(11)
+    B, Hkv, G, D, BS = 2, 2, 2, 32, 16
+    NB, W = 32, 4
+    kv_cache = make_dense_cache(rng, Hkv, NB, BS, D)
+    tables = rng.permutation(np.arange(1, NB))[:B * W].reshape(B, W).astype(np.int32)
+    q = jnp.asarray(rng.randn(B, Hkv * G, D).astype(np.float32))
+    kv_lens = np.asarray([30, 50], np.int32)
+    sinks = jnp.asarray(rng.randn(Hkv * G).astype(np.float32))
+    scale = D ** -0.5
+
+    mesh = _cp_mesh(2)
+    kc = jax.device_put(kv_cache, NamedSharding(mesh, cache_sharding(Hkv, cp=2)))
+    for win in (jnp.int32(12), None):
+        k, v = gather_layer_kv(kv_cache, jnp.int32(LAYER),
+                               jnp.asarray(tables), Hkv, D)
+        ref = attention_dense_gathered(
+            q[:, None], k, v, jnp.asarray(kv_lens - 1), scale,
+            window_size=win if win is not None else None, sinks=sinks)[:, 0]
+        got = np.asarray(paged_decode.paged_decode_attention_cp(
+            q, kc, jnp.asarray(tables), jnp.asarray(kv_lens),
+            jnp.int32(LAYER), scale, Hkv, mesh, window=win, sinks=sinks,
+            interpret=True))
+        np.testing.assert_allclose(got, np.asarray(ref), rtol=2e-5, atol=2e-5)
