@@ -272,7 +272,22 @@ class Engine:
         else:
             seq.adapter_slot = 0
         fmt = sampling_params.response_format or {}
-        if fmt.get('type') in ('json_object', 'json_schema'):
+        if fmt.get('type') == 'regex_schema':
+            # reference wire shape (protocol.py:131): {'type': 'regex_schema',
+            # 'regex_schema': '<pattern>'}
+            if self.tokenizer is None:
+                raise ValueError('guided decoding requires a tokenizer-backed engine')
+            pattern = fmt.get('regex_schema') or fmt.get('regex')
+            if not isinstance(pattern, str) or not pattern:
+                raise ValueError("response_format type 'regex_schema' requires "
+                                 "a pattern string under 'regex_schema'")
+            eos = (sampling_params.stop_token_ids
+                   or self.configs.model.eos_token_id)
+            from ..guided_regex import RegexGuide
+            seq.guided = RegexGuide(self.tokenizer,
+                                    self.configs.model.vocab_size,
+                                    eos, pattern)
+        elif fmt.get('type') in ('json_object', 'json_schema'):
             if self.tokenizer is None:
                 raise ValueError('guided decoding requires a tokenizer-backed engine')
             eos = (sampling_params.stop_token_ids
@@ -315,6 +330,12 @@ class Engine:
             self._loop_task = loop.create_task(self.async_loop())
 
     async def async_loop(self):
+        try:
+            await self._async_loop_body()
+        except asyncio.CancelledError:
+            return          # Engine.close() cancels the loop task
+
+    async def _async_loop_body(self):
         loop = asyncio.get_running_loop()
         while not self._stopped:
             if not self.scheduler.has_unfinished():
@@ -982,6 +1003,18 @@ class Engine:
             self._new_work.set()
         except RuntimeError:
             pass   # host event loop already torn down
+        task = self._loop_task
+        if task is not None and not task.done():
+            task_loop = task.get_loop()
+            if task_loop.is_running():
+                # finalize the loop task instead of leaving it pending across
+                # a server restart (latent teardown race)
+                task_loop.call_soon_threadsafe(task.cancel)
+            else:
+                # the host loop is gone; the coroutine can never resume —
+                # silence the destroy-pending GC warning for this orphan
+                task._log_destroy_pending = False
+        self._loop_task = None
         self._executor.shutdown(wait=False)
         if getattr(self, '_profile_dir', None):
             import jax
