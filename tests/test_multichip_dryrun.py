@@ -90,3 +90,102 @@ def test_engine_cp2_end_to_end(tiny_model_dir):
     base = gen(1)
     assert gen(2) == base
     assert gen(2, pallas=True) == base
+
+
+def _engine_greedy(model_dir, prompt, **dist):
+    """Run the REAL engine (scheduler + cache + decode runs) under a dist
+    config on the virtual mesh; return greedy token ids."""
+    import asyncio
+
+    from lmdeploy_tpu.engine.engine import Engine
+    from lmdeploy_tpu.messages import GenerationConfig, TpuEngineConfig
+
+    cfg = TpuEngineConfig(dtype='float32', block_size=16, num_gpu_blocks=48,
+                          max_batch_size=4, session_len=128,
+                          max_prefill_token_num=64, **dist)
+    eng = Engine.from_pretrained(model_dir, cfg)
+    try:
+        for axis, size in dist.items():
+            if size > 1:
+                assert eng.mesh is not None
+                assert eng.mesh.shape[axis] == size
+
+        async def run():
+            insts = [eng.create_instance() for _ in range(2)]
+            outs = await asyncio.gather(*[
+                inst.async_infer(i + 1, prompt,
+                                 GenerationConfig(max_new_tokens=8,
+                                                  ignore_eos=True))
+                for i, inst in enumerate(insts)])
+            for i, inst in enumerate(insts):
+                await inst.async_end(i + 1)
+            return [list(o.token_ids) for o in outs]
+
+        loop = asyncio.new_event_loop()
+        try:
+            return loop.run_until_complete(run())
+        finally:
+            loop.close()
+    finally:
+        eng.close()
+
+
+def test_engine_dp2_end_to_end(tiny_model_dir):
+    """REAL engine at dp=2 (batch axis over 'dp'): token-identical to dp=1."""
+    prompt = [5, 17, 42, 99, 7, 23, 8]
+    assert _engine_greedy(tiny_model_dir, prompt, dp=2) == \
+        _engine_greedy(tiny_model_dir, prompt)
+
+
+def test_engine_tp2_dp2_end_to_end(tiny_model_dir):
+    """Combined dp x tp mesh through the full engine."""
+    prompt = [5, 17, 42, 99, 7, 23, 8]
+    assert _engine_greedy(tiny_model_dir, prompt, dp=2, tp=2) == \
+        _engine_greedy(tiny_model_dir, prompt)
+
+
+def test_engine_ep2_end_to_end():
+    """REAL engine at ep=2 (experts over 'ep', dense-combine contraction as
+    the EP combine): token-identical to ep=1."""
+    import json
+    import tempfile
+
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    from conftest import make_tiny_tokenizer
+    from test_moe import MOE_CFG
+
+    with tempfile.TemporaryDirectory() as d:
+        with open(d + '/config.json', 'w') as f:
+            json.dump(MOE_CFG, f)
+        make_tiny_tokenizer(d, vocab_size=MOE_CFG['vocab_size'])
+        rng = np.random.RandomState(3)
+        c = MOE_CFG
+        H, V, E, I = (c['hidden_size'], c['vocab_size'],
+                      c['num_local_experts'], c['intermediate_size'])
+        nh, nkv, hd = (c['num_attention_heads'], c['num_key_value_heads'],
+                       c['hidden_size'] // c['num_attention_heads'])
+        t = {'model.embed_tokens.weight': rng.randn(V, H) * 0.02,
+             'model.norm.weight': np.ones(H),
+             'lm_head.weight': rng.randn(V, H) * 0.02}
+        for l in range(c['num_hidden_layers']):
+            p = f'model.layers.{l}.'
+            t[p + 'input_layernorm.weight'] = np.ones(H)
+            t[p + 'post_attention_layernorm.weight'] = np.ones(H)
+            t[p + 'self_attn.q_proj.weight'] = rng.randn(nh * hd, H) * 0.05
+            t[p + 'self_attn.k_proj.weight'] = rng.randn(nkv * hd, H) * 0.05
+            t[p + 'self_attn.v_proj.weight'] = rng.randn(nkv * hd, H) * 0.05
+            t[p + 'self_attn.o_proj.weight'] = rng.randn(H, nh * hd) * 0.05
+            t[p + 'block_sparse_moe.gate.weight'] = rng.randn(E, H) * 0.05
+            for e in range(E):
+                q = p + f'block_sparse_moe.experts.{e}.'
+                t[q + 'w1.weight'] = rng.randn(I, H) * 0.05
+                t[q + 'w2.weight'] = rng.randn(H, I) * 0.05
+                t[q + 'w3.weight'] = rng.randn(I, H) * 0.05
+        t = {k: np.ascontiguousarray(v.astype(np.float32))
+             for k, v in t.items()}
+        save_file(t, d + '/model.safetensors')
+
+        prompt = [5, 17, 42, 30, 7]
+        assert _engine_greedy(d, prompt, ep=2) == _engine_greedy(d, prompt)
