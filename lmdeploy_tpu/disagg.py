@@ -40,11 +40,11 @@ def export_session_kv(engine, session_id: int) -> Dict[str, np.ndarray]:
 
     import jax
     agent = engine.model_agent
-    if getattr(agent.model, 'has_linear_state', False):
-        raise NotImplementedError(
-            'PD migration of linear-attention state is not implemented')
+    cache = agent.cache_engine.kv_cache
+    has_state = getattr(agent.model, 'has_linear_state', False)
+    pages = cache['pages'] if has_state else cache
     blocks = jnp.asarray(np.asarray(seq.logical_blocks, np.int32))
-    leaves = jax.tree_util.tree_leaves(agent.cache_engine.kv_cache)
+    leaves = jax.tree_util.tree_leaves(pages)
     out = {
         'token_ids': np.asarray(seq.history_ids, np.int32),
         'num_computed': np.asarray(seq.num_computed_tokens, np.int64),
@@ -54,6 +54,12 @@ def export_session_kv(engine, session_id: int) -> Dict[str, np.ndarray]:
     # every cache leaf (pages; int8/int4 scale planes) has blocks at dim 1
     for i, leaf in enumerate(leaves):
         out[f'kv_leaf_{i}'] = np.asarray(leaf[:, blocks])
+    if has_state:
+        # hybrid linear-attention: the recurrent/conv state rides along —
+        # KV pages alone cannot resume a gated-DeltaNet sequence
+        assert seq.batch_slot >= 0, 'exported sequence lost its batch slot'
+        for k, v in agent.snapshot_slot_state(seq.batch_slot).items():
+            out[f'state_{k}'] = v
     return out
 
 
@@ -88,15 +94,24 @@ def import_session_kv(engine, session_id: int, payload: Dict[str, np.ndarray],
 
     agent = engine.model_agent
     import jax
+    cache = agent.cache_engine.kv_cache
+    has_state = getattr(agent.model, 'has_linear_state', False)
+    pages = cache['pages'] if has_state else cache
     idx = jnp.asarray(np.asarray(seq.logical_blocks, np.int32))
-    leaves, treedef = jax.tree_util.tree_flatten(agent.cache_engine.kv_cache)
+    leaves, treedef = jax.tree_util.tree_flatten(pages)
     assert len(leaves) == int(payload['num_leaves']), 'quant_policy mismatch'
     new_leaves = [
         leaf.at[:, idx].set(jnp.asarray(payload[f'kv_leaf_{i}'], leaf.dtype))
         for i, leaf in enumerate(leaves)]
+    new_pages = jax.tree_util.tree_unflatten(treedef, new_leaves)
     agent.cache_engine.swap_caches(
-        jax.tree_util.tree_unflatten(treedef, new_leaves))
+        {**cache, 'pages': new_pages} if has_state else new_pages)
     agent.insert_decode_rows([seq])
+    if has_state:
+        snap = {k[len('state_'):]: payload[k]
+                for k in payload if k.startswith('state_')}
+        assert snap, 'payload missing linear-attention state'
+        agent._apply_ssm_restores([(seq.batch_slot, snap)])
     # fresh slot: clear the seen-token counts + prompt mask (skipped prefill)
     V = engine.configs.model.vocab_size
     agent._apply_insert(np.asarray([seq.batch_slot], np.int32),

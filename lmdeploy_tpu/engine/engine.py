@@ -105,17 +105,25 @@ class Engine:
                 threshold=misc.dllm_confidence_threshold,
                 mask_token=misc.dllm_mask_token)
             self.model_agent.model.block_causal_size = self.dllm.D
+        self._ssm_ckpt = None
         if getattr(self.model_agent.model, 'has_linear_state', False):
             # hybrid linear-attention models: KV pages alone cannot rebuild
-            # the recurrent state, so prefix-block reuse and host-RAM swap
-            # are disabled (recompute preemption still works — prefill
-            # replays rebuild the state); PD migration is guarded in disagg.
-            assert self.configs.cache.num_cpu_blocks == 0, \
-                'host KV swap is unsupported for linear-attention models'
-            self.configs.cache.enable_prefix_caching = False
+            # the recurrent state.  Prefix caching works through SSM state
+            # checkpoints (engine/ssm_ckpt.py) — block-trie matches are
+            # clamped to checkpointed boundaries and the snapshot is restored
+            # into the row's slot.  Host-RAM swap needs no state machinery:
+            # a preempted seq keeps its batch slot (freed only on finish), so
+            # its recurrent state survives in place across the swap.
+            # Reference: paging/block_trie/checkpoint_lifecycle.py.
+            if self.configs.cache.enable_prefix_caching:
+                import os as _os
+                from .ssm_ckpt import SsmCkptStore
+                self._ssm_ckpt = SsmCkptStore(capacity=int(
+                    _os.environ.get('LMDEPLOY_TPU_SSM_CKPT_MAX', '64')))
         # agent derives actual block count from HBM; scheduler uses it
         self.scheduler = Scheduler(self.configs.scheduler, self.configs.cache,
                                    num_blocks=self.model_agent.num_blocks)
+        self.scheduler.ssm_ckpt = self._ssm_ckpt
         self.spec = None
         if speculative_config is not None and (
                 speculative_config.model
@@ -401,6 +409,8 @@ class Engine:
                                 seq.guided.accept_token(int(tokens[i]))
                             self._post_token(seq, float(logprobs[i]),
                                              top_logprobs=_row_top(top, i, seq))
+                    if self._ssm_ckpt is not None:
+                        await self._publish_ssm_ckpts(out.prefill_chunks, loop)
                     # newly RUNNING sequences enter the device decode state;
                     # host-driven rows (guided/bad-words) stay out of it
                     new_running = [c.seq for c in out.prefill_chunks
@@ -419,6 +429,23 @@ class Engine:
                 self._fail_all(e)
                 raise
             self._cleanup_stopped()
+
+    async def _publish_ssm_ckpts(self, chunks, loop):
+        """Store linear-state snapshots for prefill chunks ending on a block
+        boundary (the scheduler aligns chunk ends when checkpoints are on, see
+        ``Scheduler._ssm_align_chunk``)."""
+        bs = self.configs.cache.block_size
+        for chunk in chunks:
+            seq = chunk.seq
+            end = chunk.start + chunk.length
+            if (end % bs != 0 or end == 0 or getattr(seq, 'mm_spans', None)
+                    or seq.batch_slot < 0
+                    or self._ssm_ckpt.has(seq.history_ids, end)):
+                continue
+            snap = await loop.run_in_executor(
+                self._executor, self.model_agent.snapshot_slot_state,
+                seq.batch_slot)
+            self._ssm_ckpt.put(seq.history_ids, end, snap)
 
     def _apply_pending_swaps(self):
         """Drain swap ops queued by preemptions that happened after schedule()

@@ -264,8 +264,8 @@ class ModelAgent:
 
         def step(params, rope_cos, rope_sin, kv_cache, token_counts,
                  prompt_mask, input_ids, positions, block_tables, history_lens,
-                 q_lens, slot_rows, reset_rows, valid_mask, sampling, adapter_ids,
-                 *mm):
+                 q_lens, slot_rows, reset_rows, counts_reset, valid_mask,
+                 sampling, adapter_ids, *mm):
             B, T = input_ids.shape
             meta = AttnMeta(block_tables=block_tables, history_lens=history_lens,
                             q_lens=q_lens, slot_rows=slot_rows,
@@ -277,10 +277,14 @@ class ModelAgent:
                 embeds_mask=mm[1] if with_embeds else None,
                 adapter_ids=adapter_ids)
 
+            # counts_reset (a seq's FIRST chunk in its current lifetime) is
+            # distinct from reset_rows (position-0 chunk, zeroes linear state):
+            # a trie-matched seq starts at position > 0 but must still clear
+            # the slot's previous occupant's penalty counts
             rows = token_counts[slot_rows]                       # [B, V]
-            rows = jnp.where(reset_rows[:, None], 0, rows)
+            rows = jnp.where(counts_reset[:, None], 0, rows)
             prows = prompt_mask[slot_rows]                       # [B, V]
-            prows = jnp.where(reset_rows[:, None], False, prows)
+            prows = jnp.where(counts_reset[:, None], False, prows)
             if count_inputs:
                 # prompt tokens feed the repetition penalty only (prompt mask);
                 # frequency/presence follow OpenAI semantics — generated only
@@ -339,7 +343,9 @@ class ModelAgent:
         q_lens = np.zeros(B, np.int32)
         slot_rows = np.full(B, self.max_batch, np.int32)   # garbage row for padding
         reset_rows = np.zeros(B, bool)
+        counts_reset = np.zeros(B, bool)
         valid_mask = np.zeros(B, bool)
+        ssm_restores = []
 
         for i, (seq, start, length) in enumerate(zip(seqs, chunk_starts, chunk_lens)):
             ids = seq.history_ids[start:start + length]
@@ -367,7 +373,15 @@ class ModelAgent:
             q_lens[i] = length
             slot_rows[i] = self.assign_slot(seq)
             reset_rows[i] = reset[i]
+            counts_reset[i] = reset[i] or (count_inputs and
+                                           getattr(seq, '_fresh_counts', False))
+            if count_inputs:
+                seq._fresh_counts = False
             valid_mask[i] = valid[i]
+            snap = getattr(seq, '_ssm_restore', None)
+            if snap is not None:
+                ssm_restores.append((slot_rows[i], snap))
+                seq._ssm_restore = None
 
         sampling = SamplingInputs.from_seqs(seqs, self.model_config.vocab_size)
         sampling = self._pad_sampling(sampling, n, B)
@@ -397,14 +411,16 @@ class ModelAgent:
 
         fresh = count_inputs and all(s == 0 for s in chunk_starts)
         self._flush_deactivations()
+        if ssm_restores:
+            self._apply_ssm_restores(ssm_restores)
         fn = self._get_step_fn(count_inputs, fresh, with_embeds=bool(mm_args))
         (kv_cache, self.token_counts, self.prompt_mask, tokens, logprob,
          top) = fn(
             self.params, self.rope_cos, self.rope_sin,
             self.cache_engine.kv_cache, self.token_counts,
             self.prompt_mask, input_ids, positions, block_tables, history_lens,
-            q_lens, slot_rows, reset_rows, valid_mask, sampling, adapter_ids,
-            *mm_args)
+            q_lens, slot_rows, reset_rows, counts_reset, valid_mask, sampling,
+            adapter_ids, *mm_args)
         self.cache_engine.swap_caches(kv_cache)
         # the prefill path donated the shared token-counts/prompt-mask buffers;
         # re-point the decode state at the fresh ones
@@ -541,6 +557,42 @@ class ModelAgent:
             return
         idx = np.asarray(slots, np.int32)
         self._apply_insert(idx, {'active': np.zeros(len(slots), bool)})
+
+    # -- SSM / linear-attention state snapshots (see engine/ssm_ckpt.py) ----------------
+    def _state_keys(self):
+        cache = self.cache_engine.kv_cache
+        return [k for k in cache if k != 'pages'] \
+            if isinstance(cache, dict) else []
+
+    def snapshot_slot_state(self, slot: int):
+        """Fetch one slot's recurrent/conv state rows to host numpy."""
+        import jax
+        keys = tuple(self._state_keys())
+        fn = self._step_fns.get(('ssm_snap', keys))
+        if fn is None:
+            def snap(cache, s):
+                return {k: cache[k][:, s] for k in keys}
+
+            fn = jax.jit(snap)
+            self._step_fns[('ssm_snap', keys)] = fn
+        out = fn(self.cache_engine.kv_cache, np.int32(slot))
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def _apply_ssm_restores(self, restores):
+        """Scatter host snapshots into slot rows (pre-dispatch, worker thread)."""
+        import jax
+        keys = tuple(self._state_keys())
+        fn = self._step_fns.get(('ssm_restore', keys))
+        if fn is None:
+            def restore(cache, s, snap):
+                upd = {k: cache[k].at[:, s].set(snap[k]) for k in keys}
+                return {**cache, **upd}
+
+            fn = jax.jit(restore, donate_argnums=(0,))
+            self._step_fns[('ssm_restore', keys)] = fn
+        for slot, snap in restores:
+            self.cache_engine.kv_cache = fn(
+                self.cache_engine.kv_cache, np.int32(slot), snap)
 
     def update_tables(self, seqs):
         """Refresh table rows after block allocation (pre-run capacity)."""

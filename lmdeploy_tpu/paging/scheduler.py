@@ -80,6 +80,7 @@ class Scheduler:
         if self.window_size:
             self.block_trie = None
         self.num_window_freed_blocks = 0      # lifetime counter (metrics/tests)
+        self.ssm_ckpt = None   # SsmCkptStore for hybrid linear-attention models
         self.seq_manager = SequenceManager(cache_config.block_size)
         self._step_count = 0
         self.num_preemptions = 0
@@ -221,6 +222,8 @@ class Scheduler:
                 # multimodal prompts repeat one placeholder id for every image,
                 # so token-hash prefix matching would alias different images
                 self.block_trie.match_prefix(seq)
+                if self.ssm_ckpt is not None and seq.num_computed_tokens > 0:
+                    self._ssm_trim_match(seq)
             if getattr(seq, 'host_blocks', None):
                 # swapped-out seq: re-allocate device blocks, copy KV back
                 if not self.block_manager.allocate_for_seq(seq, num_new_tokens=1):
@@ -232,6 +235,8 @@ class Scheduler:
                 self.host_pool.extend(seq.host_blocks)
                 seq.host_blocks = []
             num_new = min(seq.num_uncomputed, token_budget)
+            if self.ssm_ckpt is not None:
+                num_new = self._ssm_align_chunk(seq, num_new)
             if num_new <= 0:
                 continue
             if not self.block_manager.allocate_for_seq(seq, num_new):
@@ -301,6 +306,45 @@ class Scheduler:
             if freed and self.block_manager.allocate_for_seq(seq, num_new_tokens):
                 return True
         return self.block_manager.allocate_for_seq(seq, num_new_tokens)
+
+    # -- SSM state checkpoints (hybrid linear-attention prefix caching) -------------------
+    def _ssm_trim_match(self, seq):
+        """Clamp a trie match to the deepest block boundary with a stored
+        linear-state snapshot (engine/ssm_ckpt.py) and attach the snapshot
+        for the model agent to restore; without one, resumed decoding would
+        run with a zero recurrent state.  Reference analog:
+        ``lmdeploy/pytorch/paging/block_trie/checkpoint_lifecycle.py``."""
+        bs = self.cache_config.block_size
+        nb = len(seq.logical_blocks)
+        keep, snap = self.ssm_ckpt.longest_prefix(seq.history_ids, nb, bs)
+        if keep < nb:
+            # matched blocks stay adopted: their KV is valid, and keeping them
+            # preserves the trie path so this seq's own boundary checkpoint
+            # publishes under the shared nodes.  Only the computed marker
+            # rolls back — the replayed span rewrites byte-identical KV into
+            # the shared blocks while rebuilding the recurrent state.
+            seq.num_computed_tokens = keep * bs
+        if keep:
+            seq._ssm_restore = snap
+
+    def _ssm_align_chunk(self, seq, num_new: int) -> int:
+        """Align prefill chunk ends to block boundaries so the post-chunk slot
+        state is publishable as a checkpoint.  The deepest matchable boundary
+        ``((len-1) // bs) * bs`` always terminates a chunk (one extra dispatch
+        per prompt) so an identical future prompt can reuse its full prefix."""
+        bs = self.cache_config.block_size
+        start = seq.num_computed_tokens
+        end = start + num_new
+        total = seq.num_token_ids
+        top = ((total - 1) // bs) * bs
+        if end >= total:
+            if top > start:
+                return top - start
+            return num_new
+        aligned = (end // bs) * bs
+        if aligned > start:
+            return aligned - start
+        return num_new
 
     def _preempt(self, seq: SchedulerSequence):
         self.num_preemptions += 1

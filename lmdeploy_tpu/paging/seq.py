@@ -121,6 +121,10 @@ class SchedulerSequence:
         self.adapter_slot: int = 0             # S-LoRA slot (0 = no adapter)
         self.host_blocks: list = []            # swapped-out KV block host slots
         self.num_window_freed: int = 0         # leading blocks freed (sliding window)
+        self._fresh_counts = True              # penalty counts need a reset on the
+        #                                        seq's first chunk (even when a trie
+        #                                        match starts it at position > 0)
+        self._ssm_restore = None               # pending linear-state snapshot restore
 
     # -- token accounting -------------------------------------------------------------
     @property
@@ -166,6 +170,8 @@ class SchedulerSequence:
         self.num_computed_tokens = 0
         self.logical_blocks = []
         self.num_window_freed = 0
+        self._fresh_counts = True
+        self._ssm_restore = None
 
 
 class SchedulerSession:
