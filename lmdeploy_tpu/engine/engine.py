@@ -92,6 +92,11 @@ class Engine:
         if getattr(engine_config, 'adapters', None):
             # S-LoRA: load adapter slot stacks before any step fn compiles
             self.model_agent.enable_slora(engine_config.adapters)
+        import os as _os
+        # prefill/decode overlap: dispatch waiting requests' prefill behind an
+        # in-flight decode run (LMDEPLOY_TPU_OVERLAP=0 restores k=1 clamping)
+        self._overlap = _os.environ.get('LMDEPLOY_TPU_OVERLAP', '1') != '0'
+        self._overlap_dispatches = 0   # lifetime counter (metrics/tests)
         self.dllm = None
         misc = self.configs.misc
         if getattr(misc, 'dllm_block_length', 0):
@@ -353,7 +358,14 @@ class Engine:
             import os
             trace = os.environ.get('LMDEPLOY_TPU_TRACE_STEPS') == '1'
             t_sched = time.perf_counter()
-            out = self.scheduler.schedule()
+            # overlap mode flips to decode-priority while decodable rows run:
+            # waiting prefills dispatch BEHIND the run (see _decode_run_fast)
+            # instead of collapsing it to k=1
+            prefer_decode = (
+                self._overlap and self.dllm is None and self.spec is None
+                and any(not _host_driven(s, self.spec)
+                        for s in self.scheduler.running))
+            out = self.scheduler.schedule(prefer_decode=prefer_decode)
             if out.is_empty and self.scheduler.waiting:
                 # finished-but-undrained sequences may still pin blocks; release
                 # them and retry before concluding the head request cannot fit
@@ -393,35 +405,8 @@ class Engine:
                               f'tok={sum(c.length for c in out.prefill_chunks)} '
                               f'{(time.perf_counter()-t_sched)*1000:.0f}ms',
                               flush=True)
-                    tokens = step.tokens_np()
-                    logprobs = step.logprobs_np()
-                    top = step.top_np()
-                    for i, chunk in enumerate(out.prefill_chunks):
-                        tok = int(tokens[i]) if chunk.is_last else None
-                        if self.dllm is not None:
-                            tok = None        # dllm samples via denoising
-                        self.scheduler.on_prefill_done(chunk, tok)
-                        if chunk.is_last and self.dllm is None:
-                            seq = chunk.seq
-                            if not seq.metrics.first_token_time:
-                                seq.metrics.first_token_time = time.time()
-                            if seq.guided is not None:
-                                seq.guided.accept_token(int(tokens[i]))
-                            self._post_token(seq, float(logprobs[i]),
-                                             top_logprobs=_row_top(top, i, seq))
-                    if self._ssm_ckpt is not None:
-                        await self._publish_ssm_ckpts(out.prefill_chunks, loop)
-                    # newly RUNNING sequences enter the device decode state;
-                    # host-driven rows (guided/bad-words) stay out of it
-                    new_running = [c.seq for c in out.prefill_chunks
-                                   if c.is_last
-                                   and c.seq.status == MessageStatus.RUNNING
-                                   and self.dllm is None
-                                   and not _host_driven(c.seq, self.spec)]
-                    if new_running:
-                        self.model_agent.insert_decode_rows(new_running)
-                        for s in new_running:
-                            s._synced_blocks = len(s.logical_blocks)
+                    await self._handle_prefill_results(out.prefill_chunks,
+                                                       step, loop)
                 else:
                     await self._decode_run(out.decode_seqs, loop)
             except Exception as e:  # noqa: BLE001
@@ -429,6 +414,37 @@ class Engine:
                 self._fail_all(e)
                 raise
             self._cleanup_stopped()
+
+    async def _handle_prefill_results(self, chunks, step, loop):
+        tokens = step.tokens_np()
+        logprobs = step.logprobs_np()
+        top = step.top_np()
+        for i, chunk in enumerate(chunks):
+            tok = int(tokens[i]) if chunk.is_last else None
+            if self.dllm is not None:
+                tok = None        # dllm samples via denoising
+            self.scheduler.on_prefill_done(chunk, tok)
+            if chunk.is_last and self.dllm is None:
+                seq = chunk.seq
+                if not seq.metrics.first_token_time:
+                    seq.metrics.first_token_time = time.time()
+                if seq.guided is not None:
+                    seq.guided.accept_token(int(tokens[i]))
+                self._post_token(seq, float(logprobs[i]),
+                                 top_logprobs=_row_top(top, i, seq))
+        if self._ssm_ckpt is not None:
+            await self._publish_ssm_ckpts(chunks, loop)
+        # newly RUNNING sequences enter the device decode state;
+        # host-driven rows (guided/bad-words) stay out of it
+        new_running = [c.seq for c in chunks
+                       if c.is_last
+                       and c.seq.status == MessageStatus.RUNNING
+                       and self.dllm is None
+                       and not _host_driven(c.seq, self.spec)]
+        if new_running:
+            self.model_agent.insert_decode_rows(new_running)
+            for s in new_running:
+                s._synced_blocks = len(s.logical_blocks)
 
     async def _publish_ssm_ckpts(self, chunks, loop):
         """Store linear-state snapshots for prefill chunks ending on a block
@@ -494,8 +510,12 @@ class Engine:
         k = agent.decode_run_steps
         # shorten runs when new requests wait (TTFT) or outputs are nearly done;
         # round k DOWN to a power of two so each (k, B) pair is a stable
-        # executable (a fresh compile costs far more than a short run)
-        if self.scheduler.has_waiting():
+        # executable (a fresh compile costs far more than a short run).
+        # With overlap on, waiting requests do NOT shorten the run: their
+        # prefill dispatches BEHIND the in-flight run instead (the host
+        # composes the prefill batch while the device decodes), so decode
+        # throughput no longer collapses to k=1 under continuous arrivals.
+        if self.scheduler.has_waiting() and not self._overlap:
             k = 1
         remaining = min((s.sampling_params.max_new_tokens - s.num_output_tokens)
                         for s in seqs)
@@ -554,7 +574,26 @@ class Engine:
         step = await loop.run_in_executor(self._executor, agent.decode_run,
                                           num_rows, k, simple, top_lp, kmax,
                                           fv)
-        tokens = step.tokens_np()          # [k, B]
+        # -- prefill/decode overlap (reference: two-batch overlap,
+        # model_agent/agent.py:349-355).  decode_run returns right after
+        # dispatch (jax async dispatch); the device is busy for k steps.
+        # Compose + dispatch a prefill for WAITING requests NOW — the device
+        # serializes it behind the run (donated cache futures), and the
+        # prefill's host-side batch composition is hidden under the run's
+        # device time.  The overlap pass never preempts and never swaps.
+        overlap = None
+        if self._overlap and self.dllm is None and self.scheduler.has_waiting():
+            pout = self.scheduler.schedule_overlap_prefill()
+            if pout.prefill_chunks:
+                pstep = await loop.run_in_executor(
+                    self._executor, agent.prefill, pout.prefill_chunks)
+                overlap = (pout.prefill_chunks, pstep)
+                self._overlap_dispatches += 1
+                if trace:
+                    print(f'[trace] overlap prefill n={len(pout.prefill_chunks)} '
+                          f'tok={sum(c.length for c in pout.prefill_chunks)}',
+                          flush=True)
+        tokens = await loop.run_in_executor(self._executor, step.tokens_np)
         logprobs = step.logprobs_np()
         tops = step.top_np()               # ([k, B, L], [k, B, L]) or None
         t1 = time.perf_counter()
@@ -570,6 +609,9 @@ class Engine:
                          if s.status == MessageStatus.STOPPED and s.batch_slot >= 0]
         if stopped_slots:
             agent.deactivate_rows(stopped_slots)
+        if overlap is not None:
+            chunks, pstep = overlap
+            await self._handle_prefill_results(chunks, pstep, loop)
         if trace:
             t2 = time.perf_counter()
             print(f'[trace] decode_run k={k} rows={num_rows} '

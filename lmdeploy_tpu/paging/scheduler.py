@@ -147,18 +147,27 @@ class Scheduler:
         )
 
     # -- scheduling --------------------------------------------------------------------
-    def schedule(self) -> SchedulerOutput:
+    def schedule(self, prefer_decode: bool = False) -> SchedulerOutput:
         """Pick the next step: prefill if any WAITING can be admitted, else decode.
 
         Prefill-priority matches the reference default (new requests reach first token
         fast; decode throughput is preserved by the token-budget chunking).
+        ``prefer_decode`` inverts the priority while sequences are RUNNING —
+        the engine's overlap mode dispatches waiting prefills BEHIND the
+        decode run instead (``schedule_overlap_prefill``), so decode keeps
+        full-length runs under continuous arrivals.
         """
         self._step_count += 1
-        if self.waiting:
+        if self.waiting and not (prefer_decode and self.running):
             out = self._schedule_prefill()
             if not out.is_empty or self._swap_out_ops or self._swap_in_ops:
                 return self._attach_swaps(out)
-        return self._attach_swaps(self._schedule_decoding())
+        out = self._schedule_decoding()
+        if out.is_empty and self.waiting and prefer_decode:
+            # decode could not run (e.g. everything just finished/preempted):
+            # fall back to the prefill pass rather than stalling
+            out = self._schedule_prefill()
+        return self._attach_swaps(out)
 
     def _attach_swaps(self, out: SchedulerOutput) -> SchedulerOutput:
         out.swap_out, self._swap_out_ops = self._swap_out_ops, []
@@ -206,7 +215,22 @@ class Scheduler:
             out = self._schedule_prefill_pass(ordered[1:])
         return out
 
-    def _schedule_prefill_pass(self, candidates) -> SchedulerOutput:
+    def schedule_overlap_prefill(self) -> SchedulerOutput:
+        """Prefill pass safe to dispatch while a decode run is in flight.
+
+        Never preempts (the running rows' blocks are being written by the
+        in-flight run) and skips swapped-out sequences (their swap-in belongs
+        before a step, not behind one); trie eviction is still allowed — it
+        only frees blocks no live sequence references.  Reference analog:
+        two-batch DP+EP overlap in
+        ``lmdeploy/pytorch/engine/model_agent/agent.py:349-355``.
+        """
+        ordered = [s for s in self._prefill_order(self.waiting)
+                   if not getattr(s, 'host_blocks', None)]
+        return self._schedule_prefill_pass(ordered, allow_preempt=False)
+
+    def _schedule_prefill_pass(self, candidates,
+                               allow_preempt: bool = True) -> SchedulerOutput:
         token_budget = self.scheduler_config.max_prefill_token_num
         max_batch = self.scheduler_config.max_prefill_batch
         running_count = len(self.running)
@@ -240,9 +264,17 @@ class Scheduler:
             if num_new <= 0:
                 continue
             if not self.block_manager.allocate_for_seq(seq, num_new):
+                if not allow_preempt:
+                    # overlap mode: trie eviction only (frees unreferenced
+                    # cached blocks); an in-flight decode run forbids preemption
+                    need = self.block_manager.num_required_blocks(seq, num_new)
+                    if not (self.block_trie is not None
+                            and self.block_trie.evict(need)
+                            and self.block_manager.allocate_for_seq(seq, num_new)):
+                        break
                 # Try to free space by preempting the youngest RUNNING seq; never
                 # preempt for a seq younger than the victim (forward progress).
-                if not self._try_preempt_for(seq, num_new):
+                elif not self._try_preempt_for(seq, num_new):
                     break
             is_last = (num_new == seq.num_uncomputed)
             chunks.append(PrefillChunk(seq=seq, start=seq.num_computed_tokens,

@@ -46,14 +46,18 @@ def test_swap_preemption_preserves_outputs(tiny_model_dir):
 
     roomy = _engine(tiny_model_dir, 64, 0)
     try:
-        expect = _gen_many(roomy, prompts, 10)
+        expect = _gen_many(roomy, prompts, 24)
     finally:
         roomy.close()
 
-    # 9 device blocks (block 0 reserved): 3 seqs x ~50 tokens exceed 8 usable blocks (128 tokens) -> constant pressure
-    tight = _engine(tiny_model_dir, 9, 32)
+    # 7 device blocks: two co-resident seqs' decode-run capacity extensions
+    # (40-token prompts growing past 64 tokens) cannot both fit, so one is
+    # swap-preempted.  24 new tokens = two decode runs per seq, so sequences
+    # genuinely co-reside under the overlap scheduler (a 10-token generation
+    # would finish inside one k=16 run and never contend).
+    tight = _engine(tiny_model_dir, 7, 32)
     try:
-        got = _gen_many(tight, prompts, 10)
+        got = _gen_many(tight, prompts, 24)
         n_preempt = tight.scheduler.num_preemptions
         ce = tight.model_agent.cache_engine
         swapped = getattr(ce, 'host_kv', None) is not None
@@ -83,36 +87,46 @@ def test_recompute_fallback_when_no_cpu_blocks(tiny_model_dir):
     prompts = [rng.randint(3, 250, size=40).tolist() for _ in range(3)]
     roomy = _engine(tiny_model_dir, 64, 0)
     try:
-        expect = _gen_many(roomy, prompts, 8)
+        expect = _gen_many(roomy, prompts, 24)
     finally:
         roomy.close()
-    tight = _engine(tiny_model_dir, 9, 0)
+    # 7 blocks + 24 new tokens: co-resident decode runs contend (see
+    # test_swap_preemption_preserves_outputs)
+    tight = _engine(tiny_model_dir, 7, 0)
     try:
-        got = _gen_many(tight, prompts, 8)
+        got = _gen_many(tight, prompts, 24)
         assert tight.scheduler.num_preemptions > 0
     finally:
         tight.close()
     assert got == expect
 
 
-def test_preemption_pressure_matrix(tiny_model_dir):
+def test_preemption_pressure_matrix(tiny_model_dir, monkeypatch):
     """Regression for three preemption bugs found by surface driving:
     stale device block tables after resume (length-only sync check), the OOM
     guard firing before finished seqs' blocks were released, and FCFS
-    head-of-line livelock while mid-chunked-prefill WAITING seqs held blocks."""
+    head-of-line livelock while mid-chunked-prefill WAITING seqs held blocks.
+
+    Pinned to the legacy prefill-priority scheduler (LMDEPLOY_TPU_OVERLAP=0):
+    the overlap scheduler's no-preempt admission serializes these workloads
+    instead of preempting, so the legacy preemption paths — still the ones
+    used by guided/spec/dllm strategies — need this explicit exercise."""
+    monkeypatch.setenv('LMDEPLOY_TPU_OVERLAP', '0')
     rng = np.random.RandomState(4)
     prompts = [rng.randint(3, 250, size=60).tolist() for _ in range(3)]
 
     roomy = _engine(tiny_model_dir, 64, 0)
     try:
-        expect = _gen_many(roomy, prompts, 10)
+        expect = _gen_many(roomy, prompts, 24)
     finally:
         roomy.close()
 
+    # 24 new tokens = multiple decode runs per seq, so sequences co-reside
+    # and capacity extensions contend under the overlap scheduler
     for gpu, cpu in [(9, 0), (9, 32), (11, 0), (8, 0)]:
         eng = _engine(tiny_model_dir, gpu, cpu)
         try:
-            got = _gen_many(eng, prompts, 10)
+            got = _gen_many(eng, prompts, 24)
             assert eng.scheduler.num_preemptions > 0, (gpu, cpu)
         finally:
             eng.close()
