@@ -51,7 +51,11 @@ class SpecExtension:
             self.draft_config = agent.model_config
             from ..models.deepseek import DeepseekMTP
             from ..models.glm4_moe import Glm4MoeModel, Glm4MoeMTP
-            if isinstance(agent.model, Glm4MoeModel):
+            from ..models.glm_moe_dsa import GlmMoeDsaModel, GlmMoeDsaMTP
+            if isinstance(agent.model, GlmMoeDsaModel):
+                # GLM-5.2 MTP layer: DSA attention (own lightning indexer)
+                self.draft_model = GlmMoeDsaMTP(self.draft_config)
+            elif isinstance(agent.model, Glm4MoeModel):
                 # GLM-4.5/4.6 nextn layer: same skeleton, GQA attention
                 self.draft_model = Glm4MoeMTP(self.draft_config)
             else:

@@ -292,6 +292,21 @@ def _deepseek_v32(config: ModelConfig):
 register_model('DeepseekV32ForCausalLM')(_deepseek_v32)
 
 
+def _glm_moe_dsa(config: ModelConfig):
+    # GLM-5.2 configs may carry qk_head_dim != nope + rope; the rope share is
+    # the remainder (reference configurations/glm_moe_dsa.py:51-53)
+    hf = config.hf_config or {}
+    qk_head_dim = hf.get('qk_head_dim')
+    if qk_head_dim and qk_head_dim != (config.qk_nope_head_dim
+                                       + config.qk_rope_head_dim):
+        config.qk_rope_head_dim = qk_head_dim - config.qk_nope_head_dim
+    from .glm_moe_dsa import GlmMoeDsaModel
+    return GlmMoeDsaModel(config)
+
+
+register_model('GlmMoeDsaForCausalLM')(_glm_moe_dsa)
+
+
 def _internvl_hf(config: ModelConfig):
     from .internvl import build_internvl_hf
     return build_internvl_hf(config)

@@ -405,6 +405,17 @@ class DeepseekV2Model(LlamaModel):
                                 preferred_element_type=jnp.float32)
         return out.reshape(B, T, H).astype(x.dtype)
 
+    # -- per-layer carry hooks (DSA index reuse rides the scan carry;
+    #    see glm_moe_dsa.py) --------------------------------------------------------------
+    def _init_dsa_carry(self, B, T, meta, block_size):
+        return ()
+
+    def _attn_block_x(self, h, w, layer, kv_cache, meta, cos, sin,
+                      slot_mapping, fresh_prefill, extra):
+        h, kv_cache = self._attn_block(h, w, layer, kv_cache, meta, cos, sin,
+                                       slot_mapping, fresh_prefill)
+        return h, kv_cache, extra
+
     def forward(self, params, input_ids, positions, kv_cache,
                 meta: AttnMeta, rope_cos, rope_sin, return_all_logits=False,
                 fresh_prefill=False, input_embeds=None, embeds_mask=None,
@@ -426,26 +437,28 @@ class DeepseekV2Model(LlamaModel):
 
         def make_layer_fn(moe: bool):
             def layer_fn(carry, w):
-                h, kc, layer = carry
-                h, kc = self._attn_block(h, w, layer, kc, meta, cos,
-                                         sin, slot_mapping, fresh_prefill)
+                h, kc, layer, extra = carry
+                h, kc, extra = self._attn_block_x(h, w, layer, kc, meta, cos,
+                                                  sin, slot_mapping,
+                                                  fresh_prefill, extra)
                 x = rms_norm(h, w['mlp_norm'], cfg.rms_norm_eps)
                 out = self._moe_mlp(w, x) if moe \
                     else self._mlp(w, x)         # llama dense silu mlp
                 if self.residual_scale is not None:
                     out = out * jnp.asarray(self.residual_scale, out.dtype)
                 h = h + out
-                return (h, kc, layer + 1), None
+                return (h, kc, layer + 1, extra), None
             return layer_fn
 
-        carry = (hidden, kv_cache, jnp.int32(0))
+        carry = (hidden, kv_cache, jnp.int32(0),
+                 self._init_dsa_carry(B, T, meta, block_size))
         if 'layers' in params:
             carry, _ = jax.lax.scan(make_layer_fn(False), carry,
                                     params['layers'])
         if 'moe_layers' in params:
             carry, _ = jax.lax.scan(make_layer_fn(True), carry,
                                     params['moe_layers'])
-        hidden, kv_cache, _ = carry
+        hidden, kv_cache = carry[0], carry[1]
         hidden_prenorm = hidden    # MTP/EAGLE condition on pre-norm features
         hidden = rms_norm(hidden, params['final_norm'], cfg.rms_norm_eps)
 

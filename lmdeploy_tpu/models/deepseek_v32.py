@@ -107,6 +107,53 @@ class DeepseekV32Model(DeepseekV2Model):
     # -- DSA attention block ---------------------------------------------------------------
     def _attn_block(self, h, w, layer, kv_cache, meta, cos, sin,
                     slot_mapping, fresh_prefill):
+        """Carry-free entry (MTP draft step); the scan uses _attn_block_x."""
+        B, T = h.shape[0], h.shape[1]
+        bs = kv_cache.shape[3]
+        h, kv_cache, _ = self._attn_block_x(
+            h, w, layer, kv_cache, meta, cos, sin, slot_mapping,
+            fresh_prefill, self._init_dsa_carry(B, T, meta, bs))
+        return h, kv_cache
+
+    def _indexer_rope_q(self, iq_pe, cos, sin):
+        """DeepSeek checkpoints use the interleaved (complex) convention."""
+        d = _deinterleave(iq_pe)
+        return apply_rope(d, d, cos, sin)[0]
+
+    def _indexer_rope_k(self, ik_pe, cos, sin):
+        d = _deinterleave(ik_pe)[:, :, None, :]
+        return apply_rope(d, d, cos, sin)[0]
+
+    def _dsa_select(self, x, qr, w, cos, sin, hist_k, causal, layer, extra):
+        """Lightning-indexer scoring + causal top-k (reference ds_index.py).
+
+        Returns (top_idx [B,T,K], valid [B,T,K], extra) — subclasses may reuse
+        a previous layer's indices through ``extra`` (GLM-5.2 'shared' layers).
+        """
+        dr, Di = self.dr, self.idx_dim
+        S = hist_k.shape[1]
+        from ..nn.linear import linear as proj
+        iq = proj(qr, w['idx_wq_b']).reshape(
+            qr.shape[0], qr.shape[1], self.idx_heads, Di)
+        iq_pe, iq_nope = iq[..., :dr], iq[..., dr:]
+        iq_pe = self._indexer_rope_q(iq_pe, cos, sin)
+        iq = hadamard_transform(
+            jnp.concatenate([iq_pe, iq_nope], axis=-1))          # [B,T,hI,Di]
+        iw = (proj(x, w['idx_weights'])
+              * (self.idx_heads ** -0.5)).astype(jnp.float32)     # [B,T,hI]
+        # score(t,s) = sum_h relu(q.k) * scale * w  (ds_index.py:72-73)
+        logits = jnp.einsum('bthd,bsd->bhts', iq.astype(jnp.float32),
+                            hist_k.astype(jnp.float32))
+        scores = jnp.einsum('bhts,bth->bts', jnp.maximum(logits, 0.0),
+                            iw * self.idx_scale)                 # [B,T,S]
+        scores = jnp.where(causal, scores, -jnp.inf)
+        K = min(self.idx_topk, S)
+        top_scores, top_idx = jax.lax.top_k(scores, K)           # [B,T,K]
+        valid = jnp.isfinite(top_scores)                         # in-range
+        return top_idx, valid, extra
+
+    def _attn_block_x(self, h, w, layer, kv_cache, meta, cos, sin,
+                      slot_mapping, fresh_prefill, extra):
         cfg = self.config
         B, T = h.shape[0], h.shape[1]
         nh, dn, dr, dv, r = self.nh, self.dn, self.dr, self.dv, self.r
@@ -126,9 +173,7 @@ class DeepseekV32Model(DeepseekV2Model):
         q_pe, k_pe = apply_rope(_deinterleave(q_pe),
                                 _deinterleave(k_pe)[:, :, None, :], cos, sin)
 
-        # ---- lightning indexer (reference Indexer.forward) -------------------
-        iq = proj(qr, w['idx_wq_b']).reshape(B, T, self.idx_heads, Di)
-        iq_pe, iq_nope = iq[..., :dr], iq[..., dr:]
+        # ---- lightning indexer keys (cached inline with the latents) ---------
         ik = proj(x, w['idx_wk'])                                # [B,T,Di]
         ikf = ik.astype(jnp.float32)
         mu = ikf.mean(-1, keepdims=True)
@@ -136,15 +181,9 @@ class DeepseekV32Model(DeepseekV2Model):
         ik = ((ikf - mu) * jax.lax.rsqrt(var + 1e-6) * w['idx_k_norm']
               + w['idx_k_norm_b']).astype(ik.dtype)
         ik_pe, ik_nope = ik[..., :dr], ik[..., dr:]
-        iq_pe, ik_pe = apply_rope(_deinterleave(iq_pe),
-                                  _deinterleave(ik_pe)[:, :, None, :],
-                                  cos, sin)
-        iq = hadamard_transform(
-            jnp.concatenate([iq_pe, iq_nope], axis=-1))          # [B,T,hI,Di]
+        ik_pe = self._indexer_rope_k(ik_pe, cos, sin)
         ik = hadamard_transform(
             jnp.concatenate([ik_pe[:, :, 0], ik_nope], axis=-1))  # [B,T,Di]
-        iw = (proj(x, w['idx_weights'])
-              * (self.idx_heads ** -0.5)).astype(jnp.float32)     # [B,T,hI]
 
         # absorbed query + cache rows: [c | k_pe | idx_k]
         q_c = jnp.einsum('btnd,ndr->btnr', q_nope.astype(jnp.float32),
@@ -170,15 +209,8 @@ class DeepseekV32Model(DeepseekV2Model):
         pos_k = jnp.arange(S, dtype=jnp.int32)[None]             # [1,S]
         causal = pos_k[:, None, :] <= pos_q[:, :, None]          # [B,T,S]
 
-        # score(t,s) = sum_h relu(q.k) * scale * w  (ds_index.py:72-73)
-        logits = jnp.einsum('bthd,bsd->bhts', iq.astype(jnp.float32),
-                            hist_k.astype(jnp.float32))
-        scores = jnp.einsum('bhts,bth->bts', jnp.maximum(logits, 0.0),
-                            iw * self.idx_scale)                 # [B,T,S]
-        scores = jnp.where(causal, scores, -jnp.inf)
-        K = min(self.idx_topk, S)
-        top_scores, top_idx = jax.lax.top_k(scores, K)           # [B,T,K]
-        valid = jnp.isfinite(top_scores)                         # in-range
+        top_idx, valid, extra = self._dsa_select(x, qr, w, cos, sin, hist_k,
+                                                 causal, layer, extra)
 
         # ---- sparse absorbed-MLA attention over the selected rows -------------
         sel = jnp.take_along_axis(
@@ -194,4 +226,4 @@ class DeepseekV32Model(DeepseekV2Model):
         out = proj(o.reshape(B, T, nh * dv), w['wo'])
         if self.residual_scale is not None:
             out = out * jnp.asarray(self.residual_scale, out.dtype)
-        return h + out, kv_cache
+        return h + out, kv_cache, extra
