@@ -307,6 +307,14 @@ def _glm_moe_dsa(config: ModelConfig):
 register_model('GlmMoeDsaForCausalLM')(_glm_moe_dsa)
 
 
+def _glm4_1v(config: ModelConfig):
+    from .glm4_1v import build_glm4_1v
+    return build_glm4_1v(config)
+
+
+register_model('Glm4vForConditionalGeneration')(_glm4_1v)
+
+
 def _internvl_hf(config: ModelConfig):
     from .internvl import build_internvl_hf
     return build_internvl_hf(config)
