@@ -137,8 +137,10 @@ class ModelConfig:
             cfg.setdefault('partial_rotary_factor', 0.5)
             cfg.setdefault('attention_bias', cfg.get('add_qkv_bias', False))
             cfg.setdefault('tie_word_embeddings', False)
-        if 'vision_config' in cfg and cfg.get('model_type') in (
-                'qwen2_vl', 'qwen2_5_vl', 'qwen3_vl', 'qwen3_vl_moe'):
+        if ('vision_config' in cfg or 'text_config' in cfg) and \
+                cfg.get('model_type') in (
+                'qwen2_vl', 'qwen2_5_vl', 'qwen3_vl', 'qwen3_vl_moe',
+                'qwen3_5', 'qwen3_5_moe', 'intern_s2_preview'):
             # qwen2-vl: older checkpoints are FLAT (LM fields top-level beside
             # vision_config); transformers>=4.52 nests them under text_config.
             if not cfg.get('architectures'):
@@ -147,16 +149,18 @@ class ModelConfig:
                          else 'Qwen2_5_VLForConditionalGeneration']
             inner = cfg.get('text_config') or {
                 k: v for k, v in cfg.items() if k != 'vision_config'}
-            vision = {
-                'vision_config': dict(cfg['vision_config'],
-                                      model_type=cfg['vision_config'].get(
-                                          'model_type', cfg['model_type'])),
-                'image_token_index': (cfg.get('image_token_id')
-                                      or inner.get('image_token_id', 151655)),
-                'llm_architectures': ['Qwen2ForCausalLM'],
-                'deepstack': cfg['vision_config'].get(
-                    'deepstack_visual_indexes'),
-            }
+            if 'vision_config' in cfg:
+                vision = {
+                    'vision_config': dict(cfg['vision_config'],
+                                          model_type=cfg['vision_config'].get(
+                                              'model_type', cfg['model_type'])),
+                    'image_token_index': (cfg.get('image_token_id')
+                                          or inner.get('image_token_id',
+                                                       151655)),
+                    'llm_architectures': ['Qwen2ForCausalLM'],
+                    'deepstack': cfg['vision_config'].get(
+                        'deepstack_visual_indexes'),
+                }
             qcfg = dict(inner)
             qcfg['architectures'] = archs
             qcfg.setdefault('model_type', 'qwen2')

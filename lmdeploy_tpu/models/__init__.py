@@ -211,6 +211,24 @@ def _qwen3_next(config: ModelConfig):
 register_model('Qwen3NextForCausalLM')(_qwen3_next)
 
 
+def _qwen3_5(config: ModelConfig):
+    from .qwen3_5 import build_qwen3_5
+    hf = config.hf_config or {}
+    lt = hf.get('layer_types')
+    if lt:
+        interval = lt.index('full_attention') + 1
+    else:
+        interval = hf.get('full_attention_interval', 4)
+    config.num_cache_layers = config.num_layers // interval
+    return build_qwen3_5(config)
+
+
+register_model('Qwen3_5ForConditionalGeneration',
+               'Qwen3_5MoeForConditionalGeneration',
+               'InternS2PreviewForConditionalGeneration',
+               'InternS2PreviewForCausalLM')(_qwen3_5)
+
+
 def _qwen2_vl(config: ModelConfig):
     from .qwen2_vl import build_qwen2_vl
     return build_qwen2_vl(config)

@@ -1,0 +1,219 @@
+"""Qwen3.5 / Qwen3.5-MoE: hybrid gated-DeltaNet VLMs (+ InternS2-Preview).
+
+Reference analog: ``lmdeploy/pytorch/models/qwen3_5.py`` /
+``qwen3_5_moe.py`` / ``qwen3_5_mtp.py``.  Architecturally Qwen3-Next (gated
+DeltaNet linear attention interleaved with gated full attention) with four
+deltas, all handled here on top of :class:`Qwen3NextModel`:
+
+  * **split input projections** — the checkpoint stores ``in_proj_qkv``
+    ([q_all | k_all | v_all] — NOT the per-key-head interleave of
+    qwen3-next's fused ``in_proj_qkvz``), a separate ``in_proj_z``, and
+    separate ``in_proj_b`` / ``in_proj_a`` (reference
+    ``Qwen3_5GatedDeltaNet.__init__`` builds in_proj_qkv/in_proj_z/in_proj_ba
+    and merges b|a at load: ``qwen3_5.py:1215`` stacked_params_mapping);
+  * **dense variant** — Qwen3_5ForConditionalGeneration has a plain
+    gate/up/down mlp (``Qwen3_5MLP``); the MoE variant keeps qwen3-next's
+    softmax-topk router + sigmoid-gated shared expert unchanged;
+  * **native VLM** — the LM nests under ``model.language_model.`` beside a
+    ``model.visual`` tower: the Qwen3-VL encoder (bilinear pos-embed
+    interpolation, full per-frame attention) WITHOUT deepstack taps, plus
+    lane-interleaved mrope (reference reuses Qwen3VLInputProcessor);
+  * **MoE expert stacking** — bf16 checkpoints ship experts FUSED as
+    ``experts.gate_up_proj`` [E, 2I, H] / ``experts.down_proj`` [E, H, I]
+    (reference ``_load_weight_fused_experts``); per-expert names are also
+    accepted (fp8 checkpoints).
+
+The MTP proposer (``Qwen3_5MTP``) lives in this file too: one gated
+full-attention layer over ``fc([pre_fc_norm_embedding(emb);
+pre_fc_norm_hidden(h)])`` with weights under the target checkpoint's
+``mtp.`` prefix (reference ``qwen3_5_mtp.py``).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+from ..config import ModelConfig
+from .mixtral import _ExpertSlice
+from .qwen3_next import Qwen3NextModel
+
+
+class Qwen3_5TextModel(Qwen3NextModel):
+    """Qwen3.5 text decoder (dense or MoE via config.num_experts)."""
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        self.is_moe = bool(self.n_experts)
+
+    # -- split input projections -----------------------------------------------------------
+    def _lin_in_shapes(self) -> Dict[str, int]:
+        return {
+            'in_qkv': self.key_dim * 2 + self.value_dim,
+            'in_z': self.value_dim,
+            'in_ba': 2 * self.lin_hv,
+        }
+
+    def _delta_proj(self, w, j, x):
+        """Split-projection layout: qkv = [q_all | k_all | v_all], z
+        separate, ba = [b_all | a_all] (reference Qwen3_5GatedDeltaNet
+        .forward + fix_ba_ordering)."""
+        import jax.numpy as jnp
+        B, T, _ = x.shape
+        hk, hv, dk, dv = self.lin_hk, self.lin_hv, self.lin_dk, self.lin_dv
+        kd = self.key_dim
+        qkv = jnp.dot(x, w['lin_in_qkv'][j])
+        q = qkv[..., :kd].reshape(B, T, hk, dk)
+        k = qkv[..., kd:2 * kd].reshape(B, T, hk, dk)
+        v = qkv[..., 2 * kd:].reshape(B, T, hv, dv)
+        z = jnp.dot(x, w['lin_in_z'][j]).reshape(B, T, hv, dv)
+        ba = jnp.dot(x, w['lin_in_ba'][j])
+        b = ba[..., :hv]
+        a = ba[..., hv:]
+        return q, k, v, z, b, a
+
+    def _plan_lin_in(self, plan, q: str, blk: int, j: int, T):
+        hv = self.lin_hv
+        plan[q + 'in_proj_qkv.weight'] = \
+            (('blocks', 'lin_in_qkv', blk, j), T, None)
+        plan[q + 'in_proj_z.weight'] = \
+            (('blocks', 'lin_in_z', blk, j), T, None)
+        # separate HF tensors land in halves of the stacked ba projection
+        plan[q + 'in_proj_b.weight'] = \
+            (('blocks', 'lin_in_ba', blk, j), T, slice(0, hv))
+        plan[q + 'in_proj_a.weight'] = \
+            (('blocks', 'lin_in_ba', blk, j), T, slice(hv, 2 * hv))
+
+    # -- dense mlp variant -----------------------------------------------------------------
+    def _mlp_shapes(self, NB: int, IV: int, H: int) -> Dict[str, Any]:
+        if self.n_experts:
+            return super()._mlp_shapes(NB, IV, H)
+        I = self.config.intermediate_size
+        return {
+            'mlp_gate': (NB, IV, H, I),
+            'mlp_up': (NB, IV, H, I),
+            'mlp_down': (NB, IV, I, H),
+        }
+
+    def _moe(self, w, j, x):
+        import jax
+        import jax.numpy as jnp
+        if self.n_experts:
+            return super()._moe(w, j, x)
+        g = jax.nn.silu(jnp.dot(x, w['mlp_gate'][j],
+                                preferred_element_type=jnp.float32))
+        u = jnp.dot(x, w['mlp_up'][j], preferred_element_type=jnp.float32)
+        y = jnp.dot((g * u).astype(x.dtype), w['mlp_down'][j])
+        return y.astype(x.dtype)
+
+    def _plan_mlp(self, plan, m: str, blk: int, j: int, T):
+        if not self.n_experts:
+            plan[m + 'gate_proj.weight'] = \
+                (('blocks', 'mlp_gate', blk, j), T, None)
+            plan[m + 'up_proj.weight'] = \
+                (('blocks', 'mlp_up', blk, j), T, None)
+            plan[m + 'down_proj.weight'] = \
+                (('blocks', 'mlp_down', blk, j), T, None)
+            return
+        super()._plan_mlp(plan, m, blk, j, T)
+        # bf16 checkpoints fuse the expert stack (reference
+        # qwen3_5_moe.py _load_weight_fused_experts): gate_up [E, 2I, H]
+        # row-split per expert, down [E, H, I]
+        I = self.moe_inter
+
+        def gate_of(x):
+            return np.ascontiguousarray(np.swapaxes(x[:, :I, :], -1, -2))
+
+        def up_of(x):
+            return np.ascontiguousarray(np.swapaxes(x[:, I:, :], -1, -2))
+
+        def down_of(x):
+            return np.ascontiguousarray(np.swapaxes(x, -1, -2))
+
+        plan[m + 'experts.gate_up_proj'] = [
+            (('blocks', 'we_gate', blk, j),
+             lambda x, f=gate_of: f(np.asarray(x)), None),
+            (('blocks', 'we_up', blk, j),
+             lambda x, f=up_of: f(np.asarray(x)), None),
+        ]
+        plan[m + 'experts.down_proj'] = \
+            (('blocks', 'we_down', blk, j),
+             lambda x: down_of(np.asarray(x)), None)
+
+    def make_assign_plan(self):
+        """Qwen3.5 checkpoints always nest the LM under
+        ``model.language_model.`` (the arch is a ConditionalGeneration VLM
+        even for text-only serving); keep the bare ``model.`` spellings too
+        for hand-built text-only checkpoints."""
+        base = super().make_assign_plan()
+        plan = dict(base)
+        for k, v in base.items():
+            if k.startswith('model.'):
+                plan['model.language_model.' + k[len('model.'):]] = v
+        return plan
+
+
+class _Qwen3_5VLMixin:
+    """Vision surface: the Qwen3-VL tower without deepstack taps (the
+    qwen3_5 vision config carries no ``deepstack_visual_indexes``, so
+    ``Qwen3VLTower.ds_idx == ()`` and features stay H-wide), plus
+    lane-interleaved mrope.  Reference ``Qwen3_5VisionModel`` +
+    Qwen3VLInputProcessor reuse (``qwen3_5.py:184, 38``)."""
+
+    def _init_vision(self, config: ModelConfig):
+        from .qwen3_vl import _Qwen3VLMixin
+        _Qwen3VLMixin._init_vision(self, config)
+        scaling = config.rope_scaling or {}
+        if not scaling.get('mrope_section'):
+            # partial rotary: sections must tile rope_dim/2, not head_dim/2
+            half = config.rope_dim // 2
+            self.mrope_section = (half - 2 * (half // 3),
+                                  half // 3, half // 3)
+        # qwen3_5 inherits qwen3-vl's lane-interleaved mrope convention
+        self.mrope_interleaved = bool(scaling.get('mrope_interleaved', True))
+
+    def _gather_rope(self, rope_cos, rope_sin, positions):
+        from ..nn.layers import gather_mrope
+        if positions.ndim == 3:
+            return gather_mrope(rope_cos, rope_sin, positions,
+                                self.mrope_section,
+                                interleaved=self.mrope_interleaved)
+        return Qwen3NextModel._gather_rope(self, rope_cos, rope_sin,
+                                           positions)
+
+    # engine-facing helpers delegate to the qwen-vl machinery
+    def vis_param_shapes(self):
+        return self.tower.param_shapes()
+
+    def init_vis_params(self, dtype=None):
+        import jax.numpy as jnp
+        return self.tower.init_params(dtype=dtype or jnp.float32)
+
+    def vis_assign_plan(self):
+        plan = self.tower.make_assign_plan('visual.')
+        plan.update({'model.' + k: v for k, v in list(plan.items())})
+        return plan
+
+    def encode_images_raw(self, vis_params, images):
+        from .qwen3_vl import _Qwen3VLMixin
+        return _Qwen3VLMixin.encode_images_raw(self, vis_params, images)
+
+    def build_mrope(self, token_ids, grids, start: int = 0):
+        from .qwen2_vl import mrope_positions
+        return mrope_positions(token_ids, self.image_token_index, grids,
+                               merge=self.tower.merge, start=start)
+
+
+# uses_mrope marks the VLM surface for the engine's position plumbing
+_Qwen3_5VLMixin.uses_mrope = True
+
+
+def build_qwen3_5(config: ModelConfig):
+    """Dense or MoE Qwen3.5; wraps the vision tower when the config nests
+    a ``vision_config`` (it always does for real checkpoints)."""
+    if config.vision:
+        cls = type('Qwen3_5VLModel', (_Qwen3_5VLMixin, Qwen3_5TextModel), {})
+        model = cls(config)
+        model._init_vision(config)
+        return model
+    return Qwen3_5TextModel(config)

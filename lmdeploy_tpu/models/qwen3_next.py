@@ -92,22 +92,43 @@ class Qwen3NextModel(LlamaModel):
         }
 
     # -- parameters -----------------------------------------------------------------------
+    def _lin_in_shapes(self) -> Dict[str, int]:
+        """Gated-DeltaNet input-projection output widths (hook: Qwen3.5
+        splits the fused qkvz/ba projections — models/qwen3_5.py)."""
+        return {
+            'in_qkvz': self.key_dim * 2 + self.value_dim * 2,
+            'in_ba': 2 * self.lin_hv,
+        }
+
+    def _mlp_shapes(self, NB: int, IV: int, H: int) -> Dict[str, Any]:
+        """Per-layer mlp parameter shapes (hook: Qwen3.5-dense overrides)."""
+        return {
+            'router': (NB, IV, H, self.n_experts),
+            'we_gate': (NB, IV, self.n_experts, H, self.moe_inter),
+            'we_up': (NB, IV, self.n_experts, H, self.moe_inter),
+            'we_down': (NB, IV, self.n_experts, self.moe_inter, H),
+            'ws_gate': (NB, IV, H, self.shared_inter),
+            'ws_up': (NB, IV, H, self.shared_inter),
+            'ws_down': (NB, IV, self.shared_inter, H),
+            'ws_out_gate': (NB, IV, H),             # shared_expert_gate [1, H]
+        }
+
     def param_shapes(self) -> Dict[str, Any]:
         cfg = self.config
         NB, NLpb, IV = self.n_blocks, self.n_lin_per_block, self.interval
         H = cfg.hidden_size
         D = cfg.head_dim
-        qkvz_out = self.key_dim * 2 + self.value_dim * 2
-        ba_out = 2 * self.lin_hv
         lin = {
-            'in_qkvz': (NB, NLpb, H, qkvz_out),
-            'in_ba': (NB, NLpb, H, ba_out),
+            name: (NB, NLpb, H, out)
+            for name, out in self._lin_in_shapes().items()
+        }
+        lin.update({
             'conv_w': (NB, NLpb, self.conv_dim, self.conv_k),
             'a_log': (NB, NLpb, self.lin_hv),
             'dt_bias': (NB, NLpb, self.lin_hv),
             'gate_norm': (NB, NLpb, self.lin_dv),
             'out_proj': (NB, NLpb, self.value_dim, H),
-        }
+        })
         if self.conv_bias:
             lin['conv_b'] = (NB, NLpb, self.conv_dim)
         attn = {
@@ -118,16 +139,7 @@ class Qwen3NextModel(LlamaModel):
             'q_norm': (NB, D),
             'k_norm': (NB, D),
         }
-        mlp = {
-            'router': (NB, IV, H, self.n_experts),
-            'we_gate': (NB, IV, self.n_experts, H, self.moe_inter),
-            'we_up': (NB, IV, self.n_experts, H, self.moe_inter),
-            'we_down': (NB, IV, self.n_experts, self.moe_inter, H),
-            'ws_gate': (NB, IV, H, self.shared_inter),
-            'ws_up': (NB, IV, H, self.shared_inter),
-            'ws_down': (NB, IV, self.shared_inter, H),
-            'ws_out_gate': (NB, IV, H),             # shared_expert_gate [1, H]
-        }
+        mlp = self._mlp_shapes(NB, IV, H)
         blocks = {
             'attn_norms': (NB, IV, H),              # input layernorm per layer
             'mlp_norms': (NB, IV, H),               # post-attention layernorms
@@ -172,10 +184,7 @@ class Qwen3NextModel(LlamaModel):
                 (('blocks', 'mlp_norms', blk, j), plus1, None)
             if j < self.n_lin_per_block:       # linear-attention layer
                 q = p + 'linear_attn.'
-                plan[q + 'in_proj_qkvz.weight'] = \
-                    (('blocks', 'lin_in_qkvz', blk, j), T, None)
-                plan[q + 'in_proj_ba.weight'] = \
-                    (('blocks', 'lin_in_ba', blk, j), T, None)
+                self._plan_lin_in(plan, q, blk, j, T)
                 plan[q + 'conv1d.weight'] = \
                     (('blocks', 'lin_conv_w', blk, j), conv_w, None)
                 if self.conv_bias:
@@ -198,36 +207,48 @@ class Qwen3NextModel(LlamaModel):
                     (('blocks', 'fa_q_norm', blk), plus1, None)
                 plan[q + 'k_norm.weight'] = \
                     (('blocks', 'fa_k_norm', blk), plus1, None)
-            m = p + 'mlp.'
-            plan[m + 'gate.weight'] = (('blocks', 'router', blk, j), T, None)
-            for e in range(self.n_experts):
-                x = m + f'experts.{e}.'
-                plan[x + 'gate_proj.weight'] = \
-                    (('blocks', 'we_gate', blk, j), T, _ExpertSlice(e))
-                plan[x + 'up_proj.weight'] = \
-                    (('blocks', 'we_up', blk, j), T, _ExpertSlice(e))
-                plan[x + 'down_proj.weight'] = \
-                    (('blocks', 'we_down', blk, j), T, _ExpertSlice(e))
-            plan[m + 'shared_expert.gate_proj.weight'] = \
-                (('blocks', 'ws_gate', blk, j), T, None)
-            plan[m + 'shared_expert.up_proj.weight'] = \
-                (('blocks', 'ws_up', blk, j), T, None)
-            plan[m + 'shared_expert.down_proj.weight'] = \
-                (('blocks', 'ws_down', blk, j), T, None)
-            plan[m + 'shared_expert_gate.weight'] = \
-                (('blocks', 'ws_out_gate', blk, j),
-                 lambda x: np.asarray(x).reshape(-1), None)
+            self._plan_mlp(plan, p + 'mlp.', blk, j, T)
         return plan
 
+    def _plan_lin_in(self, plan, q: str, blk: int, j: int, T):
+        """Assign-plan entries for one layer's DeltaNet input projections."""
+        plan[q + 'in_proj_qkvz.weight'] = \
+            (('blocks', 'lin_in_qkvz', blk, j), T, None)
+        plan[q + 'in_proj_ba.weight'] = \
+            (('blocks', 'lin_in_ba', blk, j), T, None)
+
+    def _plan_mlp(self, plan, m: str, blk: int, j: int, T):
+        """Assign-plan entries for one layer's (MoE) mlp."""
+        plan[m + 'gate.weight'] = (('blocks', 'router', blk, j), T, None)
+        for e in range(self.n_experts):
+            x = m + f'experts.{e}.'
+            plan[x + 'gate_proj.weight'] = \
+                (('blocks', 'we_gate', blk, j), T, _ExpertSlice(e))
+            plan[x + 'up_proj.weight'] = \
+                (('blocks', 'we_up', blk, j), T, _ExpertSlice(e))
+            plan[x + 'down_proj.weight'] = \
+                (('blocks', 'we_down', blk, j), T, _ExpertSlice(e))
+        plan[m + 'shared_expert.gate_proj.weight'] = \
+            (('blocks', 'ws_gate', blk, j), T, None)
+        plan[m + 'shared_expert.up_proj.weight'] = \
+            (('blocks', 'ws_up', blk, j), T, None)
+        plan[m + 'shared_expert.down_proj.weight'] = \
+            (('blocks', 'ws_down', blk, j), T, None)
+        plan[m + 'shared_expert_gate.weight'] = \
+            (('blocks', 'ws_out_gate', blk, j),
+             lambda x: np.asarray(x).reshape(-1), None)
+
     # -- sub-layers -----------------------------------------------------------------------
-    def _linear_attn(self, w, j, x, conv_st, rec_st, meta, valid, reset):
-        """One gated-DeltaNet layer.  ``conv_st/rec_st`` are this layer's
-        state rows gathered per batch row; returns (out, conv_st, rec_st)."""
-        cfg = self.config
-        B, T, H = x.shape
+    def _delta_proj(self, w, j, x):
+        """Input projections of one gated-DeltaNet layer.
+
+        Returns (q [B,T,hk,dk], k [B,T,hk,dk], v [B,T,hv,dv], z [B,T,hv,dv],
+        b [B,T,hv], a [B,T,hv]).  Qwen3-Next checkpoints fuse them as
+        per-key-head [q|k|v|z] groups (in_proj_qkvz) + [b|a] pairs (in_proj_ba);
+        Qwen3.5 splits them (models/qwen3_5.py overrides)."""
+        B, T, _ = x.shape
         hk, hv, dk, dv, r = (self.lin_hk, self.lin_hv, self.lin_dk,
                              self.lin_dv, self.ratio)
-
         qkvz = jnp.dot(x, w['lin_in_qkvz'][j]).reshape(
             B, T, hk, 2 * dk + 2 * r * dv)
         ba = jnp.dot(x, w['lin_in_ba'][j]).reshape(B, T, hk, 2 * r)
@@ -237,6 +258,16 @@ class Qwen3NextModel(LlamaModel):
         z = qkvz[..., 2 * dk + r * dv:].reshape(B, T, hv, dv)
         b = ba[..., :r].reshape(B, T, hv)
         a = ba[..., r:].reshape(B, T, hv)
+        return q, k, v, z, b, a
+
+    def _linear_attn(self, w, j, x, conv_st, rec_st, meta, valid, reset):
+        """One gated-DeltaNet layer.  ``conv_st/rec_st`` are this layer's
+        state rows gathered per batch row; returns (out, conv_st, rec_st)."""
+        cfg = self.config
+        B, T, H = x.shape
+        hk, hv, dk, dv, r = (self.lin_hk, self.lin_hv, self.lin_dk,
+                             self.lin_dv, self.ratio)
+        q, k, v, z, b, a = self._delta_proj(w, j, x)
 
         # depthwise causal conv over [q | k | v] channels, state-continued
         mixed = jnp.concatenate(
@@ -307,8 +338,7 @@ class Qwen3NextModel(LlamaModel):
         if input_embeds is not None:
             hidden = jnp.where(embeds_mask[..., None],
                                input_embeds.astype(hidden.dtype), hidden)
-        cos = rope_cos[positions]
-        sin = rope_sin[positions]
+        cos, sin = self._gather_rope(rope_cos, rope_sin, positions)
         slot_mapping = compute_slot_mapping(meta.block_tables, meta.history_lens,
                                             meta.q_lens, T, block_size)
         slot_rows = meta.slot_rows if meta.slot_rows is not None \
