@@ -132,7 +132,8 @@ class Engine:
         self.spec = None
         if speculative_config is not None and (
                 speculative_config.model
-                or speculative_config.method == 'deepseek_mtp'):
+                or speculative_config.method in ('deepseek_mtp',
+                                                 'qwen3_5_mtp')):
             from .spec_agent import SpecExtension
             # MTP weights live in the target checkpoint itself
             draft_path = speculative_config.model or model_path

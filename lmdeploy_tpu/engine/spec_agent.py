@@ -63,6 +63,17 @@ class SpecExtension:
             self.hidden = jnp.zeros(
                 (agent.max_batch, agent.model_config.hidden_size),
                 agent.model_config.jnp_dtype())
+        elif method == 'qwen3_5_mtp':
+            # Qwen3.5 MTP layer (weights under the target's 'mtp.' prefix);
+            # the TARGET is hybrid linear-attention, so verification rolls
+            # its conv/recurrent state back to the last accepted position
+            # via per-position snapshots (_get_fn_mtp_hybrid)
+            self.draft_config = agent.model_config
+            from ..models.qwen3_5 import Qwen3_5MTP
+            self.draft_model = Qwen3_5MTP(self.draft_config)
+            self.hidden = jnp.zeros(
+                (agent.max_batch, agent.model_config.hidden_size),
+                agent.model_config.jnp_dtype())
         elif method == 'eagle3':
             self.draft_config = ModelConfig.from_pretrained(
                 draft_model_path, dtype=agent.model_config.dtype)
@@ -104,11 +115,15 @@ class SpecExtension:
         from ..ops.attention import kv_row_width
         # cache_head_dim covers MLA drafts (latent+rope vector, 1 kv head)
         _, rowp = kv_row_width(dc.num_key_value_heads, dc.cache_head_dim)
-        n_draft_layers = 1 if method in ('eagle', 'eagle3', 'deepseek_mtp') \
+        n_draft_layers = 1 if method in ('eagle', 'eagle3', 'deepseek_mtp',
+                                         'qwen3_5_mtp') \
             else dc.num_layers
         shape = (n_draft_layers, agent.num_blocks, 2,
                  agent.cache_config.block_size, rowp)
-        dtype = agent.cache_engine.kv_cache.dtype
+        target_kc = agent.cache_engine.kv_cache
+        if isinstance(target_kc, dict):     # hybrid target: pages + states
+            target_kc = target_kc['pages']
+        dtype = target_kc.dtype
         if dtype in (jnp.int8, jnp.uint8):   # quantized target: draft unquantized
             dtype = agent.model_config.jnp_dtype()
         self.draft_kv = jnp.zeros(shape, dtype)
@@ -345,6 +360,131 @@ class SpecExtension:
         self._fns[key] = fn
         return fn
 
+    def _get_fn_mtp_hybrid(self, B: int):
+        """MTP spec step for HYBRID linear-attention targets (qwen3_5).
+
+        Identical accept/resample machinery to ``_get_fn_eagle``, plus state
+        rollback: the verify forward advances the target's conv/recurrent
+        state through all K+1 chunk positions, so it also emits per-position
+        snapshots; after rejection sampling the state is reset to the
+        snapshot at the last accepted position (paged KV needs no rollback —
+        stale rows past ``position`` are masked by length and overwritten).
+        Reference analog: 1+num_spec_tokens state copies in
+        ``configurations/qwen3_5.py`` recurrent_state_shape."""
+        import jax
+        import jax.numpy as jnp
+
+        key = ('mtp_hybrid', B)
+        fn = self._fns.get(key)
+        if fn is not None:
+            return fn
+        agent = self.agent
+        target = agent.model
+        mtp = self.draft_model
+        K = self.k
+        GOLDEN = np.uint32(0x9E3779B9)
+        from .decode_state import DecodeState
+        row_fields = [f.name for f in dataclasses.fields(DecodeState)
+                      if f.name not in ('token_counts', 'prompt_mask')]
+        masked_dist = self._masked_dist
+
+        def run(params, dparams, rope_cos, rope_sin, kc, dkc, state,
+                hidden_full):
+            sub = {n: getattr(state, n)[:B] for n in row_fields}
+            counts = state.token_counts[:B]
+            pmask = state.prompt_mask[:B]
+            act = sub['active']
+            q1 = act.astype(jnp.int32)
+
+            def draft_step(carry, i):
+                dkc, tok, dpos, h_cond = carry
+                logits, h_new, dkc = mtp.step(
+                    dparams, params, h_cond, tok,
+                    jnp.clip(dpos, 0, agent.max_model_len - 1),
+                    dkc, sub['tables'], q1, rope_cos, rope_sin,
+                    agent.max_model_len)
+                dist = masked_dist(logits, sub, counts, pmask)
+                seeds = sub['seed'] + (sub['step_no'].astype(jnp.uint32)
+                                       + 1 + i.astype(jnp.uint32)) * GOLDEN
+                toks = jax.vmap(lambda s, p: jax.random.choice(
+                    jax.random.key(s), logits.shape[-1], p=p))(seeds, dist)
+                toks = toks.astype(jnp.int32)
+                return (dkc, toks, dpos + q1, h_new), (toks, dist)
+
+            (dkc, _, _, _), (draft_toks, draft_dists) = jax.lax.scan(
+                draft_step,
+                (dkc, sub['token'], sub['position'], hidden_full[:B]),
+                jnp.arange(K))
+            draft_toks = jnp.swapaxes(draft_toks, 0, 1)
+            draft_dists = jnp.swapaxes(draft_dists, 0, 1)
+
+            chunk = jnp.concatenate([sub['token'][:, None], draft_toks],
+                                    axis=1)
+            positions = sub['position'][:, None] + \
+                jnp.arange(K + 1, dtype=jnp.int32)[None, :]
+            meta = AttnMeta(block_tables=sub['tables'],
+                            history_lens=sub['position'],
+                            q_lens=q1 * (K + 1))
+            logits_all, kc, hidden_all, snaps = target.forward(
+                params, chunk, jnp.clip(positions, 0, agent.max_model_len - 1),
+                kc, meta, rope_cos, rope_sin, return_all_logits=True,
+                return_hidden=True, return_state_snapshots=True)
+            tgt_dists = jax.vmap(
+                lambda lg: masked_dist(lg, sub, counts, pmask),
+                in_axes=1, out_axes=1)(logits_all)
+
+            row_keys = jax.vmap(jax.random.key)(
+                sub['seed'] + sub['step_no'].astype(jnp.uint32)
+                * np.uint32(0x85EBCA6B))
+            out_toks, n_emitted = reject_sample(tgt_dists, draft_dists,
+                                                draft_toks, row_keys)
+            n_emitted = jnp.where(act, n_emitted, 0)
+            lp_all = jax.nn.log_softmax(logits_all.astype(jnp.float32),
+                                        axis=-1)
+            out_lps = jnp.take_along_axis(lp_all, out_toks[..., None],
+                                          axis=-1)[..., 0]          # [B, K+1]
+
+            last_idx = jnp.clip(n_emitted - 1, 0, K)
+            # roll conv/recurrent state back to the last accepted position
+            rows = jnp.arange(B)
+            rec_sel = snaps['rec'][:, rows, last_idx]   # [n_lin,B,hv,dk,dv]
+            conv_sel = snaps['conv'][:, rows, last_idx]  # [n_lin,B,K-1,C]
+            rec_new = jnp.where(act[None, :, None, None, None],
+                                rec_sel.astype(kc['rec'].dtype),
+                                kc['rec'][:, :B])
+            conv_new = jnp.where(act[None, :, None, None],
+                                 conv_sel.astype(kc['conv'].dtype),
+                                 kc['conv'][:, :B])
+            kc = dict(kc, rec=kc['rec'].at[:, :B].set(rec_new),
+                      conv=kc['conv'].at[:, :B].set(conv_new))
+
+            new_token = jnp.take_along_axis(out_toks, last_idx[:, None],
+                                            axis=1)[:, 0]
+            new_token = jnp.where(act, new_token, sub['token'])
+            new_h = jnp.take_along_axis(
+                hidden_all, last_idx[:, None, None], axis=1)[:, 0]
+            hidden_full = hidden_full.at[:B].set(
+                jnp.where(act[:, None], new_h, hidden_full[:B]))
+            counts_upd = state.token_counts
+            emit_mask = (jnp.arange(K + 1, dtype=jnp.int32)[None, :]
+                         < n_emitted[:, None])
+            rows2 = jnp.broadcast_to(jnp.arange(B)[:, None], (B, K + 1))
+            counts_upd = counts_upd.at[rows2.reshape(-1),
+                                       out_toks.reshape(-1)].add(
+                emit_mask.reshape(-1).astype(counts_upd.dtype))
+            sub = dict(sub, token=new_token,
+                       position=sub['position'] + n_emitted,
+                       step_no=sub['step_no'] + n_emitted)
+            state = dataclasses.replace(
+                state, token_counts=counts_upd,
+                **{n: getattr(state, n).at[:B].set(sub[n])
+                   for n in row_fields})
+            return kc, dkc, state, hidden_full, out_toks, n_emitted, out_lps
+
+        fn = jax.jit(run, donate_argnums=(4, 5, 6, 7))
+        self._fns[key] = fn
+        return fn
+
     def _get_fn_eagle3(self, B: int):
         """EAGLE-3 spec step.  Differences from _get_fn_eagle: the first
         draft conditioning is ``fc`` of the TARGET's concatenated aux hidden
@@ -471,7 +611,14 @@ class SpecExtension:
         from ..config import bucketize
         agent = self.agent
         B = bucketize(num_rows, agent.batch_buckets)
-        if self.method == 'eagle3':
+        if self.method == 'qwen3_5_mtp':
+            fn = self._get_fn_mtp_hybrid(B)
+            (kc, self.draft_kv, agent.decode_state,
+             self.hidden, out_toks, n_emitted, out_lps) = fn(
+                agent.params, self.draft_params, agent.rope_cos,
+                agent.rope_sin, agent.cache_engine.kv_cache,
+                self.draft_kv, agent.decode_state, self.hidden)
+        elif self.method == 'eagle3':
             fn = self._get_fn_eagle3(B)
             (kc, self.draft_kv, agent.decode_state,
              self.hidden, out_toks, n_emitted, out_lps) = fn(

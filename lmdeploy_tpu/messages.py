@@ -147,6 +147,10 @@ class SpeculativeConfig:
     method 'deepseek_mtp': the DeepSeek-V3 Multi-Token-Prediction module
     (the checkpoint's extra layer, models/deepseek.py DeepseekMTP) proposes;
     ``model`` may be omitted — the MTP weights live in the target checkpoint.
+    method 'qwen3_5_mtp': the Qwen3.5 MTP layer (``mtp.`` weights in the
+    target checkpoint, models/qwen3_5.py Qwen3_5MTP); the hybrid target's
+    conv/recurrent state is rolled back to the last accepted position via
+    per-position snapshots during verification.
     """
 
     method: str = 'draft_model'

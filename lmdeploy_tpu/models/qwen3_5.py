@@ -153,6 +153,124 @@ class Qwen3_5TextModel(Qwen3NextModel):
         return plan
 
 
+class Qwen3_5MTP(Qwen3_5TextModel):
+    """Qwen3.5 Multi-Token-Prediction module as a speculative proposer.
+
+    Reference: ``lmdeploy/pytorch/models/qwen3_5_mtp.py`` — the draft input
+    is ``fc([pre_fc_norm_embedding(embed(tok)) ; pre_fc_norm_hidden(h)])``
+    followed by ONE gated full-attention decoder layer (dense or MoE mlp
+    matching the target), with the module's own final norm and the target's
+    lm_head.  Weights live in the target checkpoint under the ``mtp.``
+    prefix; embeddings/lm_head are shared with the target.
+
+    ``step`` matches ``EagleHead.step`` so the feature-conditioned spec
+    machinery (engine/spec_agent.py) drives it; the draft layer itself has
+    no linear state — only the TARGET's verify pass needs state rollback
+    (see spec_agent's hybrid snapshot handling).
+    """
+
+    def param_shapes(self) -> Dict[str, Any]:
+        cfg = self.config
+        H, D = cfg.hidden_size, cfg.head_dim
+        nh, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
+        layer = {
+            'attn_norm': (H,), 'mlp_norm': (H,),
+            'fa_wq': (H, nh * 2 * D),            # query | gate per head
+            'fa_wk': (H, nkv * D), 'fa_wv': (H, nkv * D),
+            'fa_wo': (nh * D, H),
+            'fa_q_norm': (D,), 'fa_k_norm': (D,),
+        }
+        # mlp shapes with the (NB, IV) block prefix collapsed to a single
+        # leading 1 so _moe(w, 0, x) indexes them like a per-block slice
+        layer.update({k: (1,) + v[2:]
+                      for k, v in self._mlp_shapes(1, 1, H).items()})
+        return {
+            'pre_norm_emb': (H,),
+            'pre_norm_hidden': (H,),
+            'fc': (2 * H, H),
+            'final_norm': (H,),
+            'layer': layer,
+        }
+
+    def make_assign_plan(self):
+        def T(x):
+            return np.ascontiguousarray(np.swapaxes(x, -1, -2))
+
+        ident = lambda x: x  # noqa: E731
+        plus1 = lambda x: np.asarray(x, np.float32) + 1.0  # noqa: E731
+        # reference rms_norm_keys: mtp.norm, pre_fc_norm_*, input_layernorm,
+        # post_attention_layernorm, q_norm, k_norm are all zero-centered
+        plan: Dict[str, Any] = {
+            'mtp.pre_fc_norm_embedding.weight': (('pre_norm_emb',), plus1,
+                                                 None),
+            'mtp.pre_fc_norm_hidden.weight': (('pre_norm_hidden',), plus1,
+                                              None),
+            'mtp.fc.weight': (('fc',), T, None),
+            'mtp.norm.weight': (('final_norm',), plus1, None),
+        }
+        p = 'mtp.layers.0.'
+        plan[p + 'input_layernorm.weight'] = (('layer', 'attn_norm'), plus1,
+                                              None)
+        plan[p + 'post_attention_layernorm.weight'] = \
+            (('layer', 'mlp_norm'), plus1, None)
+        q = p + 'self_attn.'
+        plan[q + 'q_proj.weight'] = (('layer', 'fa_wq'), T, None)
+        plan[q + 'k_proj.weight'] = (('layer', 'fa_wk'), T, None)
+        plan[q + 'v_proj.weight'] = (('layer', 'fa_wv'), T, None)
+        plan[q + 'o_proj.weight'] = (('layer', 'fa_wo'), T, None)
+        plan[q + 'q_norm.weight'] = (('layer', 'fa_q_norm'), plus1, None)
+        plan[q + 'k_norm.weight'] = (('layer', 'fa_k_norm'), plus1, None)
+        # reuse the text model's mlp plan, re-rooted at the mtp layer:
+        # ('blocks', name, blk, j) -> ('layer', name, 0)
+        sub: Dict[str, Any] = {}
+        self._plan_mlp(sub, '', 0, 0, T)
+        for k, v in sub.items():
+            entries = v if isinstance(v, list) else [v]
+            moved = [(('layer', e[0][1], 0), e[1], e[2]) for e in entries]
+            plan[p + 'mlp.' + k] = moved if isinstance(v, list) else moved[0]
+        return plan
+
+    # -- draft step (EagleHead-compatible) -------------------------------------------------
+    def step(self, params, tparams, h_cond, token, position, kv_cache,
+             block_tables, q_lens, cos_tab, sin_tab, max_len):
+        """One MTP draft step: ``h_cond`` [B, H] target pre-final-norm
+        features; returns (logits [B, V], h_new [B, H], kv_cache)."""
+        import jax.numpy as jnp
+        from ..nn.layers import rms_norm
+        from ..ops.attention import compute_slot_mapping
+        from .llama import AttnMeta
+        cfg = self.config
+
+        emb = tparams['embed'][token].astype(h_cond.dtype)          # [B, H]
+        x = jnp.concatenate(
+            [rms_norm(emb, params['pre_norm_emb'], cfg.rms_norm_eps),
+             rms_norm(h_cond, params['pre_norm_hidden'], cfg.rms_norm_eps)],
+            axis=-1) @ params['fc']
+        xt = x[:, None, :]
+
+        pos = jnp.clip(position, 0, max_len - 1)[:, None]
+        cos, sin = cos_tab[pos], sin_tab[pos]
+        slot = compute_slot_mapping(block_tables, position, q_lens, 1,
+                                    kv_cache.shape[3])
+        meta = AttnMeta(block_tables=block_tables, history_lens=position,
+                        q_lens=q_lens)
+        w = params['layer']
+        h = rms_norm(xt, w['attn_norm'], cfg.rms_norm_eps)
+        y, kv_cache = self._full_attn(w, jnp.int32(0), h, kv_cache, meta,
+                                      cos, sin, slot, False)
+        h = xt + y
+        y = rms_norm(h, w['mlp_norm'], cfg.rms_norm_eps)
+        h = h + self._moe(w, 0, y)
+        h_new = h[:, 0]
+
+        lm_head = tparams.get('lm_head')
+        if lm_head is None:
+            lm_head = tparams['embed'].T
+        hn = rms_norm(h_new, params['final_norm'], cfg.rms_norm_eps)
+        logits = jnp.dot(hn, lm_head, preferred_element_type=jnp.float32)
+        return logits, h_new, kv_cache
+
+
 class _Qwen3_5VLMixin:
     """Vision surface: the Qwen3-VL tower without deepstack taps (the
     qwen3_5 vision config carries no ``deepstack_visual_indexes``, so

@@ -260,9 +260,13 @@ class Qwen3NextModel(LlamaModel):
         a = ba[..., r:].reshape(B, T, hv)
         return q, k, v, z, b, a
 
-    def _linear_attn(self, w, j, x, conv_st, rec_st, meta, valid, reset):
+    def _linear_attn(self, w, j, x, conv_st, rec_st, meta, valid, reset,
+                     snaps: bool = False):
         """One gated-DeltaNet layer.  ``conv_st/rec_st`` are this layer's
-        state rows gathered per batch row; returns (out, conv_st, rec_st)."""
+        state rows gathered per batch row; returns (out, conv_st, rec_st
+        [, (conv_snaps [B,T,K-1,C], rec_snaps [B,T,hv,dk,dv])]) — the
+        per-position state snapshots speculative verification selects from
+        after rejection (see spec_agent hybrid rollback)."""
         cfg = self.config
         B, T, H = x.shape
         hk, hv, dk, dv, r = (self.lin_hk, self.lin_hv, self.lin_dk,
@@ -276,6 +280,15 @@ class Qwen3NextModel(LlamaModel):
         reset3 = reset[:, None, None] if reset is not None else None
         if reset3 is not None:
             conv_st = jnp.where(reset3, 0, conv_st)
+        conv_snaps = None
+        if snaps:
+            # conv state after position t = last K-1 inputs ending at t
+            K = conv_st.shape[1] + 1
+            full = jnp.concatenate([conv_st.astype(mixed.dtype), mixed],
+                                   axis=1)
+            win = (jnp.arange(T, dtype=jnp.int32)[:, None] + 1
+                   + jnp.arange(K - 1, dtype=jnp.int32)[None, :])
+            conv_snaps = full[:, win].astype(conv_st.dtype)  # [B,T,K-1,C]
         mixed, conv_st = causal_conv1d(
             mixed, conv_st, w['lin_conv_w'][j],
             w['lin_conv_b'][j] if 'lin_conv_b' in w else None, meta.q_lens)
@@ -288,7 +301,12 @@ class Qwen3NextModel(LlamaModel):
         k = jnp.repeat(k, r, axis=2)
         if reset is not None:
             rec_st = jnp.where(reset[:, None, None, None], 0.0, rec_st)
-        out, rec_st = gated_delta_scan(q, k, v, g, beta, rec_st, valid=valid)
+        if snaps:
+            out, rec_st, rec_snaps = gated_delta_scan(
+                q, k, v, g, beta, rec_st, valid=valid, return_states=True)
+        else:
+            out, rec_st = gated_delta_scan(q, k, v, g, beta, rec_st,
+                                           valid=valid)
 
         # gated RMSNorm (norm-then-gate) + output projection
         of = out.astype(jnp.float32)
@@ -298,6 +316,8 @@ class Qwen3NextModel(LlamaModel):
         of = of * jax.nn.silu(z.astype(jnp.float32))
         y = jnp.dot(of.reshape(B, T, hv * dv).astype(x.dtype),
                     w['lin_out_proj'][j])
+        if snaps:
+            return y, conv_st, rec_st, (conv_snaps, rec_snaps)
         return y, conv_st, rec_st
 
     def _moe(self, w, j, x):
@@ -326,7 +346,8 @@ class Qwen3NextModel(LlamaModel):
     def forward(self, params, input_ids, positions, kv_cache, meta: AttnMeta,
                 rope_cos, rope_sin, return_all_logits=False,
                 fresh_prefill=False, input_embeds=None, embeds_mask=None,
-                adapter_ids=None, return_hidden=False):
+                adapter_ids=None, return_hidden=False,
+                return_state_snapshots=False):
         cfg = self.config
         B, T = input_ids.shape
         pages = kv_cache['pages']
@@ -351,6 +372,7 @@ class Qwen3NextModel(LlamaModel):
 
         def block_fn(carry, w):
             h, pages, conv_all, rec_all, blk = carry
+            conv_sn, rec_sn = [], []
             for j in range(NLpb):
                 li = blk * NLpb + j
                 x = rms_norm(h, w['attn_norms'][j], cfg.rms_norm_eps)
@@ -358,8 +380,15 @@ class Qwen3NextModel(LlamaModel):
                     conv_all, li, 0, False)[slot_rows]
                 rec_st = jax.lax.dynamic_index_in_dim(
                     rec_all, li, 0, False)[slot_rows]
-                y, conv_st, rec_st = self._linear_attn(
-                    w, j, x, conv_st, rec_st, meta, valid, reset)
+                out = self._linear_attn(
+                    w, j, x, conv_st, rec_st, meta, valid, reset,
+                    snaps=return_state_snapshots)
+                if return_state_snapshots:
+                    y, conv_st, rec_st, (csn, rsn) = out
+                    conv_sn.append(csn)
+                    rec_sn.append(rsn)
+                else:
+                    y, conv_st, rec_st = out
                 conv_all = conv_all.at[li, slot_rows].set(conv_st)
                 rec_all = rec_all.at[li, slot_rows].set(rec_st)
                 h = h + y
@@ -372,11 +401,19 @@ class Qwen3NextModel(LlamaModel):
             h = h + y
             x = rms_norm(h, w['mlp_norms'][j], cfg.rms_norm_eps)
             h = h + self._moe(w, j, x)
-            return (h, pages, conv_all, rec_all, blk + 1), None
+            ys = ((jnp.stack(conv_sn), jnp.stack(rec_sn))
+                  if return_state_snapshots else None)
+            return (h, pages, conv_all, rec_all, blk + 1), ys
 
-        (hidden, pages, conv_all, rec_all, _), _ = jax.lax.scan(
+        (hidden, pages, conv_all, rec_all, _), snaps = jax.lax.scan(
             block_fn, (hidden, pages, conv_all, rec_all, jnp.int32(0)),
             params['blocks'])
+        if return_state_snapshots:
+            # [NB, NLpb, B, T, ...] -> [n_lin, B, T, ...]
+            snaps = {
+                'conv': snaps[0].reshape((self.n_lin,) + snaps[0].shape[2:]),
+                'rec': snaps[1].reshape((self.n_lin,) + snaps[1].shape[2:]),
+            }
         out_cache = dict(kv_cache, pages=pages, conv=conv_all, rec=rec_all)
 
         hidden_prenorm = hidden
@@ -389,8 +426,12 @@ class Qwen3NextModel(LlamaModel):
             return jnp.dot(x, lm_head, preferred_element_type=jnp.float32)
 
         if return_all_logits:
+            if return_hidden and return_state_snapshots:
+                return head(hidden), out_cache, hidden_prenorm, snaps
             if return_hidden:
                 return head(hidden), out_cache, hidden_prenorm
+            if return_state_snapshots:
+                return head(hidden), out_cache, snaps
             return head(hidden), out_cache
         last_idx = jnp.maximum(meta.q_lens - 1, 0)
         last_hidden = jnp.take_along_axis(

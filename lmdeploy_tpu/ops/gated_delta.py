@@ -41,7 +41,8 @@ def l2norm(x: jax.Array, eps: float = 1e-6) -> jax.Array:
 def gated_delta_scan(q: jax.Array, k: jax.Array, v: jax.Array,
                      g: jax.Array, beta: jax.Array, state0: jax.Array,
                      valid: Optional[jax.Array] = None,
-                     ) -> Tuple[jax.Array, jax.Array]:
+                     return_states: bool = False,
+                     ) -> Tuple[jax.Array, ...]:
     """Run the gated delta recurrence over a token chunk.
 
     Args:
@@ -51,8 +52,12 @@ def gated_delta_scan(q: jax.Array, k: jax.Array, v: jax.Array,
       beta:    [B, T, Hv] write strength in [0, 1]
       state0:  [B, Hv, dk, dv] recurrent state
       valid:   [B, T] bool; False steps leave the state untouched
+      return_states: also return the state AFTER each step — the per-position
+        snapshots speculative verification rolls back to when draft tokens
+        are rejected (reference allocates 1+num_spec_tokens state copies:
+        configurations/qwen3_5.py recurrent_state_shape)
 
-    Returns (out [B, T, Hv, dv], state_T).
+    Returns (out [B, T, Hv, dv], state_T[, states [B, T, Hv, dk, dv]]).
     """
     dk = q.shape[-1]
     qf = l2norm(q.astype(jnp.float32)) * (dk ** -0.5)
@@ -78,10 +83,15 @@ def gated_delta_scan(q: jax.Array, k: jax.Array, v: jax.Array,
         delta = (v_t - kv_mem) * b_t[..., None]
         S = S + jnp.einsum('bhk,bhv->bhkv', k_t, delta)
         o_t = jnp.einsum('bhk,bhkv->bhv', q_t, S)
-        return S, o_t
+        ys = (o_t, S) if return_states else o_t
+        return S, ys
 
     state, out = jax.lax.scan(step, state0.astype(jnp.float32),
                               (qt, kt, vt, gt, bt))
+    if return_states:
+        out, states = out
+        return (jnp.moveaxis(out, 0, 1), state,
+                jnp.moveaxis(states, 0, 1))
     return jnp.moveaxis(out, 0, 1), state
 
 

@@ -178,13 +178,14 @@ def _hf_greedy(model_dir, prompt, n):
     return out[0, len(prompt):].tolist()
 
 
-def _engine(model_dir, **over):
+def _engine(model_dir, speculative_config=None, **over):
     from lmdeploy_tpu.engine.engine import Engine
     from lmdeploy_tpu.messages import TpuEngineConfig
     kw = dict(dtype='float32', block_size=16, num_gpu_blocks=48,
               max_batch_size=4, session_len=256, max_prefill_token_num=64)
     kw.update(over)
-    return Engine.from_pretrained(model_dir, TpuEngineConfig(**kw))
+    return Engine.from_pretrained(model_dir, TpuEngineConfig(**kw),
+                                  speculative_config=speculative_config)
 
 
 def _gen(eng, sid, prompt, n):
@@ -301,6 +302,80 @@ def test_dense_matches_one_expert_moe(next_src_dir, tmp_path):
     finally:
         e2.close()
     assert got_dense == got_moe, (got_dense, got_moe)
+
+
+def _add_mtp_weights(model_dir, moe=True, seed=7):
+    """Append random 'mtp.' proposer weights to a qwen3_5 checkpoint.
+
+    Draft quality is irrelevant for correctness (greedy verification is
+    exact-match; sampling uses rejection sampling), so random weights fully
+    exercise the accept/reject + state-rollback machinery."""
+    from safetensors.numpy import load_file, save_file
+    rng = np.random.RandomState(seed)
+    H = GEOM['hidden_size']
+    D = GEOM['head_dim']
+    NH, NKV = GEOM['num_attention_heads'], GEOM['num_key_value_heads']
+    E, I = GEOM['num_experts'], GEOM['moe_intermediate_size']
+    SI = GEOM['shared_expert_intermediate_size']
+
+    def r(*shape, s=0.06):
+        return (rng.randn(*shape) * s).astype(np.float32)
+
+    t = load_file(os.path.join(model_dir, 'model.safetensors'))
+    t['mtp.pre_fc_norm_embedding.weight'] = r(H, s=0.02)
+    t['mtp.pre_fc_norm_hidden.weight'] = r(H, s=0.02)
+    t['mtp.fc.weight'] = r(H, 2 * H)
+    t['mtp.norm.weight'] = r(H, s=0.02)
+    p = 'mtp.layers.0.'
+    t[p + 'input_layernorm.weight'] = r(H, s=0.02)
+    t[p + 'post_attention_layernorm.weight'] = r(H, s=0.02)
+    t[p + 'self_attn.q_proj.weight'] = r(NH * 2 * D, H)
+    t[p + 'self_attn.k_proj.weight'] = r(NKV * D, H)
+    t[p + 'self_attn.v_proj.weight'] = r(NKV * D, H)
+    t[p + 'self_attn.o_proj.weight'] = r(H, NH * D)
+    t[p + 'self_attn.q_norm.weight'] = r(D, s=0.02)
+    t[p + 'self_attn.k_norm.weight'] = r(D, s=0.02)
+    if moe:
+        t[p + 'mlp.gate.weight'] = r(E, H)
+        t[p + 'mlp.experts.gate_up_proj'] = r(E, 2 * I, H)
+        t[p + 'mlp.experts.down_proj'] = r(E, H, I)
+        t[p + 'mlp.shared_expert.gate_proj.weight'] = r(SI, H)
+        t[p + 'mlp.shared_expert.up_proj.weight'] = r(SI, H)
+        t[p + 'mlp.shared_expert.down_proj.weight'] = r(H, SI)
+        t[p + 'mlp.shared_expert_gate.weight'] = r(1, H)
+    else:
+        t[p + 'mlp.gate_proj.weight'] = r(GEOM['intermediate_size'], H)
+        t[p + 'mlp.up_proj.weight'] = r(GEOM['intermediate_size'], H)
+        t[p + 'mlp.down_proj.weight'] = r(H, GEOM['intermediate_size'])
+    save_file(t, os.path.join(model_dir, 'model.safetensors'))
+
+
+def test_mtp_spec_greedy_token_identical(next_src_dir, tmp_path):
+    """method='qwen3_5_mtp' speculative decoding must be token-identical to
+    plain greedy decoding — this exercises the hybrid target's per-position
+    conv/recurrent state snapshots and post-rejection rollback (a rollback
+    bug diverges the stream right after the first rejected draft)."""
+    sd = _load_sd(next_src_dir)
+    q35 = _write_qwen3_5(sd, str(tmp_path / 'q35_mtp'),
+                         'Qwen3_5MoeForConditionalGeneration', 'qwen3_5_moe',
+                         fused_experts=True)
+    _add_mtp_weights(q35, moe=True)
+    prompt = [3, 17, 42, 99, 7, 23, 55, 12, 81, 30, 5]
+
+    eng = _engine(q35)
+    try:
+        want = _gen(eng, 1, prompt, 24)
+    finally:
+        eng.close()
+
+    from lmdeploy_tpu.messages import SpeculativeConfig
+    eng = _engine(q35, speculative_config=SpeculativeConfig(
+        method='qwen3_5_mtp', num_speculative_tokens=3))
+    try:
+        got = _gen(eng, 2, prompt, 24)
+    finally:
+        eng.close()
+    assert got == want, (got, want)
 
 
 def test_vl_build_surface(next_src_dir, tmp_path):
