@@ -135,8 +135,11 @@ class ModelAgent:
         self.num_blocks = self.cache_engine.num_blocks
         # hybrid linear-attention models: per-slot recurrent/conv state rides
         # the cache pytree ({'pages', ...states}), donated through every step
-        # (slot max_batch is the garbage row used for prefill padding)
+        # (slot max_batch is the garbage row used for prefill padding).
+        # max_model_len is exposed so position-indexed state buffers
+        # (deepseek_v4 compressed KV) size to the session, not the config max.
         if getattr(self.model, 'has_linear_state', False):
+            self.model.max_model_len = self.max_model_len
             states = {
                 name: jnp.zeros(sd.shape, sd.dtype)
                 for name, sd in self.model.state_shapes(
@@ -929,6 +932,7 @@ class ModelAgent:
 
         ce.kv_cache = fresh_cache()
         if getattr(self.model, 'has_linear_state', False):
+            self.model.max_model_len = self.max_model_len
             states = {
                 name: jnp.zeros(sd.shape, sd.dtype)
                 for name, sd in self.model.state_shapes(

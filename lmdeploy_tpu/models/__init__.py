@@ -310,6 +310,16 @@ def _deepseek_v32(config: ModelConfig):
 register_model('DeepseekV32ForCausalLM')(_deepseek_v32)
 
 
+def _deepseek_v4(config: ModelConfig):
+    from .deepseek_v4 import DeepseekV4Model
+    # MQA: one shared per-token kv vector of head_dim in the paged cache
+    config.num_key_value_heads = 1
+    return DeepseekV4Model(config)
+
+
+register_model('DeepseekV4ForCausalLM')(_deepseek_v4)
+
+
 def _glm_moe_dsa(config: ModelConfig):
     # GLM-5.2 configs may carry qk_head_dim != nope + rope; the rope share is
     # the remainder (reference configurations/glm_moe_dsa.py:51-53)

@@ -128,7 +128,9 @@ def _moe_dense_quant(xf, top_idx, top_w, we_gate, we_up, we_down, out_dtype,
     Ie = (we_gate['w8'] if 'w8' in we_gate else we_gate['scale']).shape[-1]
     combine = jnp.zeros((N, E), jnp.float32)
     rows = jnp.arange(N)[:, None]
-    combine = combine.at[rows, top_idx].set(top_w.astype(jnp.float32))
+    # .add, not .set: hash-routed models (deepseek_v4 tid2eid) may pick the
+    # same expert twice for one token — duplicate weights must accumulate
+    combine = combine.at[rows, top_idx].add(top_w.astype(jnp.float32))
 
     # bound the [E, Nc, Ie] f32 activations to ~64MB per block
     Nc = N
@@ -163,7 +165,9 @@ def _moe_dense(xf, top_idx, top_w, we_gate, we_up, we_down, out_dtype,
     Ie = we_gate.shape[-1]
     combine = jnp.zeros((N, E), jnp.float32)
     rows = jnp.arange(N)[:, None]
-    combine = combine.at[rows, top_idx].set(top_w.astype(jnp.float32))
+    # .add, not .set: hash-routed models (deepseek_v4 tid2eid) may pick the
+    # same expert twice for one token — duplicate weights must accumulate
+    combine = combine.at[rows, top_idx].add(top_w.astype(jnp.float32))
 
     # bound the [Nc, E, Ie] activation (bf16) to ~64MB per step
     Nc = N
