@@ -48,6 +48,21 @@ def _gen_config_from_chat(req: ChatCompletionRequest) -> GenerationConfig:
     )
 
 
+def _gen_config_from_completion(req: CompletionRequest) -> GenerationConfig:
+    return GenerationConfig(
+        max_new_tokens=req.max_tokens or 16,
+        do_sample=(req.temperature or 0) > 0,
+        temperature=req.temperature if req.temperature is not None else 0.7,
+        top_p=req.top_p or 1.0, top_k=req.top_k or 0,
+        repetition_penalty=req.repetition_penalty or 1.0,
+        presence_penalty=req.presence_penalty or 0.0,
+        frequency_penalty=req.frequency_penalty or 0.0,
+        stop_words=req.stop if isinstance(req.stop, list)
+        else ([req.stop] if req.stop else None),
+        random_seed=req.seed,
+        logprobs=req.logprobs)
+
+
 def _chat_logprobs(entries, token_ids, tokenizer):
     """OpenAI chat-completions ``logprobs`` object for these generated tokens.
 
@@ -217,18 +232,7 @@ def create_app(engine: AsyncEngine, model_name: str, api_key: Optional[str] = No
         if err:
             return err
         prompts = req.prompt if isinstance(req.prompt, list) else [req.prompt]
-        gen_config = GenerationConfig(
-            max_new_tokens=req.max_tokens or 16,
-            do_sample=(req.temperature or 0) > 0,
-            temperature=req.temperature if req.temperature is not None else 0.7,
-            top_p=req.top_p or 1.0, top_k=req.top_k or 0,
-            repetition_penalty=req.repetition_penalty or 1.0,
-            presence_penalty=req.presence_penalty or 0.0,
-            frequency_penalty=req.frequency_penalty or 0.0,
-            stop_words=req.stop if isinstance(req.stop, list)
-            else ([req.stop] if req.stop else None),
-            random_seed=req.seed,
-            logprobs=req.logprobs)
+        gen_config = _gen_config_from_completion(req)
 
         if req.stream:
             session_id = engine.next_session_id()
@@ -344,6 +348,180 @@ def create_app(engine: AsyncEngine, model_name: str, api_key: Optional[str] = No
                                                 .eos_token_id))
         disagg.import_session_kv(engine.engine, session_id, payload, sp)
         return web.json_response({'status': 'ok', 'session_id': session_id})
+
+    async def distserve_prefill(request):
+        """PD proxy orchestration, prefill side (reference: proxy.py:669-720
+        sends the prefill request with max_tokens=1 + preserve_cache; here the
+        'prefill' engine role retains finished sessions' KV by default).
+
+        Body ``{"kind": "chat"|"completion", "request": <OpenAI body>}``.
+        Applies the chat template, tokenizes, generates ONE token and returns
+        ``{session_id, prompt_len, first_token_ids}`` for the proxy to hand to
+        the decode peer, which pulls the KV via /distserve/export.
+        """
+        data = await request.json()
+        kind = data.get('kind', 'chat')
+        body = data['request']
+        if kind == 'chat':
+            req = ChatCompletionRequest(**body)
+            gen_config = _gen_config_from_chat(req)
+            prompt, do_preprocess = req.messages, True
+        else:
+            req = CompletionRequest(**body)
+            gen_config = _gen_config_from_completion(req)
+            prompt = req.prompt if isinstance(req.prompt, str) else req.prompt[0]
+            do_preprocess = False
+        gen_config.max_new_tokens = 1
+        gen_config.ignore_eos = True           # the decode peer owns stopping
+        session_id = engine.next_session_id()
+        first_ids: list = []
+        prompt_len = 0
+        async for out in engine.generate(prompt, session_id,
+                                         gen_config=gen_config,
+                                         do_preprocess=do_preprocess,
+                                         sequence_end=False):
+            if out.token_ids:
+                first_ids.extend(out.token_ids)
+            prompt_len = out.input_token_len
+        return web.json_response({'session_id': session_id,
+                                  'prompt_len': prompt_len,
+                                  'first_token_ids': first_ids})
+
+    async def distserve_decode(request):
+        """PD proxy orchestration, decode side: pull the prefill peer's KV over
+        DCN, import it, and stream the continuation as a normal OpenAI
+        response (so clients of the proxy see plain /v1/* semantics).
+
+        Body ``{"kind", "request", "prefill_url", "remote_session_id",
+        "prompt_len", "first_token_ids"}``.  String stop-words hold back via
+        token-id conversion only (single-token stops); multi-token string
+        stops are a hybrid-mode feature.
+        """
+        import aiohttp as _aiohttp
+
+        from .. import disagg
+        from ..paging.seq import SamplingParams
+        from ..tokenizer import DetokenizeState
+
+        data = await request.json()
+        kind = data.get('kind', 'chat')
+        body = data['request']
+        p_url = data['prefill_url'].rstrip('/')
+        remote_sid = int(data['remote_session_id'])
+        first_ids = [int(t) for t in data.get('first_token_ids', [])]
+        if kind == 'chat':
+            req = ChatCompletionRequest(**body)
+            gen_config = _gen_config_from_chat(req)
+            stream = bool(req.stream)
+        else:
+            req = CompletionRequest(**body)
+            gen_config = _gen_config_from_completion(req)
+            stream = bool(req.stream)
+
+        timeout = _aiohttp.ClientTimeout(total=300)
+        async with _aiohttp.ClientSession(timeout=timeout) as s:
+            async with s.get(f'{p_url}/distserve/export/{remote_sid}',
+                             params={'release': '1'}) as r:
+                if r.status != 200:
+                    return error_response(
+                        f'prefill peer export failed ({r.status})', 502)
+                blob = await r.read()
+        payload = disagg.deserialize_payload(blob)
+
+        gen_config.validate()
+        gen_config.convert_stop_bad_words_to_ids(engine.tokenizer)
+        eos = list(engine.engine.model_config.eos_token_id)
+        sp = SamplingParams.from_gen_config(gen_config, eos)
+        sp.max_new_tokens = max(gen_config.max_new_tokens - len(first_ids), 0)
+        local_sid = engine.next_session_id()
+
+        model = getattr(req, 'model', None) or model_name
+        eos_set = set(eos)
+
+        async def deltas():
+            """Yield (delta_text, n_out, finish_reason) across first token +
+            decode-side continuation; incremental detok over output ids."""
+            state = DetokenizeState()
+            out_ids = list(first_ids)
+            text, state = engine.tokenizer.detokenize_incrementally(
+                out_ids, state,
+                skip_special_tokens=gen_config.skip_special_tokens)
+            if sp.max_new_tokens == 0 or (not gen_config.ignore_eos
+                                          and first_ids
+                                          and first_ids[-1] in eos_set):
+                engine.engine.end_session(local_sid)
+                reason = 'stop' if (first_ids and first_ids[-1] in eos_set) \
+                    else 'length'
+                yield text, len(out_ids), reason
+                return
+            disagg.import_session_kv(engine.engine, local_sid, payload, sp)
+            queue = engine.engine.continue_session(local_sid)
+            from ..messages import ResponseType
+            if text:
+                yield text, len(out_ids), None
+            while True:
+                out = await queue.get()
+                cum = list(first_ids) + list(out.token_ids)
+                new_text, state = engine.tokenizer.detokenize_incrementally(
+                    cum, state,
+                    skip_special_tokens=gen_config.skip_special_tokens)
+                if out.status != ResponseType.SUCCESS:
+                    reason = 'stop' if (cum and cum[-1] in eos_set
+                                        and not gen_config.ignore_eos) \
+                        else 'length'
+                    engine.engine.end_session(local_sid)
+                    yield new_text, len(cum), reason
+                    return
+                if new_text:
+                    yield new_text, len(cum), None
+
+        prompt_len = int(data.get('prompt_len', 0))
+        if stream:
+            resp = web.StreamResponse(headers={
+                'Content-Type': 'text/event-stream',
+                'Cache-Control': 'no-cache'})
+            await resp.prepare(request)
+            first = True
+            async for delta, n_out, reason in deltas():
+                if kind == 'chat':
+                    chunk = ChatCompletionStreamResponse(model=model)
+                    dm = DeltaMessage(content=delta)
+                    if first:
+                        dm.role = 'assistant'
+                        first = False
+                    chunk.choices = [ChatCompletionStreamChoice(
+                        delta=dm, finish_reason=reason)]
+                else:
+                    chunk = CompletionResponse(model=model, choices=[
+                        CompletionChoice(text=delta, finish_reason=reason)])
+                await resp.write(
+                    f'data: {chunk.model_dump_json()}\n\n'.encode())
+            await resp.write(b'data: [DONE]\n\n')
+            await resp.write_eof()
+            return resp
+
+        text = ''
+        n_out = 0
+        finish_reason = None
+        async for delta, n, reason in deltas():
+            text += delta
+            n_out = n
+            finish_reason = reason or finish_reason
+        usage = UsageInfo(prompt_tokens=prompt_len, completion_tokens=n_out,
+                          total_tokens=prompt_len + n_out)
+        if kind == 'chat':
+            out_body = ChatCompletionResponse(
+                model=model,
+                choices=[ChatCompletionChoice(
+                    message=ChatMessage(role='assistant', content=text),
+                    finish_reason=finish_reason)],
+                usage=usage)
+        else:
+            out_body = CompletionResponse(
+                model=model, usage=usage,
+                choices=[CompletionChoice(text=text,
+                                          finish_reason=finish_reason)])
+        return web.json_response(out_body.model_dump())
 
     async def distserve_continue(request):
         """PD: stream the decode continuation of an imported session (SSE of ids)."""
@@ -518,6 +696,8 @@ def create_app(engine: AsyncEngine, model_name: str, api_key: Optional[str] = No
     app.router.add_post('/destroy_weights_update_group',
                         destroy_weights_update_group)
     app.router.add_post('/terminate', terminate)
+    app.router.add_post('/distserve/prefill', distserve_prefill)
+    app.router.add_post('/distserve/decode', distserve_decode)
     app.router.add_get('/distserve/export/{session_id}', distserve_export)
     app.router.add_post('/distserve/import', distserve_import)
     app.router.add_post('/distserve/continue', distserve_continue)

@@ -30,6 +30,7 @@ LATENCY_WINDOW = 64
 class Node:
     url: str
     models: List[str] = field(default_factory=list)
+    role: str = 'hybrid'          # hybrid | prefill | decode (PD disaggregation)
     registered_at: float = field(default_factory=time.time)
     last_alive: float = field(default_factory=time.time)
     inflight: int = 0
@@ -48,14 +49,19 @@ class Node:
 
 class NodeManager:
 
-    def __init__(self, strategy: str = 'min_expected_latency'):
+    def __init__(self, strategy: str = 'min_expected_latency',
+                 serving_strategy: str = 'hybrid'):
         assert strategy in ('random', 'min_expected_latency', 'min_observed_latency')
+        assert serving_strategy in ('hybrid', 'distserve')
         self.strategy = strategy
+        self.serving_strategy = serving_strategy
         self.nodes: Dict[str, Node] = {}
 
-    def add(self, url: str, models: Optional[List[str]] = None):
+    def add(self, url: str, models: Optional[List[str]] = None,
+            role: str = 'hybrid'):
         url = url.rstrip('/')
-        self.nodes[url] = Node(url=url, models=models or [])
+        assert role in ('hybrid', 'prefill', 'decode')
+        self.nodes[url] = Node(url=url, models=models or [], role=role)
 
     def remove(self, url: str):
         self.nodes.pop(url.rstrip('/'), None)
@@ -70,10 +76,17 @@ class NodeManager:
         return [n for n in self.nodes.values()
                 if now - n.last_alive < HEARTBEAT_EXPIRY]
 
-    def pick(self, exclude: Optional[set] = None) -> Optional[Node]:
+    def pick(self, exclude: Optional[set] = None,
+             role: Optional[str] = None) -> Optional[Node]:
+        """Pick a node per the routing strategy.  ``role``: restrict to PD
+        role (reference: proxy.py:251 get_node_url(role)); a requested
+        prefill/decode role falls back to hybrid nodes when none match."""
         nodes = self.alive_nodes()
         if exclude:
             nodes = [n for n in nodes if n.url not in exclude]
+        if role is not None:
+            matched = [n for n in nodes if n.role == role]
+            nodes = matched or [n for n in nodes if n.role == 'hybrid']
         if not nodes:
             return None
         if self.strategy == 'random':
@@ -85,11 +98,12 @@ class NodeManager:
 
 
 def create_proxy_app(manager: Optional[NodeManager] = None,
-                     routing_strategy: str = 'min_expected_latency'):
+                     routing_strategy: str = 'min_expected_latency',
+                     serving_strategy: str = 'hybrid'):
     import aiohttp
     from aiohttp import web
 
-    manager = manager or NodeManager(routing_strategy)
+    manager = manager or NodeManager(routing_strategy, serving_strategy)
 
     async def health(request):
         return web.json_response({'status': 'ok',
@@ -97,13 +111,15 @@ def create_proxy_app(manager: Optional[NodeManager] = None,
 
     async def nodes_status(request):
         return web.json_response({'nodes': [
-            {'url': n.url, 'models': n.models, 'inflight': n.inflight,
+            {'url': n.url, 'models': n.models, 'role': n.role,
+             'inflight': n.inflight,
              'mean_latency_s': round(n.mean_latency, 4), 'failures': n.failures}
             for n in manager.nodes.values()]})
 
     async def nodes_add(request):
         data = await request.json()
-        manager.add(data['url'], data.get('models'))
+        manager.add(data['url'], data.get('models'),
+                    role=data.get('role', 'hybrid'))
         return web.json_response({'status': 'ok'})
 
     async def nodes_remove(request):
@@ -116,8 +132,87 @@ def create_proxy_app(manager: Optional[NodeManager] = None,
         manager.heartbeat(data['url'])
         return web.json_response({'status': 'ok'})
 
+    async def distserve_forward(request, body: bytes):
+        """PD-disaggregated serving (reference: proxy.py:654-733 DistServe).
+
+        1. A prefill node runs the prompt for one token and retains its KV
+           (POST /distserve/prefill on the engine server).
+        2. A decode node pulls that KV over DCN and streams the continuation
+           as a plain OpenAI response (POST /distserve/decode), which is
+           relayed to the client verbatim — clients keep /v1/* semantics.
+        """
+        import json as _json
+        kind = 'chat' if 'chat' in request.path else 'completion'
+        try:
+            req_body = _json.loads(body)
+        except Exception:  # noqa: BLE001
+            return web.json_response(
+                {'error': {'message': 'invalid JSON body'}}, status=400)
+        p = manager.pick(role='prefill')
+        if p is None:
+            return web.json_response(
+                {'error': {'message': 'no prefill nodes available'}}, status=503)
+        timeout = aiohttp.ClientTimeout(total=600)
+        p.inflight += 1
+        p_start = time.time()
+        try:
+            async with aiohttp.ClientSession(timeout=timeout) as session:
+                async with session.post(
+                        p.url + '/distserve/prefill',
+                        json={'kind': kind, 'request': req_body}) as resp:
+                    if resp.status != 200:
+                        p.failures += 1
+                        return web.json_response(
+                            {'error': {'message': 'prefill node failed'}},
+                            status=502)
+                    info = await resp.json()
+            p.observe(time.time() - p_start)
+        finally:
+            p.inflight -= 1
+        d = manager.pick(role='decode', exclude={p.url})
+        if d is None:
+            d = manager.pick(role='decode')
+        if d is None:
+            return web.json_response(
+                {'error': {'message': 'no decode nodes available'}}, status=503)
+        d.inflight += 1
+        d_start = time.time()
+        try:
+            async with aiohttp.ClientSession(timeout=timeout) as session:
+                async with session.post(
+                        d.url + '/distserve/decode',
+                        json={'kind': kind, 'request': req_body,
+                              'prefill_url': p.url,
+                              'remote_session_id': info['session_id'],
+                              'prompt_len': info['prompt_len'],
+                              'first_token_ids': info['first_token_ids']},
+                        ) as resp:
+                    if resp.headers.get('Content-Type', '').startswith(
+                            'text/event-stream'):
+                        out = web.StreamResponse(
+                            status=resp.status,
+                            headers={'Content-Type': 'text/event-stream'})
+                        await out.prepare(request)
+                        async for chunk in resp.content.iter_any():
+                            await out.write(chunk)
+                        await out.write_eof()
+                        d.observe(time.time() - d_start)
+                        return out
+                    payload = await resp.read()
+                    d.observe(time.time() - d_start)
+                    if resp.status != 200:
+                        d.failures += 1
+                    return web.Response(body=payload, status=resp.status,
+                                        content_type=resp.content_type)
+        finally:
+            d.inflight -= 1
+
     async def forward(request):
         body = await request.read()
+        if (manager.serving_strategy == 'distserve'
+                and request.path in ('/v1/chat/completions',
+                                     '/v1/completions')):
+            return await distserve_forward(request, body)
         tried = set()
         for _ in range(3):                       # retry on other nodes on failure
             node = manager.pick(exclude=tried)
@@ -194,7 +289,9 @@ def create_proxy_app(manager: Optional[NodeManager] = None,
 
 
 def proxy(server_name: str = '0.0.0.0', server_port: int = 8000,
-          routing_strategy: str = 'min_expected_latency'):
+          routing_strategy: str = 'min_expected_latency',
+          serving_strategy: str = 'hybrid'):
     from aiohttp import web
-    app = create_proxy_app(routing_strategy=routing_strategy)
+    app = create_proxy_app(routing_strategy=routing_strategy,
+                           serving_strategy=serving_strategy)
     web.run_app(app, host=server_name, port=server_port)
