@@ -59,7 +59,8 @@ def split_kv_planes(pages: jax.Array, num_kv_heads: int, head_dim: int):
 
 
 def fill_kv_cache(kv_cache, k_new: jax.Array, v_new: jax.Array,
-                  slot_mapping: jax.Array, layer: jax.Array):
+                  slot_mapping: jax.Array, layer: jax.Array,
+                  page_tables: Optional[jax.Array] = None):
     """Scatter new K/V rows into layer ``layer`` of the unified paged cache.
 
     The FULL cache flows through the layer loop as a scan carry and is updated with a
@@ -74,9 +75,31 @@ def fill_kv_cache(kv_cache, k_new: jax.Array, v_new: jax.Array,
                     Padded tokens must map into the reserved padding block
                     (block 0), so scatters of padding are harmless.
       layer:        scalar int32 — which layer's region to write.
+      page_tables:  [B, W] block tables, passed ONLY for fresh prefill
+                    (history == 0, contiguous positions).  Enables the
+                    page-granular write path: whole [2, BS, HDp] pages scatter
+                    in one op instead of per-token rows — measured 0.68 ms/layer
+                    -> ~0 at [2, 2048] (the row scatter was 10% of the whole
+                    prefill step).  Rows shorter than T write garbage into
+                    their final partial page beyond q_len (masked by length in
+                    attention, overwritten by the next chunk/decode append) and
+                    into padding block 0.
     """
     from .kv_quant import QuantKV, QuantKV4, deint_scale_pos, quantize_rows, \
         quantize_rows_int4
+
+    if page_tables is not None and not isinstance(kv_cache, (QuantKV, QuantKV4)):
+        L, nb, two, bs, hdp = kv_cache.shape
+        B = page_tables.shape[0]
+        T = k_new.shape[0] // B
+        if T % bs == 0 and page_tables.shape[1] >= T // bs:
+            n_pages = T // bs
+            rows_k = plane_rows(k_new, hdp).reshape(B, n_pages, bs, hdp)
+            rows_v = plane_rows(v_new, hdp).reshape(B, n_pages, bs, hdp)
+            upd = jnp.stack([rows_k, rows_v], axis=2).reshape(
+                B * n_pages, two, bs, hdp).astype(kv_cache.dtype)
+            idx = page_tables[:, :n_pages].reshape(-1)
+            return kv_cache.at[layer, idx].set(upd)
 
     if isinstance(kv_cache, QuantKV4):
         return _fill_kv4(kv_cache, k_new, v_new, slot_mapping, layer)

@@ -5,11 +5,20 @@ attention.cu``).  Used for history-free prefill where the chunk's own K/V are de
 tensors — no paging, no gather.  (The jax-bundled flash kernel intermittently hangs
 on this TPU stack, so the framework carries its own.)
 
-Design: grid (B*Hkv, q_tiles, kv_tiles) with kv innermost; K/V tiles stream through
-the standard Pallas pipeline (auto double-buffered); online-softmax state in VMEM
-scratch persists across the kv dimension; causal upper-triangle tiles are skipped
-wholesale.  GQA: one program handles a [G*TQ, D] query group block against the
-kv head's [TK, D] tiles.
+Design (round-4 rewrite): grid is (B*Hkv, q_tiles) ONLY — the kv dimension runs as
+a ``fori_loop`` INSIDE the kernel over VMEM-resident K/V planes.  The round-3
+version put kv on the grid ((B*Hkv, nq, nk) with 'arbitrary' semantics because
+'parallel' wedges this TPU stack inside lax.scan), which serialized 2048 tiny grid
+steps per call: measured 2.8 ms/layer at [2, 2048] against a ~0.1 ms compute floor
+— grid-step overhead, not FLOPs.  With kv inside the kernel there are only B*Hkv*nq
+grid steps, and the K/V blocks are indexed by ``b`` alone so Pallas's revisiting
+rule fetches them once per head (consecutive steps with an unchanged block index
+reuse the buffer).  Causal skip = dynamic fori_loop bound (only tiles with
+j*TK <= (i+1)*TQ-1 run).  GQA: one program handles a [G*TQ, D] query group block.
+
+VMEM: K+V [T, D] bf16 + q/out [G*TQ, D] + f32 accumulators — ~2 MB at T=4096,
+D=64.  Chunks are bounded by max_prefill_token_num (default 4096); a guard falls
+back to splitting longer chunks upstream.
 """
 from __future__ import annotations
 
@@ -22,50 +31,45 @@ from jax.experimental.pallas import tpu as pltpu
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, out_ref, acc_ref, m_ref, l_ref,
-                  *, tile_q: int, tile_k: int, scale: float, num_kv: int):
-    j = pl.program_id(2)
+def _flash_kernel(q_ref, k_ref, v_ref, out_ref,
+                  *, tile_q: int, tile_k: int, scale: float):
     i = pl.program_id(1)
+    # operands stay bf16 into the MXU (f32xf32 dots run at a fraction of the
+    # bf16 rate); accumulation is f32 via preferred_element_type
+    q = q_ref[0, 0]                                   # [G*TQ, D] bf16
+    GT, D = q.shape
+    n_j = pl.cdiv((i + 1) * tile_q, tile_k)           # causal tile bound
 
-    @pl.when(j == 0)
-    def _():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-        m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
-        l_ref[...] = jnp.zeros_like(l_ref)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (GT, tile_k), 0) % tile_q
+    q_pos = i * tile_q + rows
+    cols = jax.lax.broadcasted_iota(jnp.int32, (GT, tile_k), 1)
 
-    # causal tile skip: kv tile j only contributes when j*TK <= (i+1)*TQ - 1
-    @pl.when(j * tile_k < (i + 1) * tile_q)
-    def _():
-        q = q_ref[0, 0].astype(jnp.float32) * scale       # [G*TQ, D]
-        k = k_ref[0].astype(jnp.float32)                  # [TK, D]
-        v = v_ref[0].astype(jnp.float32)
-        GT, D = q.shape
-        G = GT // tile_q
-
+    def body(j, carry):
+        acc, m_prev, l_prev = carry
+        k = k_ref[0, pl.ds(j * tile_k, tile_k), :]
+        v = v_ref[0, pl.ds(j * tile_k, tile_k), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # [G*TQ, TK]
-        # positions: query row r (within tile) is absolute i*TQ + (r % TQ)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (GT, tile_k), 0) % tile_q
-        q_pos = i * tile_q + rows
-        k_pos = j * tile_k + jax.lax.broadcasted_iota(jnp.int32, (GT, tile_k), 1)
+                                preferred_element_type=jnp.float32)  # [GT, TK]
+        s = s * scale
+        k_pos = j * tile_k + cols
         s = jnp.where(k_pos <= q_pos, s, MASK_VALUE)
 
-        m_prev = m_ref[:, :1]
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
-        l_ref[...] = jnp.broadcast_to(
-            alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
-        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return acc, m_new, l_new
 
-    @pl.when(j == num_kv - 1)
-    def _():
-        l = l_ref[:, :1]
-        out_ref[0, 0] = (acc_ref[...] / jnp.where(l == 0.0, 1.0, l)
-                         ).astype(out_ref.dtype)
+    acc, m, l = jax.lax.fori_loop(
+        0, n_j, body,
+        (jnp.zeros((GT, D), jnp.float32),
+         jnp.full((GT, 1), MASK_VALUE, jnp.float32),
+         jnp.zeros((GT, 1), jnp.float32)))
+    out_ref[0, 0] = (acc / jnp.where(l == 0.0, 1.0, l)).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=('scale', 'tile_q', 'tile_k'))
@@ -73,15 +77,15 @@ def flash_prefill_attention(q: jax.Array,      # [B, T, Hq, D]
                             k: jax.Array,      # [B, T, Hkv, D]
                             v: jax.Array,      # [B, T, Hkv, D]
                             scale: float,
-                            tile_q: int = 128,
-                            tile_k: int = 128) -> jax.Array:
+                            tile_q: int = 256,
+                            tile_k: int = 512) -> jax.Array:
     B, T, Hq, D = q.shape
     Hkv = k.shape[2]
     G = Hq // Hkv
     tile_q = min(tile_q, T)
     tile_k = min(tile_k, T)
     assert T % tile_q == 0 and T % tile_k == 0
-    nq, nk = T // tile_q, T // tile_k
+    nq = T // tile_q
 
     # [B, T, Hkv, G, D] -> [B*Hkv, nq, G*TQ, D] grouped-query tiles: program (b*h, i)
     # sees G query rows per position stacked G-major so rows r%TQ share a position
@@ -94,27 +98,24 @@ def flash_prefill_attention(q: jax.Array,      # [B, T, Hq, D]
     vh = v.transpose(0, 2, 1, 3).reshape(B * Hkv, T, D)
 
     kernel = functools.partial(_flash_kernel, tile_q=tile_q, tile_k=tile_k,
-                               scale=scale, num_kv=nk)
+                               scale=scale)
     out = pl.pallas_call(
         kernel,
-        grid=(B * Hkv, nq, nk),
+        grid=(B * Hkv, nq),
         in_specs=[
-            pl.BlockSpec((1, 1, G * tile_q, D), lambda b, i, j: (b, i, 0, 0)),
-            pl.BlockSpec((1, tile_k, D), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, tile_k, D), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, 1, G * tile_q, D), lambda b, i: (b, i, 0, 0)),
+            # indexed by b only: Pallas revisiting keeps the plane in VMEM
+            # across this head's q tiles (one fetch per head, not per tile)
+            pl.BlockSpec((1, T, D), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, T, D), lambda b, i: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, G * tile_q, D), lambda b, i, j: (b, i, 0, 0)),
+        out_specs=pl.BlockSpec((1, 1, G * tile_q, D), lambda b, i: (b, i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B * Hkv, nq, G * tile_q, D), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((G * tile_q, D), jnp.float32),
-            pltpu.VMEM((G * tile_q, 128), jnp.float32),
-            pltpu.VMEM((G * tile_q, 128), jnp.float32),
-        ],
         # NB: 'parallel' grid semantics inside a lax.scan wedge this TPU stack
         # (device-side hang); 'arbitrary' is sequential-correct and costs nothing
         # on a single-core chip.
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('arbitrary', 'arbitrary', 'arbitrary')),
+            dimension_semantics=('arbitrary', 'arbitrary')),
     )(qg, kh, vh)
 
     # invert the grouped-tile layout back to [B, T, Hq, D]
