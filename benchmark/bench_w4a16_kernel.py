@@ -34,7 +34,11 @@ SHAPES = [
     (4096, 14336),   # gate/up (8B)
     (14336, 4096),   # down (8B)
 ]
-BATCHES = [1, 32, 64, 128]
+BATCHES = [int(b) for b in os.environ.get('BENCH_BATCHES',
+                                          '1,32,64,128').split(',')]
+if os.environ.get('BENCH_SHAPES'):
+    SHAPES = [tuple(int(v) for v in s.split('x'))
+              for s in os.environ['BENCH_SHAPES'].split(',')]
 R = int(os.environ.get('BENCH_R', '100'))
 
 

@@ -30,6 +30,8 @@ CTX = int(os.environ.get('CTX', '192'))
 BATCH = int(os.environ.get('BATCH', '64'))
 K = int(os.environ.get('K', '16'))
 REPS = int(os.environ.get('REPS', '5'))
+BLOCK = int(os.environ.get('BLOCK', '128'))
+QUANT = os.environ.get('QUANT', '')
 
 
 def build_agent():
@@ -42,10 +44,13 @@ def build_agent():
         hidden_size=2048, intermediate_size=5632, vocab_size=32000,
         head_dim=64, max_position_embeddings=2048, dtype='bfloat16',
         eos_token_id=[2])
+    if QUANT == 'w4a16':
+        model_cfg.quantization_config = {'quant_method': 'awq', 'bits': 4,
+                                         'group_size': 128}
     session = CTX + K * 4 + 128
     bundle = EngineConfigBundle(
         model=model_cfg,
-        cache=CacheConfig(block_size=128, num_gpu_blocks=0,
+        cache=CacheConfig(block_size=BLOCK, num_gpu_blocks=0,
                           cache_max_entry_count=0.7, max_prefill_token_num=4096),
         scheduler=SchedulerConfig(max_batch_size=BATCH, max_session_len=session,
                                   max_prefill_token_num=4096, max_prefill_batch=16),

@@ -97,6 +97,11 @@ class Engine:
         # in-flight decode run (LMDEPLOY_TPU_OVERLAP=0 restores k=1 clamping)
         self._overlap = _os.environ.get('LMDEPLOY_TPU_OVERLAP', '1') != '0'
         self._overlap_dispatches = 0   # lifetime counter (metrics/tests)
+        # pipelined decode runs: dispatch run N+1 before draining run N so the
+        # fetch RTT + host drain hide under device time (LMDEPLOY_TPU_PIPELINE=0
+        # restores drain-then-dispatch)
+        self._pipeline = _os.environ.get('LMDEPLOY_TPU_PIPELINE', '1') != '0'
+        self._pipelined_runs = 0       # lifetime counter (metrics/tests)
         self.dllm = None
         misc = self.configs.misc
         if getattr(misc, 'dllm_block_length', 0):
@@ -594,20 +599,30 @@ class Engine:
                     print(f'[trace] overlap prefill n={len(pout.prefill_chunks)} '
                           f'tok={sum(c.length for c in pout.prefill_chunks)}',
                           flush=True)
-        tokens = await loop.run_in_executor(self._executor, step.tokens_np)
-        logprobs = step.logprobs_np()
-        tops = step.top_np()               # ([k, B, L], [k, B, L]) or None
-        t1 = time.perf_counter()
-        for seq in survivors:
-            if seq.status != MessageStatus.RUNNING:
-                continue
-            slot = seq.batch_slot
-            seq_tops = None if tops is None else \
-                (tops[0][:, slot], tops[1][:, slot])
-            self._drain_decode_tokens(seq, tokens[:, slot], logprobs[:, slot],
-                                      seq_tops)
-        stopped_slots = [s.batch_slot for s in survivors
-                         if s.status == MessageStatus.STOPPED and s.batch_slot >= 0]
+
+        # -- pipelined decode runs: dispatch run N+1 BEFORE draining run N.
+        # Over the tunneled TPU a fetch costs a full ~27-50 ms RTT plus host
+        # drain time — at k=16/bs=64 that was ~35% of decode wall time spent
+        # with the device idle.  Dispatching the next run first keeps the
+        # device busy for its k steps while the host fetches + drains the
+        # previous results (jax async dispatch orders the donated state
+        # futures).  Stops discovered in run N's drain simply end the chain;
+        # run N+1's tokens for stopped rows are discarded by the budget-aware
+        # drain.  The chain never preempts, never swaps, and breaks for new
+        # arrivals so TTFT is unaffected.  Reference analog: the prefetch
+        # pipeline in lmdeploy/pytorch/engine/engine_loop.py.
+        while (self._pipeline and overlap is None
+               and not self.scheduler.has_waiting()
+               and self._can_pipeline_next(survivors, k)):
+            next_step = await loop.run_in_executor(
+                self._executor, agent.decode_run, num_rows, k, simple,
+                top_lp, kmax, fv)
+            self._pipelined_runs += 1
+            stopped = await self._drain_run(step, survivors, loop)
+            step = next_step
+            if stopped:
+                break
+        stopped_slots = await self._drain_run(step, survivors, loop)
         if stopped_slots:
             agent.deactivate_rows(stopped_slots)
         if overlap is not None:
@@ -616,8 +631,54 @@ class Engine:
         if trace:
             t2 = time.perf_counter()
             print(f'[trace] decode_run k={k} rows={num_rows} '
-                  f'dev={(t1-t0)*1000:.0f}ms drain={(t2-t1)*1000:.0f}ms',
+                  f'total={(t2-t0)*1000:.0f}ms pipelined={self._pipelined_runs}',
                   flush=True)
+
+    def _can_pipeline_next(self, survivors, k: int) -> bool:
+        """True when one more k-step run can dispatch before draining: every
+        row still RUNNING with ≥ 2k tokens of generation+session budget (the
+        undrained in-flight run consumes k of it), and blocks for k more
+        tokens per row are allocatable WITHOUT preemption or swap (the
+        in-flight run is writing to the current block set)."""
+        max_len = self.configs.scheduler.max_session_len
+        for s in survivors:
+            if s.status != MessageStatus.RUNNING:
+                return False
+            p = s.sampling_params
+            if p.max_new_tokens - s.num_output_tokens < 2 * k:
+                return False
+            if s.num_token_ids + 2 * k > max_len:
+                return False
+        bm = self.scheduler.block_manager
+        for s in survivors:
+            if not bm.allocate_for_seq(s, num_new_tokens=2 * k):
+                return False
+        changed = [s for s in survivors
+                   if getattr(s, '_synced_blocks', -1) != len(s.logical_blocks)]
+        if changed:
+            # queued on the donated state future: applies after the in-flight
+            # run completes, before the next one starts
+            self.model_agent.update_tables(changed)
+            for s in changed:
+                s._synced_blocks = len(s.logical_blocks)
+        return True
+
+    async def _drain_run(self, step, survivors, loop):
+        """Fetch one decode run's tokens and drain them into the requests.
+        Returns the batch slots of rows that stopped during this drain."""
+        tokens = await loop.run_in_executor(self._executor, step.tokens_np)
+        logprobs = step.logprobs_np()
+        tops = step.top_np()               # ([k, B, L], [k, B, L]) or None
+        for seq in survivors:
+            if seq.status != MessageStatus.RUNNING:
+                continue
+            slot = seq.batch_slot
+            seq_tops = None if tops is None else \
+                (tops[0][:, slot], tops[1][:, slot])
+            self._drain_decode_tokens(seq, tokens[:, slot], logprobs[:, slot],
+                                      seq_tops)
+        return [s.batch_slot for s in survivors
+                if s.status == MessageStatus.STOPPED and s.batch_slot >= 0]
 
     async def _decode_step_dllm(self, seqs, loop):
         """One block-denoising step for every running dllm sequence.

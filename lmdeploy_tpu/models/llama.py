@@ -514,8 +514,11 @@ class LlamaModel:
             return (h, kv_cache, layer + 1), ys
 
         xs = lp if lora is None else (lp, lora)
+        import os as _os
+        unroll = int(_os.environ.get('LMDEPLOY_TPU_SCAN_UNROLL', '1'))
         (hidden, kv_cache, _), layer_hs = jax.lax.scan(
-            layer_fn, (hidden, kv_cache, jnp.int32(0)), xs)
+            layer_fn, (hidden, kv_cache, jnp.int32(0)), xs,
+            unroll=min(unroll, cfg.num_layers) if unroll > 1 else 1)
         if return_aux_hidden:
             idx = np.clip(np.asarray(self.aux_hidden_layers, np.int32),
                           0, cfg.num_layers - 1)

@@ -369,6 +369,12 @@ def create_app(engine: AsyncEngine, model_name: str, api_key: Optional[str] = No
         else:
             req = CompletionRequest(**body)
             gen_config = _gen_config_from_completion(req)
+            if isinstance(req.prompt, list) and len(req.prompt) > 1:
+                # one prefill/decode pair serves one prompt; silently serving
+                # prompt[0] would drop the rest (the hybrid path serves all)
+                return error_response(
+                    'multi-prompt completions are not supported in distserve '
+                    'mode; send one prompt per request', 400)
             prompt = req.prompt if isinstance(req.prompt, str) else req.prompt[0]
             do_preprocess = False
         gen_config.max_new_tokens = 1
@@ -430,17 +436,28 @@ def create_app(engine: AsyncEngine, model_name: str, api_key: Optional[str] = No
 
         gen_config.validate()
         gen_config.convert_stop_bad_words_to_ids(engine.tokenizer)
+        # chat-template stop words (single-token ids) — the hybrid path merges
+        # them inside AsyncEngine.generate; PD decode must match or chats
+        # generate past turn boundaries
+        for w in engine.stop_words:
+            ids = engine.tokenizer.encode(w, add_bos=False,
+                                          add_special_tokens=False)
+            if len(ids) == 1:
+                st = gen_config.stop_token_ids or []
+                if ids[0] not in st:
+                    gen_config.stop_token_ids = st + [ids[0]]
         eos = list(engine.engine.model_config.eos_token_id)
         sp = SamplingParams.from_gen_config(gen_config, eos)
         sp.max_new_tokens = max(gen_config.max_new_tokens - len(first_ids), 0)
         local_sid = engine.next_session_id()
 
         model = getattr(req, 'model', None) or model_name
-        eos_set = set(eos)
+        stop_set = set(eos) | set(sp.stop_token_ids or ())
 
         async def deltas():
             """Yield (delta_text, n_out, finish_reason) across first token +
             decode-side continuation; incremental detok over output ids."""
+            from ..messages import ResponseType
             state = DetokenizeState()
             out_ids = list(first_ids)
             text, state = engine.tokenizer.detokenize_incrementally(
@@ -448,15 +465,14 @@ def create_app(engine: AsyncEngine, model_name: str, api_key: Optional[str] = No
                 skip_special_tokens=gen_config.skip_special_tokens)
             if sp.max_new_tokens == 0 or (not gen_config.ignore_eos
                                           and first_ids
-                                          and first_ids[-1] in eos_set):
+                                          and first_ids[-1] in stop_set):
                 engine.engine.end_session(local_sid)
-                reason = 'stop' if (first_ids and first_ids[-1] in eos_set) \
-                    else 'length'
+                reason = 'stop' if (first_ids and first_ids[-1] in stop_set
+                                    and not gen_config.ignore_eos) else 'length'
                 yield text, len(out_ids), reason
                 return
             disagg.import_session_kv(engine.engine, local_sid, payload, sp)
             queue = engine.engine.continue_session(local_sid)
-            from ..messages import ResponseType
             if text:
                 yield text, len(out_ids), None
             while True:
@@ -466,9 +482,16 @@ def create_app(engine: AsyncEngine, model_name: str, api_key: Optional[str] = No
                     cum, state,
                     skip_special_tokens=gen_config.skip_special_tokens)
                 if out.status != ResponseType.SUCCESS:
-                    reason = 'stop' if (cum and cum[-1] in eos_set
-                                        and not gen_config.ignore_eos) \
-                        else 'length'
+                    # mirror AsyncEngine.generate: the engine strips the
+                    # stop/EOS token before emitting, so length is judged by
+                    # the output budget, not by peeking at the last token
+                    if out.status == ResponseType.FINISH:
+                        reason = 'length' if len(out.token_ids) \
+                            >= sp.max_new_tokens else 'stop'
+                    elif out.status == ResponseType.CANCEL:
+                        reason = 'abort'
+                    else:
+                        reason = 'error'
                     engine.engine.end_session(local_sid)
                     yield new_text, len(cum), reason
                     return

@@ -79,14 +79,22 @@ class NodeManager:
     def pick(self, exclude: Optional[set] = None,
              role: Optional[str] = None) -> Optional[Node]:
         """Pick a node per the routing strategy.  ``role``: restrict to PD
-        role (reference: proxy.py:251 get_node_url(role)); a requested
-        prefill/decode role falls back to hybrid nodes when none match."""
+        role (reference: proxy.py:251 get_node_url(role)).  Only the decode
+        role may fall back to hybrid nodes: a hybrid engine releases a
+        stopped sequence's KV blocks in its step loop, so routing the
+        PREFILL leg to one races the follow-up /distserve/export against
+        block reuse (the reference's get_node_url never crosses PD roles
+        either); with no prefill node the caller serves the request as a
+        plain hybrid forward instead."""
         nodes = self.alive_nodes()
         if exclude:
             nodes = [n for n in nodes if n.url not in exclude]
         if role is not None:
             matched = [n for n in nodes if n.role == role]
-            nodes = matched or [n for n in nodes if n.role == 'hybrid']
+            if role == 'prefill':
+                nodes = matched
+            else:
+                nodes = matched or [n for n in nodes if n.role == 'hybrid']
         if not nodes:
             return None
         if self.strategy == 'random':
@@ -150,9 +158,28 @@ def create_proxy_app(manager: Optional[NodeManager] = None,
                 {'error': {'message': 'invalid JSON body'}}, status=400)
         p = manager.pick(role='prefill')
         if p is None:
-            return web.json_response(
-                {'error': {'message': 'no prefill nodes available'}}, status=503)
+            # no dedicated prefill node: serve as a plain hybrid forward
+            # (routing the prefill leg to a hybrid engine would race its
+            # step-loop KV release against /distserve/export)
+            return await hybrid_forward(request, body)
         timeout = aiohttp.ClientTimeout(total=600)
+
+        async def release_prefill_session(sid):
+            """Best-effort KV release on the prefill node after a decode-leg
+            failure — a prefill-role engine only frees a session's blocks on
+            export-with-release, so errors here would otherwise pin KV
+            forever and exhaust the node."""
+            try:
+                t5 = aiohttp.ClientTimeout(total=15)
+                async with aiohttp.ClientSession(timeout=t5) as session:
+                    async with session.get(
+                            f'{p.url}/distserve/export/{sid}',
+                            params={'release': '1'}) as resp:
+                        await resp.read()
+            except Exception:  # noqa: BLE001
+                logger.warning('PD: failed to release prefill session %s on %s',
+                               sid, p.url)
+
         p.inflight += 1
         p_start = time.time()
         try:
@@ -173,6 +200,7 @@ def create_proxy_app(manager: Optional[NodeManager] = None,
         if d is None:
             d = manager.pick(role='decode')
         if d is None:
+            await release_prefill_session(info['session_id'])
             return web.json_response(
                 {'error': {'message': 'no decode nodes available'}}, status=503)
         d.inflight += 1
@@ -202,8 +230,13 @@ def create_proxy_app(manager: Optional[NodeManager] = None,
                     d.observe(time.time() - d_start)
                     if resp.status != 200:
                         d.failures += 1
+                        await release_prefill_session(info['session_id'])
                     return web.Response(body=payload, status=resp.status,
                                         content_type=resp.content_type)
+        except Exception:  # noqa: BLE001
+            d.failures += 1
+            await release_prefill_session(info['session_id'])
+            raise
         finally:
             d.inflight -= 1
 
@@ -213,6 +246,9 @@ def create_proxy_app(manager: Optional[NodeManager] = None,
                 and request.path in ('/v1/chat/completions',
                                      '/v1/completions')):
             return await distserve_forward(request, body)
+        return await hybrid_forward(request, body)
+
+    async def hybrid_forward(request, body):
         tried = set()
         for _ in range(3):                       # retry on other nodes on failure
             node = manager.pick(exclude=tried)

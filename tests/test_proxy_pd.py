@@ -30,10 +30,14 @@ def test_node_role_pick():
     nm.add('http://h:1', role='hybrid')
     assert nm.pick(role='prefill').url == 'http://p:1'
     assert nm.pick(role='decode').url == 'http://d:1'
-    # a role with no matching node falls back to hybrid nodes
+    # only the DECODE role may fall back to hybrid nodes: a hybrid engine
+    # frees stopped sequences' KV in its step loop, so a prefill leg routed
+    # to one races /distserve/export against block reuse (the caller serves
+    # the request as a plain hybrid forward instead)
     nm2 = NodeManager('random', 'distserve')
     nm2.add('http://h:1', role='hybrid')
-    assert nm2.pick(role='prefill').url == 'http://h:1'
+    assert nm2.pick(role='prefill') is None
+    assert nm2.pick(role='decode').url == 'http://h:1'
 
 
 @pytest.mark.parametrize('stream', [False, True])
