@@ -47,8 +47,32 @@ def _host_driven(seq, spec=None) -> bool:
     """Rows needing a host-computed per-step logits mask (guided decoding PDA,
     bad-words) run via the single-step host path instead of device decode runs.
     With speculative decoding active, top-logprobs requests also go host-side
-    (the spec verify step does not capture top-k logprobs)."""
-    if seq.guided is not None or bool(seq.sampling_params.bad_token_ids):
+    (the spec verify step does not capture top-k logprobs).
+
+    Exception — speculative grammar acceptance: GREEDY guided rows ride the
+    normal k-step device decode runs UNMASKED; the drain validates the run's
+    tokens against the PDA, accepts the valid prefix, and one masked host step
+    recovers from the first rejection (``_guided_recover``).  Greedy masked
+    sampling picks the masked argmax, so whenever the global argmax is
+    grammar-legal the tokens are identical to per-step masking — and when it
+    isn't, the recovery step picks exactly the token the host path would.
+    Reference analog: logits_process.py applies the xgrammar bitmask in-step;
+    on TPU the per-step host round-trip costs a dispatch, so validation moves
+    to the drain instead."""
+    import os as _os
+    if seq.guided is not None:
+        if (spec is None and _is_simple_sampling(seq.sampling_params)
+                and not seq.sampling_params.bad_token_ids
+                and not getattr(seq, '_guided_recover', False)
+                # acceptance EMA: rows whose unmasked argmax rarely survives
+                # the PDA (run after run rejected at the first token) drop
+                # back to per-step masked host decoding — the device run
+                # would just burn k steps per accepted token
+                and getattr(seq, '_guided_ema', 1e9) >= 2.0
+                and _os.environ.get('LMDEPLOY_TPU_GUIDED_SPEC', '1') != '0'):
+            return False
+        return True
+    if bool(seq.sampling_params.bad_token_ids):
         return True
     return spec is not None and seq.sampling_params.logprobs > 0
 
@@ -611,7 +635,8 @@ class Engine:
         # drain.  The chain never preempts, never swaps, and breaks for new
         # arrivals so TTFT is unaffected.  Reference analog: the prefetch
         # pipeline in lmdeploy/pytorch/engine/engine_loop.py.
-        while (self._pipeline and overlap is None
+        has_guided = any(s.guided is not None for s in survivors)
+        while (self._pipeline and overlap is None and not has_guided
                and not self.scheduler.has_waiting()
                and self._can_pipeline_next(survivors, k)):
             next_step = await loop.run_in_executor(
@@ -623,8 +648,15 @@ class Engine:
             if stopped:
                 break
         stopped_slots = await self._drain_run(step, survivors, loop)
-        if stopped_slots:
-            agent.deactivate_rows(stopped_slots)
+        # rows awaiting guided recovery leave the device-resident run until the
+        # masked host step re-inserts them (their device position is stale past
+        # the rejection point)
+        recover_slots = [
+            s.batch_slot for s in survivors
+            if getattr(s, '_guided_recover', False) and s.batch_slot >= 0
+            and s.status == MessageStatus.RUNNING]
+        if stopped_slots or recover_slots:
+            agent.deactivate_rows(stopped_slots + recover_slots)
         if overlap is not None:
             chunks, pstep = overlap
             await self._handle_prefill_results(chunks, pstep, loop)
@@ -888,6 +920,18 @@ class Engine:
                 seq.guided.accept_token(tok)
             self._post_token(seq, float(logprobs[i]),
                              top_logprobs=_row_top(top, i, seq))
+        # guided rows recovered by this masked step rejoin the device decode
+        # runs: clear the flag and re-insert their (stale) device rows
+        recovered = [s for s in seqs if getattr(s, '_guided_recover', False)]
+        for s in recovered:
+            s._guided_recover = False
+        back = [s for s in recovered
+                if s.status == MessageStatus.RUNNING
+                and not _host_driven(s, self.spec)]
+        if back:
+            self.model_agent.insert_decode_rows(back)
+            for s in back:
+                s._synced_blocks = len(s.logical_blocks)
 
     # -- token post-processing ----------------------------------------------------------
     def _drain_decode_tokens(self, seq: SchedulerSequence, toks, lps,
@@ -904,13 +948,38 @@ class Engine:
         p = seq.sampling_params
         req = self._requests.get(seq.seq_id)
         n_out = len(seq.output_ids)
+        guide = seq.guided
+        if guide is not None:
+            # speculative grammar acceptance: accept the longest PDA-legal
+            # prefix of this run's tokens; a rejection flags the row for one
+            # masked host recovery step (see _host_driven)
+            eos_ids = set(getattr(guide, 'eos_token_ids', ()) or ())
+            n_ok = 0
+            for t in toks:
+                ti = int(t)
+                if ti in eos_ids:
+                    ok = bool(guide.allowed_mask()[ti]) and \
+                        guide.accept_token(ti)
+                else:
+                    ok = guide.accept_token(ti)
+                if not ok:
+                    seq._guided_recover = True
+                    break
+                n_ok += 1
+            seq._guided_ema = 0.5 * getattr(seq, '_guided_ema',
+                                            float(len(toks))) + 0.5 * n_ok
+            if n_ok < len(toks):
+                toks = toks[:n_ok]
+                lps = lps[:n_ok]
+                if tops is not None:
+                    tops = (tops[0][:n_ok], tops[1][:n_ok])
         k = len(toks)
         # request budget + session-length caps
         take = min(k, p.max_new_tokens - n_out,
                    self.configs.scheduler.max_session_len - seq.num_token_ids)
         take = max(int(take), 0)
         finish_reason = None
-        if p.stop_token_ids:
+        if take and p.stop_token_ids:
             stop_mask = np.isin(toks[:take], list(p.stop_token_ids))
             min_pos = max(max(p.min_new_tokens, 1) - n_out - 1, 0)
             stop_mask[:min_pos] = False
@@ -919,7 +988,7 @@ class Engine:
                 take = int(hits[0]) + 1
                 finish_reason = 'stop'
         if finish_reason is None and (
-                take < k or n_out + take >= p.max_new_tokens
+                n_out + take >= p.max_new_tokens
                 or seq.num_token_ids + take
                 >= self.configs.scheduler.max_session_len):
             finish_reason = 'length'
