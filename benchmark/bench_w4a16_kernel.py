@@ -93,7 +93,8 @@ def main():
         w = jnp.asarray(rng.randn(K, N).astype(np.float32) * 0.02, jnp.bfloat16)
         packed, scales, zeros = quantize_w4(w)
         wd = jax.device_put(w)
-        gib_w4 = (packed.size + scales.size * 4 + zeros.size * 4) / 2**30
+        gib_w4 = (packed.size * packed.dtype.itemsize
+                  + scales.size * 4 + zeros.size * 4) / 2**30
         gib_bf16 = K * N * 2 / 2**30
         dense = lambda a, ww: jnp.dot(  # noqa: E731
             a, ww, preferred_element_type=jnp.float32).astype(a.dtype)

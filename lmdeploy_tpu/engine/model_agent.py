@@ -104,6 +104,19 @@ class ModelAgent:
             from ..weight_loader import load_model_params
             self.params = load_model_params(self.model, model_path, shardings, mesh)
 
+        # single-chip serving: fuse qkv / gate-up into fat GEMMs (fewer, wider
+        # kernel launches; the N=kv_out projections are too skinny to reach
+        # weight-stream bandwidth alone).  Kept unfused on a mesh (q and kv
+        # shard with different head counts) and undone on-demand for S-LoRA /
+        # in-place weight updates, which address leaves by name.
+        self._proj_fused = False
+        if (mesh is None and os.environ.get('LMDEPLOY_TPU_FUSE_PROJ', '1') != '0'
+                and hasattr(self.model, 'fuse_projections')):
+            fused = self.model.fuse_projections(self.params)
+            self._proj_fused = any(
+                k in fused.get('layers', {}) for k in ('wqkv', 'w_gateup'))
+            self.params = fused
+
         # -- rope tables --------------------------------------------------------------
         cos, sin = make_rope_table(cfg.rope_dim, self.max_model_len,
                                    cfg.rope_theta, cfg.rope_scaling)
@@ -459,6 +472,13 @@ class ModelAgent:
             max_top_logprobs=s.max_top_logprobs)
 
     # -- public API --------------------------------------------------------------------
+    def host_params(self):
+        """Params with per-projection leaf names restored (introspection /
+        golden references); the resident tree may be projection-fused."""
+        if getattr(self, '_proj_fused', False):
+            return self.model.unfuse_projections(self.params)
+        return self.params
+
     def enable_slora(self, adapters: Dict[str, str]):
         """Load PEFT adapters into S-LoRA slot stacks (reference: adapter/).
 
@@ -469,6 +489,10 @@ class ModelAgent:
         """
         import jax
         from ..lora import build_slora_stacks
+        if getattr(self, '_proj_fused', False):
+            # S-LoRA applies low-rank deltas per projection name
+            self.params = self.model.unfuse_projections(self.params)
+            self._proj_fused = False
         stacks, slot_map = build_slora_stacks(self.model, adapters)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -965,6 +989,13 @@ class ModelAgent:
         """
         import jax
         import jax.numpy as jnp
+        if getattr(self, '_proj_fused', False):
+            # the assign plan addresses per-projection leaves by name; restore
+            # them, apply, and let the next engine (re)build re-fuse.  The
+            # step executables' input structure changes, so drop them.
+            self.params = self.model.unfuse_projections(self.params)
+            self._proj_fused = False
+            self._step_fns.clear()
         plan = self.model.make_assign_plan()
 
         def put_leaf(arr, value):

@@ -64,12 +64,20 @@ def unpack_gptq_qzeros(qz: np.ndarray) -> np.ndarray:
 
 
 def to_kernel_packed(q: np.ndarray) -> np.ndarray:
-    """u8[K, N] int4 values -> kernel layout u8[K/2, N] ("half-split": low
-    nibble = row r, high nibble = row K/2 + r; see ops/pallas/quant_matmul.py)."""
-    K = q.shape[0]
-    lo = q[:K // 2]
-    hi = q[K // 2:]
-    return (lo | (hi << 4)).astype(np.uint8)
+    """u8[K, N] int4 values -> kernel layout i32[K/8, N] ("plane-packed":
+    plane j covers rows [j*K/4, (j+1)*K/4); word r holds plane row 2r at bits
+    [4j, 4j+4) and plane row 2r+1 at bits [16+4j, 16+4j+4); see
+    ops/pallas/quant_matmul.py for the bitcast decode this layout enables)."""
+    q = np.asarray(q, np.uint32)
+    K, N = q.shape
+    assert K % 8 == 0, K
+    Kq = K // 4
+    out = np.zeros((K // 8, N), np.uint32)
+    for j in range(4):
+        pj = q[j * Kq:(j + 1) * Kq]
+        out |= pj[0::2] << (4 * j)
+        out |= pj[1::2] << (16 + 4 * j)
+    return out.view(np.int32)
 
 
 def awq_qweight_to_kernel(qw: np.ndarray) -> np.ndarray:

@@ -89,6 +89,12 @@ class LoraManager:
         import jax
         import jax.numpy as jnp
 
+        if getattr(self.agent, '_proj_fused', False):
+            # merge addresses per-projection leaves by name
+            self.agent.params = self.agent.model.unfuse_projections(
+                self.agent.params)
+            self.agent._proj_fused = False
+            self.agent._step_fns.clear()
         params = self.agent.params
 
         @jax.jit

@@ -116,7 +116,7 @@ class LlamaModel:
         import jax
         if self.quant_method == 'w4a16':
             gs = self.group_size
-            return {'packed': jax.ShapeDtypeStruct((L, K // 2, N), jnp.uint8),
+            return {'packed': jax.ShapeDtypeStruct((L, K // 8, N), jnp.int32),
                     'scales': jax.ShapeDtypeStruct((L, K // gs, N), jnp.float32),
                     'zeros': jax.ShapeDtypeStruct((L, K // gs, N), jnp.float32)}
         if self.quant_method == 'w8a8':
@@ -181,12 +181,20 @@ class LlamaModel:
         def make(path, shape):
             name = path[-1]
             if isinstance(shape, _jax.ShapeDtypeStruct):
-                if rng is None or shape.dtype in (jnp.uint8, jnp.int8):
+                if rng is None or shape.dtype in (jnp.uint8, jnp.int8,
+                                                  jnp.int32):
                     base = jnp.zeros(shape.shape, shape.dtype)
                     if rng is not None and shape.dtype == jnp.uint8:
                         key = _jax.random.fold_in(rng, len(name))
                         base = _jax.random.randint(key, shape.shape, 0, 255,
                                                    jnp.int32).astype(jnp.uint8)
+                    elif rng is not None and shape.dtype == jnp.int32:
+                        # plane-packed W4 words: any bit pattern is a valid
+                        # nibble set (benchmarks stream realistic bytes)
+                        key = _jax.random.fold_in(rng, len(name))
+                        base = _jax.random.randint(
+                            key, shape.shape, jnp.iinfo(jnp.int32).min,
+                            jnp.iinfo(jnp.int32).max, jnp.int32)
                     return base
                 return jnp.full(shape.shape, 0.01, shape.dtype)   # scales/zeros
             if rng is None:
@@ -349,10 +357,91 @@ class LlamaModel:
         # silu runs per-element in f32 but the [*, I] intermediates stay in
         # x.dtype: materializing two f32 [B, T, I] activation buffers per layer
         # was ~0.5 ms/layer of pure HBM traffic at [2, 2048] prefill
+        if 'w_gateup' in w:
+            I = self.config.intermediate_size
+            gu = proj(x, w['w_gateup'])
+            act = jax.nn.silu(gu[..., :I].astype(jnp.float32)).astype(x.dtype)
+            act = act * gu[..., I:]
+            return proj(act, w['w_down'])
         act = jax.nn.silu(proj(x, w['w_gate']).astype(jnp.float32)
                           ).astype(x.dtype)
         act = act * proj(x, w['w_up'])
         return proj(act, w['w_down'])
+
+    # -- load-time projection fusion ---------------------------------------------------
+    def fuse_projections(self, params):
+        """Concatenate wq/wk/wv -> wqkv and w_gate/w_up -> w_gateup along the
+        output dim (single-chip, no-LoRA serving).  Works for dense leaves and
+        for quant leaf dicts (packed/scales/zeros, w8/scale, ...) because every
+        quant layout packs along K and keeps N as the trailing axis.  Reference
+        analog: turbomind fuses qkv/gate-up at weight-conversion time
+        (src/turbomind/models/llama/LlamaDenseWeight.h).  The inverse
+        (``unfuse_projections``) restores per-name leaves for S-LoRA and
+        in-place weight updates."""
+        # only the stock LlamaModel.forward knows the fused names; models with
+        # their own attention stacks (MLA, hybrid linear-attention, ...) keep
+        # per-name leaves
+        if type(self).forward is not LlamaModel.forward \
+                or 'layers' not in params:
+            return params
+        lp = dict(params['layers'])
+
+        def cat(names):
+            leaves = [lp.get(n) for n in names]
+            if any(v is None for v in leaves):
+                return None
+            if all(isinstance(v, dict) for v in leaves):
+                keys = set(leaves[0])
+                if any(set(v) != keys for v in leaves):
+                    return None
+                if 'bscale' in keys:
+                    # blocked-fp8 scale grids don't concat/slice cleanly when
+                    # N is not a multiple of the block — leave unfused
+                    return None
+                return {k: jnp.concatenate([v[k] for v in leaves], axis=-1)
+                        for k in keys}
+            if all(not isinstance(v, dict) for v in leaves):
+                return jnp.concatenate(leaves, axis=-1)
+            return None
+
+        qkv = cat(['wq', 'wk', 'wv'])
+        if qkv is not None:
+            lp['wqkv'] = qkv
+            for n in ('wq', 'wk', 'wv'):
+                del lp[n]
+            if 'bq' in lp:
+                lp['bqkv'] = jnp.concatenate(
+                    [lp.pop('bq'), lp.pop('bk'), lp.pop('bv')], axis=-1)
+        if type(self)._mlp is LlamaModel._mlp:
+            gu = cat(['w_gate', 'w_up'])
+            if gu is not None:
+                lp['w_gateup'] = gu
+                del lp['w_gate'], lp['w_up']
+        return dict(params, layers=lp)
+
+    def unfuse_projections(self, params):
+        """Inverse of fuse_projections (slices the concatenated leaves)."""
+        if not isinstance(params, dict) or 'layers' not in params:
+            return params                    # offloaded (sleep level 2) / custom tree
+        lp = dict(params['layers'])
+
+        def split(v, bounds):
+            if isinstance(v, dict):
+                return [{k: a[..., lo:hi] for k, a in v.items()}
+                        for lo, hi in bounds]
+            return [v[..., lo:hi] for lo, hi in bounds]
+
+        if 'wqkv' in lp:
+            qo, ko = self.q_out, self.kv_out
+            bounds = [(0, qo), (qo, qo + ko), (qo + ko, qo + 2 * ko)]
+            lp['wq'], lp['wk'], lp['wv'] = split(lp.pop('wqkv'), bounds)
+            if 'bqkv' in lp:
+                lp['bq'], lp['bk'], lp['bv'] = split(lp.pop('bqkv'), bounds)
+        if 'w_gateup' in lp:
+            I = self.config.intermediate_size
+            lp['w_gate'], lp['w_up'] = split(lp.pop('w_gateup'),
+                                             [(0, I), (I, 2 * I)])
+        return dict(params, layers=lp)
 
     def _norm(self, x: jax.Array, weight: jax.Array,
               bias: Optional[jax.Array], eps: float) -> jax.Array:
@@ -457,9 +546,18 @@ class LlamaModel:
             h, kv_cache, layer = carry
             x = self._norm(h, w['attn_norm'], w.get('attn_norm_b'),
                            cfg.rms_norm_eps)
-            q = lin(x, w, lw, 'wq', w.get('bq') if has_bias else None)
-            k = lin(x, w, lw, 'wk', w.get('bk') if has_bias else None)
-            v = lin(x, w, lw, 'wv', w.get('bv') if has_bias else None)
+            if 'wqkv' in w:
+                # load-time fused qkv (single-chip, no LoRA): one fat GEMM
+                # instead of three skinny ones — the N=kv_out projections are
+                # too narrow to reach kernel bandwidth on their own
+                qkv = proj(x, w['wqkv'], w.get('bqkv'))
+                q = qkv[..., :self.q_out]
+                k = qkv[..., self.q_out:self.q_out + self.kv_out]
+                v = qkv[..., self.q_out + self.kv_out:]
+            else:
+                q = lin(x, w, lw, 'wq', w.get('bq') if has_bias else None)
+                k = lin(x, w, lw, 'wk', w.get('bk') if has_bias else None)
+                v = lin(x, w, lw, 'wv', w.get('bv') if has_bias else None)
             q = q.reshape(B, T, cfg.num_attention_heads, D)
             k = k.reshape(B, T, cfg.num_key_value_heads, D)
             v = v.reshape(B, T, cfg.num_key_value_heads, D)

@@ -3,37 +3,45 @@
 Reference analog: the CUDA W4A16 fused dequant-GEMM in ``src/turbomind/kernels/gemm/``
 (gemm_universal, convert kernels) and ``lmdeploy/pytorch/kernels/cuda/awq_kernels.py``.
 
-TPU design (round-2; measured on v5e with slope-timed chains, see
-``benchmark/bench_w4a16_kernel.py``):
-  * Storage layout is OURS, not AWQ's ("half-split" packing): byte (r, n) of
-    ``packed u8[K/2, N]`` holds the weight for input row ``r`` in its low
-    nibble and input row ``K/2 + r`` in its high nibble.  Unlike the usual
-    even/odd interleave this makes the two activation halves *contiguous*
-    slices (``x[:, :K/2]`` / ``x[:, K/2:]``) — no strided re-gather per call —
-    and keeps quant-group boundaries aligned in packed-row space.
-  * Decode GEMMs are weight-bandwidth-bound: reading 4 bits/weight instead of
-    16 is the entire win (reference reports 2.4x, w4a16.md:119).  Measured
-    here: 1.5-2.1x vs dense bf16 at M<=128 and 5-18x vs dequant+dense, which
-    round-trips a full bf16 weight through HBM and is never worth it on TPU.
-  * Unpack is 4 VPU ops/byte (zero-extend to i32, mask, shift, 2 converts;
-    u8/u4 -> bf16 casts are not legalized by Mosaic, so i32 widening is the
-    only path).  That puts the kernel at ~350-400 GB/s of effective packed
-    bandwidth — VPU-bound, not DMA-bound, but still well past dense.
-  * Two compute modes by token count M (chosen statically per jit bucket):
-    - M <= GROUP_DOT_MAX_M ("group-dot", decode): scales hit the *dot output*
-      per quant group (8 small-k dots per tile), so per-weight VPU work is
-      just the unpack.  Scale cost is O(M*N*G) on the f32 accumulator —
-      negligible at decode M, dominant at prefill M.
-    - M > GROUP_DOT_MAX_M ("pre-scale", prefill): the unpacked tile is
-      multiplied by its per-group scale (one op per weight, O(K*N))
-      and fed to ONE dot per (m,n,k) tile — the MXU-bound regime at the
-      same HBM traffic as decode.  Measured 0.67-0.75x dense bf16 at
-      B=512-2048 (the dequant VPU work doesn't fully pipeline behind the
-      MXU) but 2.8x the dequant+dense fallback; prefill compute is a
-      small share of mixed serving, and W4's capacity win is the point.
-  * Zero points never enter the kernel: (q - z)*s = q*s - z*s, and the
-    ``x @ (z*s)`` correction collapses to per-group activation sums times a
-    precomputed [G, N] table — a tiny XLA GEMM fused outside.
+TPU design (round-4 rewrite; measured on the v6e-class chip behind the tunnel):
+
+  * Storage layout is OURS ("plane-packed i32"): word ``r`` of
+    ``packed i32[K/8, N]`` holds 8 nibbles; plane ``j`` (j=0..3) covers input
+    rows ``[j*K/4, (j+1)*K/4)`` and its pair of nibbles sits at bits
+    ``[4j, 4j+4)`` (even plane row ``2r``) and ``[16+4j, 16+4j+4)`` (odd plane
+    row ``2r+1``).  Three i32 VPU ops then decode a whole plane:
+
+        v = ((p >> 4j) & 0x000F000F) | 0x43004300
+        plane = bitcast(v, bf16)            # = 128 + q, rows (2r, 2r+1)
+
+    The bitcast halves-to-sublanes interleave is exactly the (even, odd) pair,
+    so the decoded plane is a contiguous [K/4, N] bf16 tile with NO layout
+    shuffles, NO u8->i32 widening, and NO int->float converts.  0x4300 pins the
+    bf16 exponent at 2^7 (ulp = 1), making 128+q exact; the +128 bias folds
+    into the zero-point correction below.  The round-2 u8 "half-split" kernel
+    spent ~4 VPU ops/byte plus widening shuffles on the same job and capped at
+    ~200-400 GB/s of packed bandwidth in-engine — the entire W4A16 e2e
+    regression of BENCH_r03 (w4a16_vs_bf16 = 0.823).
+
+  * Decode GEMMs (M <= GROUP_DOT_MAX_M) run the "group-dot" schedule: scales
+    hit the f32 *dot output* per quant group, so per-weight VPU work is just
+    the 3-op decode.
+
+  * Prefill GEMMs (M > GROUP_DOT_MAX_M) dequantize through XLA (same
+    arithmetic, fused elementwise) and run ONE dense bf16 MXU matmul.  The
+    extra HBM round-trip of the bf16 weight amortizes over the whole chunk;
+    at M >= 1024 the matmul is MXU-bound and runs at dense speed — the old
+    in-kernel "pre-scale" schedule measured 0.67-0.75x dense and dragged the
+    mixed-serving W4A16 number below bf16.
+
+  * Zero points never enter the kernel: (q - z)*s = (q + 128)*s - (z + 128)*s,
+    and the ``x @ ((z+128)*s)`` correction collapses to per-group activation
+    sums times a precomputed [G, N] table — a tiny XLA GEMM outside.  The
+    correction dot MUST run at Precision.HIGHEST: its magnitude is ~17x the
+    signal (the +128 bias), so default-precision bf16 operand rounding there
+    injects ~10% relative error into the difference.  Likewise the kernel
+    emits f32 and the bf16 cast happens only after the correction is
+    subtracted.
 """
 from __future__ import annotations
 
@@ -41,27 +49,31 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# token count at/below which the per-group-dot schedule beats pre-scale
-# (measured crossover on v5e: group-dot wins to ~256, pre-scale from ~512)
+# token count at/below which the group-dot kernel beats dequant+dense
+# (the dense path streams 4x the weight bytes + a full bf16 round-trip;
+# measured crossover is far above this, but beyond ~256 tokens the GEMM
+# turns MXU-bound and the dense path wins on pure matmul throughput)
 GROUP_DOT_MAX_M = 256
 
-
-def _unpack_tile(packed, dtype=jnp.bfloat16):
-    """u8 [bk2, bn] -> (lo, hi) nibble planes.  Mosaic legalizes neither
-    u8 float casts nor u8 shrui: widen to i32 (zero-extend) first."""
-    p32 = packed.astype(jnp.int32)
-    q_lo = (p32 & 0xF).astype(dtype)
-    q_hi = (p32 >> 4).astype(dtype)          # no mask needed after zext
-    return q_lo, q_hi
+_MAGIC = 0x43004300          # bf16 pair (128.0, 128.0): exponent 2^7, ulp 1
 
 
-def _w4a16_kernel_groupdot(x_lo_ref, x_hi_ref, packed_ref, s_lo_ref, s_hi_ref,
-                           out_ref, acc_ref, w_ref, *, groups_per_tile: int,
-                           group_rows: int, out_dtype):
-    """One (m, n, k) grid step: acc += sum_half sum_group (x_g @ q_g) * s_g."""
+def _decode_plane(p: jax.Array, j: int) -> jax.Array:
+    """i32 word tile [W, bn] -> bf16 plane tile [2W, bn] holding 128 + q."""
+    t = p >> (4 * j) if j else p
+    v = (t & 0x000F000F) | _MAGIC
+    return pltpu.bitcast(v, jnp.bfloat16)
+
+
+def _w4a16_kernel_groupdot(x0, x1, x2, x3, p_ref, s0, s1, s2, s3,
+                           out_ref, acc_ref, *, groups_per_tile: int,
+                           group_rows: int):
+    """One (m, n, k) grid step: acc += sum_plane sum_group (x_g @ d_g) * s_g
+    with d = 128 + q decoded arithmetically (see module docstring)."""
     k_idx = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -69,78 +81,70 @@ def _w4a16_kernel_groupdot(x_lo_ref, x_hi_ref, packed_ref, s_lo_ref, s_hi_ref,
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    q_lo, q_hi = _unpack_tile(packed_ref[...])
-    g_base = k_idx * groups_per_tile
+    p = p_ref[...]
     acc = acc_ref[...]
-    for q, x_ref, s_ref in ((q_lo, x_lo_ref, s_lo_ref),
-                            (q_hi, x_hi_ref, s_hi_ref)):
+    g_base = k_idx * groups_per_tile
+    for j, (x_ref, s_ref) in enumerate(((x0, s0), (x1, s1), (x2, s2), (x3, s3))):
+        plane = _decode_plane(p, j)
         for g in range(groups_per_tile):
             r0 = g * group_rows
             part = jnp.dot(x_ref[:, r0:r0 + group_rows],
-                           q[r0:r0 + group_rows],
+                           plane[r0:r0 + group_rows],
                            preferred_element_type=jnp.float32)
             acc = acc + part * s_ref[pl.ds(g_base + g, 1), :]
     acc_ref[...] = acc
 
     @pl.when(k_idx == nk - 1)
     def _():
-        out_ref[...] = acc_ref[...].astype(out_dtype)
+        out_ref[...] = acc_ref[...]           # f32; bias removed by the caller
 
 
-def _w4a16_kernel_prescale(x_lo_ref, x_hi_ref, packed_ref, s_lo_ref, s_hi_ref,
-                           out_ref, acc_ref, w_ref, *, groups_per_tile: int,
-                           group_rows: int, out_dtype):
-    """One (m, n, k) grid step, MXU regime: scale the unpacked tile per
-    group (1 op/weight) into a bf16 scratch, then a single wide dot per
-    half.  Group rows are scaled slice-by-slice ([1, bn] broadcast over
-    [group_rows, bn]) — sublane-expanding broadcasts don't lower in Mosaic."""
-    k_idx = pl.program_id(2)
-    nk = pl.num_programs(2)
-
-    @pl.when(k_idx == 0)
-    def _():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    # f32 planes: the scale multiply must happen in f32 with a single final
-    # rounding to bf16, or the kernel's effective scale diverges from the f32
-    # zero-point correction applied outside (bf16(s) vs s skew ~0.4% * z)
-    q_lo, q_hi = _unpack_tile(packed_ref[...], jnp.float32)
-    g_base = k_idx * groups_per_tile
-    acc = acc_ref[...]
-    for q, x_ref, s_ref in ((q_lo, x_lo_ref, s_lo_ref),
-                            (q_hi, x_hi_ref, s_hi_ref)):
-        for g in range(groups_per_tile):
-            r0 = g * group_rows
-            s_row = s_ref[pl.ds(g_base + g, 1), :]             # [1, bn] f32
-            w_ref[r0:r0 + group_rows, :] = (
-                q[r0:r0 + group_rows] * s_row).astype(jnp.bfloat16)
-        acc = acc + jnp.dot(x_ref[...], w_ref[...],
-                            preferred_element_type=jnp.float32)
-    acc_ref[...] = acc
-
-    @pl.when(k_idx == nk - 1)
-    def _():
-        out_ref[...] = acc_ref[...].astype(out_dtype)
+def dequant_w4(packed: jax.Array, scales: jax.Array, zeros: jax.Array,
+               group_size: int = 128, dtype=jnp.bfloat16) -> jax.Array:
+    """Plane-packed i32[K/8, N] -> dense [K, N] dequantized weight (XLA ops,
+    CPU-safe).  Used by the prefill path and as the correctness reference."""
+    K8, N = packed.shape
+    K = K8 * 8
+    planes = []
+    for j in range(4):
+        even = (packed >> (4 * j)) & 0xF                  # plane row 2r
+        odd = (packed >> (16 + 4 * j)) & 0xF              # plane row 2r+1
+        pair = jnp.stack([even, odd], axis=1)             # [K/8, 2, N]
+        planes.append(pair.reshape(K8 * 2, N))
+    q = jnp.concatenate(planes, axis=0).astype(jnp.float32)   # [K, N]
+    s = jnp.repeat(scales.astype(jnp.float32), group_size, axis=0)
+    z = jnp.repeat(zeros.astype(jnp.float32), group_size, axis=0)
+    return ((q - z) * s).astype(dtype)
 
 
 @functools.partial(jax.jit, static_argnames=('group_size', 'block_m',
-                                             'block_n', 'block_k2'))
+                                             'block_n', 'block_k'))
 def w4a16_matmul(x: jax.Array,            # [B, K] bf16/f32
-                 packed: jax.Array,       # [K/2, N] u8 (half-split packing)
+                 packed: jax.Array,       # [K/8, N] i32 (plane-packed)
                  scales: jax.Array,       # [K/gs, N] f32
                  zeros: jax.Array,        # [K/gs, N] f32
                  group_size: int = 128,
                  block_m: int = 256,
-                 block_n: int = 512,
-                 block_k2: int = 512) -> jax.Array:
+                 block_n: int = 1024,
+                 block_k: int = 2048) -> jax.Array:
     B, K = x.shape
-    K2, N = packed.shape
-    assert K2 * 2 == K, (K2, K)
+    K8, N = packed.shape
+    assert K8 * 8 == K, (K8, K)
     G = K // group_size
     assert scales.shape == (G, N) and zeros.shape == (G, N)
-    assert K2 % group_size == 0, 'need group_size | K/2 for half-split packing'
 
-    # pad tokens up to a whole m-tile (jit buckets make B mostly aligned)
+    s = scales.astype(jnp.float32)
+    if B > GROUP_DOT_MAX_M or K % (4 * group_size):
+        # prefill regime (or a K that breaks the 4-plane group alignment):
+        # dequant through XLA, one dense MXU matmul
+        w = dequant_w4(packed, s, zeros, group_size)
+        y = jnp.dot(x.astype(jnp.bfloat16), w,
+                    preferred_element_type=jnp.float32)
+        return y.astype(x.dtype)
+
+    Kq = K // 4                              # rows per plane
+    Gq = G // 4                              # groups per plane
+
     block_m = min(block_m, _round_up(B, 8))
     Bp = _round_up(B, block_m)
     if Bp != B:
@@ -148,47 +152,46 @@ def w4a16_matmul(x: jax.Array,            # [B, K] bf16/f32
     block_n = min(block_n, N)
     while N % block_n:
         block_n //= 2
-    block_k2 = min(block_k2, K2)
-    while K2 % block_k2 or block_k2 % group_size:
-        block_k2 //= 2
-    assert block_k2 >= group_size, (block_k2, group_size)
-    groups_per_tile = block_k2 // group_size
+    # plane rows per k-step: the largest multiple-of-group_size divisor of Kq
+    # that fits the cap (divisor, not power-of-two, so K = 11*512-style dims
+    # keep a coarse k-grid instead of collapsing to one group per step)
+    ng = Kq // group_size
+    per = max(d for d in range(1, ng + 1)
+              if ng % d == 0 and d * group_size <= max(block_k, group_size))
+    bk = per * group_size
 
     xb = x.astype(jnp.bfloat16)
-    x_lo = xb[:, :K2]
-    x_hi = xb[:, K2:]
-    s = scales.astype(jnp.float32)
-    s_lo, s_hi = s[:G // 2], s[G // 2:]
+    xs = [xb[:, j * Kq:(j + 1) * Kq] for j in range(4)]
+    ss = [s[j * Gq:(j + 1) * Gq] for j in range(4)]
 
-    body = (_w4a16_kernel_groupdot if B <= GROUP_DOT_MAX_M
-            else _w4a16_kernel_prescale)
-    grid = (Bp // block_m, N // block_n, K2 // block_k2)
-    kernel = functools.partial(
-        body, groups_per_tile=groups_per_tile,
-        group_rows=group_size, out_dtype=x.dtype)
+    grid = (Bp // block_m, N // block_n, Kq // bk)
+    kernel = functools.partial(_w4a16_kernel_groupdot,
+                               groups_per_tile=per, group_rows=group_size)
     y = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_m, block_k2), lambda m, n, k: (m, k)),
-            pl.BlockSpec((block_m, block_k2), lambda m, n, k: (m, k)),
-            pl.BlockSpec((block_k2, block_n), lambda m, n, k: (k, n)),
-            pl.BlockSpec((G // 2, block_n), lambda m, n, k: (0, n)),
-            pl.BlockSpec((G // 2, block_n), lambda m, n, k: (0, n)),
-        ],
+        in_specs=[pl.BlockSpec((block_m, bk), lambda m, n, k: (m, k))] * 4 +
+                 [pl.BlockSpec((bk // 2, block_n), lambda m, n, k: (k, n))] +
+                 [pl.BlockSpec((Gq, block_n), lambda m, n, k: (0, n))] * 4,
         out_specs=pl.BlockSpec((block_m, block_n), lambda m, n, k: (m, n)),
-        out_shape=jax.ShapeDtypeStruct((Bp, N), x.dtype),
-        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32),
-                        pltpu.VMEM((block_k2, block_n), jnp.bfloat16)],
+        out_shape=jax.ShapeDtypeStruct((Bp, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel', 'parallel', 'arbitrary')),
-    )(x_lo, x_hi, packed, s_lo, s_hi)
+    )(*xs, packed, *ss)
     y = y[:B]
 
-    # zero-point correction: x @ (z*s) = (per-group x sums) @ (z*s)
-    xg = x[:B].astype(jnp.float32).reshape(B, G, group_size).sum(-1)  # [B, G]
-    corr = jnp.dot(xg, (zeros * s), preferred_element_type=jnp.float32)
-    return (y.astype(jnp.float32) - corr).astype(x.dtype)
+    # zero-point correction with the +128 decode bias folded in:
+    #   x @ ((q - z) * s) = kernel_out - x @ ((z + 128) * s)
+    # HIGHEST precision is load-bearing, and xg MUST come from the same
+    # bf16-rounded activations the kernel consumed — the bias term is ~17x
+    # the signal, so any x mismatch between the two sides is amplified ~17x
+    # (see module docstring); y stays f32 until the bias is gone.
+    xg = xb[:B].astype(jnp.float32).reshape(B, G, group_size).sum(-1)  # [B, G]
+    corr = jnp.dot(xg, (zeros + 128.0) * s,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    return (y - corr).astype(x.dtype)
 
 
 def _round_up(v: int, m: int) -> int:
@@ -197,34 +200,34 @@ def _round_up(v: int, m: int) -> int:
 
 def w4a16_matmul_reference(x, packed, scales, zeros, group_size: int = 128):
     """jnp dequant + dense matmul: correctness reference for the fused kernel
-    and the CPU fallback.  NOT a serving path on TPU — round-tripping the
-    dequantized bf16 weight through HBM measures 5-18x slower than the kernel."""
-    K2, N = packed.shape
-    K = K2 * 2
-    lo = (packed & 0xF).astype(jnp.float32)
-    hi = (packed >> 4).astype(jnp.float32)
-    q = jnp.concatenate([lo, hi], axis=0)               # half-split layout
-    s = jnp.repeat(scales, group_size, axis=0)
-    z = jnp.repeat(zeros, group_size, axis=0)
-    w = ((q - z) * s).astype(jnp.bfloat16)
+    and the CPU fallback (identical math to the prefill path)."""
+    w = dequant_w4(packed, scales, zeros, group_size)
     return jnp.dot(x.astype(jnp.bfloat16), w,
                    preferred_element_type=jnp.float32).astype(x.dtype)
 
 
-def pack_w4(w_q: jax.Array) -> jax.Array:
-    """Pack int4 values (0..15) [K, N] -> u8[K/2, N] half-split layout
-    (low nibble = row r, high nibble = row K/2 + r)."""
-    w_q = jnp.asarray(w_q, jnp.uint8)
-    K = w_q.shape[0]
-    lo = w_q[:K // 2]
-    hi = w_q[K // 2:]
-    return (lo | (hi << 4)).astype(jnp.uint8)
+def pack_w4(w_q) -> jax.Array:
+    """Pack int4 values (0..15) [K, N] -> plane-packed i32[K/8, N].
+
+    Plane j covers rows [j*K/4, (j+1)*K/4); word r gets plane row 2r at bits
+    [4j, 4j+4) and plane row 2r+1 at bits [16+4j, 16+4j+4).
+    """
+    q = np.asarray(w_q, np.uint32)
+    K, N = q.shape
+    assert K % 8 == 0, K
+    Kq = K // 4
+    out = np.zeros((K // 8, N), np.uint32)
+    for j in range(4):
+        pj = q[j * Kq:(j + 1) * Kq]
+        out |= pj[0::2] << (4 * j)
+        out |= pj[1::2] << (16 + 4 * j)
+    return jnp.asarray(out.view(np.int32))
 
 
 def quantize_w4(w: jax.Array, group_size: int = 128):
     """Group-wise asymmetric 4-bit quantization of a dense [K, N] weight.
 
-    Returns (packed u8[K/2,N], scales f32[K/gs,N], zeros f32[K/gs,N]) in the
+    Returns (packed i32[K/8,N], scales f32[K/gs,N], zeros f32[K/gs,N]) in the
     layout w4a16_matmul expects.  Matches AWQ's asymmetric min/max scheme
     (reference: lmdeploy/lite/quantization/awq.py quant_weights).
     """
@@ -237,5 +240,5 @@ def quantize_w4(w: jax.Array, group_size: int = 128):
     scales = jnp.where(scales == 0, 1.0, scales)
     zeros = -w_min / scales                              # f32 zero-points
     q = jnp.clip(jnp.round(wg / scales[:, None] + zeros[:, None]), 0, 15)
-    q = q.reshape(K, N).astype(jnp.uint8)
+    q = np.asarray(q.reshape(K, N), np.uint8)
     return pack_w4(q), scales, zeros

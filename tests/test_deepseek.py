@@ -266,7 +266,7 @@ def test_deepseek_greedy_matches_dense_reference(ds_engine):
         return list(out.token_ids)
 
     got = run_async(run())
-    expect = dense_mla_greedy(ds_engine.model_agent.params,
+    expect = dense_mla_greedy(ds_engine.model_agent.host_params(),
                               ds_engine.model_config, prompt, 6)
     assert got == expect
 
@@ -285,7 +285,7 @@ def test_deepseek_multiturn_and_batch(ds_engine):
         return list(out.token_ids)
 
     got = run_async(run())
-    expect = dense_mla_greedy(ds_engine.model_agent.params,
+    expect = dense_mla_greedy(ds_engine.model_agent.host_params(),
                               ds_engine.model_config, long_prompt, 5)
     assert got == expect
 

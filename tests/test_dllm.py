@@ -207,7 +207,7 @@ def dllm_engine(sdar_model_dir):
 def test_dllm_matches_dense_reference(dllm_engine):
     prompt = [1, 5, 9, 13, 20, 31, 7]          # 7 % 4 != 0: shared first block
     out = generate_ids(dllm_engine, 301, prompt, max_new=8)
-    expect = dense_dllm_greedy(dllm_engine.model_agent.params,
+    expect = dense_dllm_greedy(dllm_engine.model_agent.host_params(),
                                dllm_engine.model_config, prompt, 8)
     assert out.token_ids == expect
 
@@ -215,7 +215,7 @@ def test_dllm_matches_dense_reference(dllm_engine):
 def test_dllm_aligned_prompt(dllm_engine):
     prompt = [1, 5, 9, 13, 20, 31, 7, 2]       # 8 % 4 == 0: fresh first block
     out = generate_ids(dllm_engine, 302, prompt, max_new=6)
-    expect = dense_dllm_greedy(dllm_engine.model_agent.params,
+    expect = dense_dllm_greedy(dllm_engine.model_agent.host_params(),
                                dllm_engine.model_config, prompt, 6)
     assert len(out.token_ids) == 6
     assert out.token_ids == expect
@@ -243,7 +243,7 @@ def test_dllm_concurrent_batching(dllm_engine):
 
     results = run_async(run_all())
     for prompt, got in zip(prompts, results):
-        expect = dense_dllm_greedy(dllm_engine.model_agent.params,
+        expect = dense_dllm_greedy(dllm_engine.model_agent.host_params(),
                                    dllm_engine.model_config, prompt, 8)
         assert got == expect
 
@@ -256,7 +256,7 @@ def test_dllm_strategies(sdar_model_dir, strategy, steps):
     try:
         prompt = [1, 5, 9, 13, 20]
         out = generate_ids(eng, 330, prompt, max_new=8)
-        expect = dense_dllm_greedy(eng.model_agent.params, eng.model_config,
+        expect = dense_dllm_greedy(eng.model_agent.host_params(), eng.model_config,
                                    prompt, 8, strategy=strategy, steps=steps)
         assert out.token_ids == expect
     finally:

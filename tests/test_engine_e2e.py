@@ -102,7 +102,7 @@ def generate_ids(engine, session_id, prompt_ids, max_new=8, **gen_kwargs):
 def test_greedy_matches_dense_reference(engine):
     prompt = [1, 5, 9, 13, 20, 31, 7]
     out = generate_ids(engine, 101, prompt, max_new=8)
-    expect = dense_reference_greedy(engine.model_agent.params,
+    expect = dense_reference_greedy(engine.model_agent.host_params(),
                                     engine.model_config, prompt, 8)
     assert out.token_ids == expect
 
@@ -112,7 +112,7 @@ def test_greedy_long_prompt_chunked(engine):
     rng = np.random.RandomState(7)
     prompt = rng.randint(3, 250, size=100).tolist()
     out = generate_ids(engine, 102, prompt, max_new=4)
-    expect = dense_reference_greedy(engine.model_agent.params,
+    expect = dense_reference_greedy(engine.model_agent.host_params(),
                                     engine.model_config, prompt, 4)
     assert out.token_ids == expect
 
@@ -138,14 +138,14 @@ def test_concurrent_batching(engine):
 
     results = run_async(run_all())
     for prompt, got in zip(prompts, results):
-        expect = dense_reference_greedy(engine.model_agent.params,
+        expect = dense_reference_greedy(engine.model_agent.host_params(),
                                         engine.model_config, prompt, 6)
         assert got == expect
 
 
 def test_stop_token(engine):
     prompt = [1, 5, 9, 13]
-    ref = dense_reference_greedy(engine.model_agent.params, engine.model_config,
+    ref = dense_reference_greedy(engine.model_agent.host_params(), engine.model_config,
                                  prompt, 8)
     stop_tok = ref[3]
     out = generate_ids(engine, 103, prompt, max_new=8, stop_token_ids=[stop_tok],

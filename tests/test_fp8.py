@@ -91,7 +91,7 @@ def test_fp8_engine_e2e(fp8_model_dir):
                         max_batch_size=4, session_len=256,
                         max_prefill_token_num=64))
     try:
-        w = eng.model_agent.params['layers']['wq']
+        w = eng.model_agent.host_params()['layers']['wq']
         assert w['w8'].dtype == jnp.float8_e4m3fn
         assert float(jnp.abs(w['w8'].astype(jnp.float32)).max()) > 0
 

@@ -141,7 +141,7 @@ def test_gpt_oss_matches_dense_reference(gptoss_dir):
             got = loop.run_until_complete(run())
         finally:
             loop.close()
-        expect = _dense_reference(eng.model_agent.params, eng.model_config,
+        expect = _dense_reference(eng.model_agent.host_params(), eng.model_config,
                                   model.layer_windows, prompt, 8)
         assert got == expect
     finally:

@@ -70,17 +70,17 @@ def test_lora_merge_swap_unmerge(tiny_model_dir, peft_dir):
     try:
         prompt = [1, 17, 42, 99, 7]
         base = _gen(eng, 1, prompt)
-        base_wq = np.asarray(eng.model_agent.params['layers']['wq'])
+        base_wq = np.asarray(eng.model_agent.host_params()['layers']['wq'])
 
         eng.load_lora('style', peft_dir)
         eng.activate_lora('style')
-        merged_wq = np.asarray(eng.model_agent.params['layers']['wq'])
+        merged_wq = np.asarray(eng.model_agent.host_params()['layers']['wq'])
         assert not np.allclose(base_wq, merged_wq)
         with_lora = _gen(eng, 2, prompt)
         assert with_lora != base                 # adapter changes greedy output
 
         eng.deactivate_lora()
-        restored_wq = np.asarray(eng.model_agent.params['layers']['wq'])
+        restored_wq = np.asarray(eng.model_agent.host_params()['layers']['wq'])
         np.testing.assert_allclose(restored_wq, base_wq, atol=1e-5)
         again = _gen(eng, 3, prompt)
         assert again == base                     # bit-for-bit behavior restored

@@ -228,7 +228,7 @@ def test_glm4_matches_dense_reference(glm4_dir):
             got = loop.run_until_complete(run())
         finally:
             loop.close()
-        expect = _glm4_dense_reference(eng.model_agent.params,
+        expect = _glm4_dense_reference(eng.model_agent.host_params(),
                                        eng.model_config, prompt, 8)
         assert got == expect
     finally:

@@ -269,7 +269,7 @@ def test_deepseek_fp8_resident_experts_token_exact(ds_fp8_dir, monkeypatch):
     dequantize-at-load twin; the HBM expert footprint shrinks ~2x."""
     eng = _engine(ds_fp8_dir)
     try:
-        moe = eng.model_agent.params['moe_layers']
+        moe = eng.model_agent.host_params()['moe_layers']
         assert isinstance(moe['we_gate'], dict)
         assert moe['we_gate']['w8'].dtype == jnp.float8_e4m3fn
         assert float(jnp.abs(moe['we_gate']['w8'].astype(jnp.float32)).max()) > 0
@@ -283,7 +283,7 @@ def test_deepseek_fp8_resident_experts_token_exact(ds_fp8_dir, monkeypatch):
     monkeypatch.setenv('LMDEPLOY_TPU_FP8_DEQUANT', '1')
     ref = _engine(ds_fp8_dir)
     try:
-        moe = ref.model_agent.params['moe_layers']
+        moe = ref.model_agent.host_params()['moe_layers']
         assert not isinstance(moe['we_gate'], dict)
         dense_bytes = sum(_tree_bytes(moe[k])
                           for k in ('we_gate', 'we_up', 'we_down'))
@@ -383,7 +383,7 @@ def test_gptoss_mxfp4_resident_experts_token_exact(gptoss_mxfp4_dir,
                                                    monkeypatch):
     eng = _engine(gptoss_mxfp4_dir)
     try:
-        lay = eng.model_agent.params['layers']
+        lay = eng.model_agent.host_params()['layers']
         assert isinstance(lay['we_gate'], dict)
         assert lay['we_gate']['nib'].dtype == jnp.uint8
         quant_bytes = sum(_tree_bytes(lay[k])
@@ -396,7 +396,7 @@ def test_gptoss_mxfp4_resident_experts_token_exact(gptoss_mxfp4_dir,
     monkeypatch.setenv('LMDEPLOY_TPU_MXFP4_DEQUANT', '1')
     ref = _engine(gptoss_mxfp4_dir)
     try:
-        lay = ref.model_agent.params['layers']
+        lay = ref.model_agent.host_params()['layers']
         assert not isinstance(lay['we_gate'], dict)
         dense_bytes = sum(_tree_bytes(lay[k])
                           for k in ('we_gate', 'we_up', 'we_down'))

@@ -49,7 +49,7 @@ def test_sleep_level2_offloads_weights(eng):
     prompt = [1, 5, 9]
     before = _gen(eng, 1, prompt)
     eng.sleep(level=2)
-    assert eng.model_agent.params is None
+    assert eng.model_agent.host_params() is None
     eng.wakeup()
     after = _gen(eng, 2, prompt)
     assert before == after

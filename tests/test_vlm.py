@@ -258,7 +258,7 @@ def test_vl_engine_matches_dense_reference(vl_engine):
     embeds = agent.encode_images([img])[0]                     # [4, H]
     n = agent.model.num_image_tokens
     expanded = [5] + [IMAGE_TOKEN_ID] * n + [17, 23, 29]
-    expect = _dense_greedy_with_embeds(agent.params, vl_engine.model_config,
+    expect = _dense_greedy_with_embeds(agent.host_params(), vl_engine.model_config,
                                        expanded, embeds, 1, 6)
     assert got == expect
 
@@ -467,7 +467,7 @@ def test_internvl_engine_matches_dense_reference(tiny_internvl_dir):
         agent = eng.model_agent
         embeds = agent.encode_images([img])[0]               # [1, H]
         expanded = [5, img_tok, 17, 23]                      # 1 token per image
-        expect = _dense_greedy_with_embeds(agent.params, eng.model_config,
+        expect = _dense_greedy_with_embeds(agent.host_params(), eng.model_config,
                                            expanded, embeds, 1, 6)
         assert got == expect
     finally:

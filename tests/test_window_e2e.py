@@ -133,7 +133,7 @@ def test_windowed_engine_matches_dense_and_frees_blocks(tiny_window_model_dir):
         prompt = rng.randint(3, 250, size=40).tolist()
         num_new = 40                       # 80 total >> window 48: blocks die
         got = generate_ids(eng, 1, prompt, max_new=num_new)
-        ref = windowed_dense_greedy(eng.model_agent.params,
+        ref = windowed_dense_greedy(eng.model_agent.host_params(),
                                     eng.model_agent.model_config,
                                     prompt, num_new, WINDOW)
         assert list(got.token_ids) == ref
