@@ -164,31 +164,80 @@ def create_app(engine: AsyncEngine, model_name: str, api_key: Optional[str] = No
                         + list(messages))
 
         if req.stream:
+            # incremental tool-call / reasoning parsing during SSE (reference:
+            # serve/parsers/response_parser.py streaming deltas).  The parser
+            # turns detokenizer increments into typed frames; tool-call
+            # arguments stream as they are generated, not post-hoc at EOS.
+            from .stream_parser import StreamParser, resolve_parser
+            arch = getattr(getattr(engine.engine, 'configs', None), 'model',
+                           None)
+            spec = resolve_parser(getattr(arch, 'hf_arch', None),
+                                  getattr(engine, 'tool_call_parser', None))
+            sparser = StreamParser(spec, tools_enabled=bool(req.tools))
+
+            def frames(events, finish_reason, lp_obj, first):
+                """Pack parser events into DeltaMessage SSE frames."""
+                deltas = []
+                for ev in events:
+                    if ev[0] == 'content':
+                        deltas.append(DeltaMessage(content=ev[1]))
+                    elif ev[0] == 'reasoning':
+                        deltas.append(DeltaMessage(reasoning_content=ev[1]))
+                    elif ev[0] == 'tool_name':
+                        deltas.append(DeltaMessage(tool_calls=[{
+                            'index': ev[1], 'id': ev[2], 'type': 'function',
+                            'function': {'name': ev[3], 'arguments': ''}}]))
+                    elif ev[0] == 'tool_args':
+                        deltas.append(DeltaMessage(tool_calls=[{
+                            'index': ev[1],
+                            'function': {'arguments': ev[2]}}]))
+                if not deltas and (finish_reason or first):
+                    deltas.append(DeltaMessage())
+                if deltas and first:
+                    deltas[0].role = 'assistant'
+                packed = []
+                for i, d in enumerate(deltas):
+                    last = i == len(deltas) - 1
+                    packed.append(ChatCompletionStreamChoice(
+                        delta=d, finish_reason=finish_reason if last else None,
+                        logprobs=lp_obj if last else None))
+                return packed
+
             resp = web.StreamResponse(headers={
                 'Content-Type': 'text/event-stream',
                 'Cache-Control': 'no-cache'})
             await resp.prepare(request)
             rid = None
             first = True
-            try:
-                async for out in engine.generate(messages, session_id,
-                                                 gen_config=gen_config):
+
+            async def write_choices(choices):
+                nonlocal rid
+                for choice in choices:
                     chunk = ChatCompletionStreamResponse(model=req.model)
                     rid = rid or chunk.id
                     chunk.id = rid
-                    delta = DeltaMessage(content=out.response)
-                    if first:
-                        delta.role = 'assistant'
-                        first = False
+                    chunk.choices = [choice]
+                    await resp.write(
+                        f'data: {chunk.model_dump_json()}\n\n'.encode())
+
+            try:
+                finish = None
+                async for out in engine.generate(messages, session_id,
+                                                 gen_config=gen_config):
                     lp_obj = None
                     if req.logprobs and out.logprobs:
                         lp_obj = _chat_logprobs(out.logprobs, out.token_ids,
                                                 engine.tokenizer)
-                    chunk.choices = [ChatCompletionStreamChoice(
-                        delta=delta, finish_reason=out.finish_reason,
-                        logprobs=lp_obj)]
-                    await resp.write(
-                        f'data: {chunk.model_dump_json()}\n\n'.encode())
+                    events = sparser.push(out.response)
+                    finish = out.finish_reason
+                    if finish is not None:
+                        events += sparser.finish()
+                        if sparser.saw_tool_call and finish == 'stop':
+                            finish = 'tool_calls'
+                    choices = frames(events, finish, lp_obj, first)
+                    if choices:
+                        first = False
+                        await write_choices(choices)
             except (ConnectionResetError, asyncio.CancelledError):
                 await engine.stop_session(session_id)
                 raise

@@ -89,6 +89,10 @@ class ChatCompletionResponse(BaseModel):
 class DeltaMessage(BaseModel):
     role: Optional[str] = None
     content: Optional[str] = None
+    reasoning_content: Optional[str] = None
+    # incremental tool-call frames: [{'index', 'id'?, 'type'?, 'function':
+    # {'name'?, 'arguments'?}}] (OpenAI streaming wire format)
+    tool_calls: Optional[List[Dict[str, Any]]] = None
 
 
 class ChatCompletionStreamChoice(BaseModel):
