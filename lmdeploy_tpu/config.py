@@ -140,7 +140,8 @@ class ModelConfig:
         if ('vision_config' in cfg or 'text_config' in cfg) and \
                 cfg.get('model_type') in (
                 'qwen2_vl', 'qwen2_5_vl', 'qwen3_vl', 'qwen3_vl_moe',
-                'qwen3_5', 'qwen3_5_moe', 'intern_s2_preview'):
+                'qwen3_5', 'qwen3_5_moe', 'intern_s2_preview',
+                'meta_moe', 'interns2_mobius'):
             # qwen2-vl: older checkpoints are FLAT (LM fields top-level beside
             # vision_config); transformers>=4.52 nests them under text_config.
             if not cfg.get('architectures'):
@@ -185,6 +186,9 @@ class ModelConfig:
                 'downsample_ratio': cfg.get('downsample_ratio', 0.5),
                 'mm_tokens_per_image': cfg.get('mm_tokens_per_image'),
                 'llm_architectures': inner.get('architectures'),
+                # interns1_pro: time-series tower config + placeholder id
+                'ts_config': cfg.get('ts_config'),
+                'ts_token_id': cfg.get('ts_token_id'),
             }
             cfg = dict(inner)
             cfg['architectures'] = archs

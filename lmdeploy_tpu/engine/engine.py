@@ -247,7 +247,30 @@ class Engine:
         if getattr(self, '_sleeping', False):
             raise ValueError('engine is sleeping; call wakeup() (POST /wakeup) first')
         mm_embeds = []
-        if mm_data:
+        is_ts = bool(mm_data) and all(
+            isinstance(m, dict) and m.get('type') == 'time_series'
+            for m in mm_data)
+        if mm_data and is_ts:
+            # TIME_SERIES modality (interns1_pro; reference
+            # input_process Modality.TIME_SERIES): per-signal features are
+            # injected exactly like image spans, at the ts placeholder
+            agent = self.model_agent
+            model = agent.model
+            if getattr(model, 'ts_tower', None) is None:
+                raise ValueError('time-series inputs supplied but the '
+                                 'checkpoint has no ts_config')
+            from ..vl.processor import expand_image_tokens
+            tok_id = getattr(model, 'ts_token_index', None)
+            if tok_id is None:
+                ids = self.tokenizer.encode(model.ts_marker, add_bos=False,
+                                            add_special_tokens=False)
+                tok_id = model.ts_token_index = ids[-1]
+            mm_embeds = agent.encode_time_series(mm_data)
+            counts = [int(e.shape[0]) for e in mm_embeds]
+            token_ids, mm_offsets = expand_image_tokens(
+                list(token_ids), tok_id, counts, len(mm_embeds))
+            mm_grids = []
+        elif mm_data:
             agent = self.model_agent
             if not getattr(agent, 'is_vl', False):
                 raise ValueError('images supplied but the model is not a VLM')

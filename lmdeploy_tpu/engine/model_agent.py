@@ -505,6 +505,13 @@ class ModelAgent:
         self.lora_slot_map = slot_map
         self._step_fns.clear()
 
+    def encode_time_series(self, items) -> List[np.ndarray]:
+        """Run the time-series tower (interns1_pro): one [n_tokens, H] per
+        signal (items: [{'type': 'time_series', 'data', 'sampling_rate'}])."""
+        feats = self.model.encode_time_series_raw(self.params, items)
+        self.last_image_grids = []
+        return feats
+
     def encode_images(self, images) -> List[np.ndarray]:
         """Preprocess + run the vision tower; one [num_image_tokens, H] per image.
 

@@ -226,7 +226,13 @@ def _qwen3_5(config: ModelConfig):
 register_model('Qwen3_5ForConditionalGeneration',
                'Qwen3_5MoeForConditionalGeneration',
                'InternS2PreviewForConditionalGeneration',
-               'InternS2PreviewForCausalLM')(_qwen3_5)
+               'InternS2PreviewForCausalLM',
+               # reference meta_moe.py / interns2_mobius.py are arch-name
+               # re-registrations of the qwen3_5_moe compute graph
+               # (reference module_map.py:203-208)
+               'MetaMoeForConditionalGeneration',
+               'InternS2MobiusForConditionalGeneration',
+               'InternS2MobiusForCausalLM')(_qwen3_5)
 
 
 def _qwen2_vl(config: ModelConfig):
@@ -292,6 +298,15 @@ def _qwen3_vl_moe(config: ModelConfig):
 
 register_model('Qwen3VLForConditionalGeneration')(_qwen3_vl)
 register_model('Qwen3VLMoeForConditionalGeneration')(_qwen3_vl_moe)
+
+
+def _interns1_pro(config: ModelConfig):
+    from .interns1_pro import build_interns1_pro
+    return build_interns1_pro(config)
+
+
+register_model('InternS1ProForConditionalGeneration',
+               'InternS1_1_ForConditionalGeneration')(_interns1_pro)
 
 
 def _gemma3_vl(config: ModelConfig):

@@ -40,11 +40,32 @@ from .qwen3_next import Qwen3NextModel
 
 
 class Qwen3_5TextModel(Qwen3NextModel):
-    """Qwen3.5 text decoder (dense or MoE via config.num_experts)."""
+    """Qwen3.5 text decoder (dense or MoE via config.num_experts).
+
+    The MetaMoE family (reference ``meta_moe.py`` MetaMoeForConditionalGeneration
+    and its rename ``interns2_mobius.py``) shares ``num_meta_moe_blocks``
+    expert stacks ROUND-ROBIN across all layers (layer L uses meta block
+    ``L % NM``, reference ``meta_mlp[self.layer_idx % len(meta_mlp)]``) while
+    keeping per-layer shared experts.  With NM equal to the full-attention
+    interval (the only shipped geometry), the meta index is static per
+    position-in-block, so the stacks live in a top-level ``meta_mlp`` param
+    group indexed by ``j`` — no dynamic gather in the layer scan.
+    """
 
     def __init__(self, config: ModelConfig):
+        hf = config.hf_config or {}
+        arch = config.hf_arch or ''
+        self.n_meta = 0
+        if arch.startswith(('MetaMoe', 'InternS2Mobius')):
+            self.n_meta = int(hf.get('num_meta_moe_blocks')
+                              or hf.get('num_blocks') or 4)
         super().__init__(config)
         self.is_moe = bool(self.n_experts)
+        if self.n_meta:
+            assert self.n_meta == self.interval, \
+                ('meta-MoE blocks must equal the full-attention interval '
+                 f'(got {self.n_meta} vs {self.interval}); the round-robin '
+                 'index is only static under that geometry')
 
     # -- split input projections -----------------------------------------------------------
     def _lin_in_shapes(self) -> Dict[str, int]:
@@ -87,7 +108,14 @@ class Qwen3_5TextModel(Qwen3NextModel):
     # -- dense mlp variant -----------------------------------------------------------------
     def _mlp_shapes(self, NB: int, IV: int, H: int) -> Dict[str, Any]:
         if self.n_experts:
-            return super()._mlp_shapes(NB, IV, H)
+            shapes = super()._mlp_shapes(NB, IV, H)
+            if self.n_meta:
+                # expert stacks + router live in the shared top-level
+                # meta_mlp group (see param_shapes); only the per-layer
+                # shared expert stays per-block
+                for k in ('router', 'we_gate', 'we_up', 'we_down'):
+                    shapes.pop(k, None)
+            return shapes
         I = self.config.intermediate_size
         return {
             'mlp_gate': (NB, IV, H, I),
@@ -95,9 +123,54 @@ class Qwen3_5TextModel(Qwen3NextModel):
             'mlp_down': (NB, IV, I, H),
         }
 
+    def param_shapes(self) -> Dict[str, Any]:
+        shapes = super().param_shapes()
+        if self.n_meta:
+            NM, H, E, I = (self.n_meta, self.config.hidden_size,
+                           self.n_experts, self.moe_inter)
+            shapes['meta_mlp'] = {
+                'router': (NM, H, E),
+                'we_gate': (NM, E, H, I),
+                'we_up': (NM, E, H, I),
+                'we_down': (NM, E, I, H),
+            }
+        return shapes
+
+    def forward(self, params, *args, **kwargs):
+        if self.n_meta:
+            # stashed for _moe inside the block scan (static j indexing;
+            # re-bound on every trace so jit caching stays correct)
+            self._meta_w = params['meta_mlp']
+        return super().forward(params, *args, **kwargs)
+
     def _moe(self, w, j, x):
         import jax
         import jax.numpy as jnp
+        if self.n_meta:
+            from ..ops.moe import moe_ffn
+            mw = self._meta_w
+            mi = j % self.n_meta                       # static meta index
+            B, T, H = x.shape
+            xf = x.reshape(B * T, H)
+            logits = jnp.dot(xf, mw['router'][mi],
+                             preferred_element_type=jnp.float32)
+            probs = jax.nn.softmax(logits, axis=-1)
+            top_w, top_idx = jax.lax.top_k(probs, self.top_k)
+            if self.norm_topk:
+                top_w = top_w / (top_w.sum(-1, keepdims=True) + 1e-20)
+            out = moe_ffn(xf, top_idx, top_w, mw['we_gate'][mi],
+                          mw['we_up'][mi], mw['we_down'][mi], x.dtype,
+                          allow_ragged=not getattr(self, 'ep_sharded', False))
+            s = jax.nn.silu(jnp.dot(xf, w['ws_gate'][j],
+                                    preferred_element_type=jnp.float32))
+            s = s * jnp.dot(xf, w['ws_up'][j],
+                            preferred_element_type=jnp.float32)
+            s = jnp.dot(s.astype(x.dtype), w['ws_down'][j],
+                        preferred_element_type=jnp.float32)
+            sg = jax.nn.sigmoid(jnp.dot(xf, w['ws_out_gate'][j],
+                                        preferred_element_type=jnp.float32))
+            out = out + s * sg[:, None]
+            return out.reshape(B, T, H).astype(x.dtype)
         if self.n_experts:
             return super()._moe(w, j, x)
         g = jax.nn.silu(jnp.dot(x, w['mlp_gate'][j],
@@ -107,6 +180,19 @@ class Qwen3_5TextModel(Qwen3NextModel):
         return y.astype(x.dtype)
 
     def _plan_mlp(self, plan, m: str, blk: int, j: int, T):
+        if self.n_meta:
+            # per-layer leaves are just the shared expert; stacks load into
+            # the top-level meta_mlp group (see make_assign_plan)
+            plan[m + 'shared_expert.gate_proj.weight'] = \
+                (('blocks', 'ws_gate', blk, j), T, None)
+            plan[m + 'shared_expert.up_proj.weight'] = \
+                (('blocks', 'ws_up', blk, j), T, None)
+            plan[m + 'shared_expert.down_proj.weight'] = \
+                (('blocks', 'ws_down', blk, j), T, None)
+            plan[m + 'shared_expert_gate.weight'] = \
+                (('blocks', 'ws_out_gate', blk, j),
+                 lambda x: np.asarray(x).reshape(-1), None)
+            return
         if not self.n_experts:
             plan[m + 'gate_proj.weight'] = \
                 (('blocks', 'mlp_gate', blk, j), T, None)
@@ -146,11 +232,52 @@ class Qwen3_5TextModel(Qwen3NextModel):
         even for text-only serving); keep the bare ``model.`` spellings too
         for hand-built text-only checkpoints."""
         base = super().make_assign_plan()
+        if self.n_meta:
+            self._plan_meta(base)
         plan = dict(base)
         for k, v in base.items():
             if k.startswith('model.'):
                 plan['model.language_model.' + k[len('model.'):]] = v
         return plan
+
+    def _plan_meta(self, plan):
+        """Shared meta expert stacks (reference meta_moe.py load_weights:
+        ``meta_experts_gate.{i}`` -> router, ``meta_experts.{i}`` -> stack;
+        fused bf16 gate_up/down layout, per-expert names for fp8)."""
+        from .mixtral import _ExpertSlice
+        I = self.moe_inter
+
+        def T(x):
+            return np.ascontiguousarray(np.swapaxes(np.asarray(x), -1, -2))
+
+        def gate_of(x):
+            return np.ascontiguousarray(
+                np.swapaxes(np.asarray(x)[:, :I, :], -1, -2))
+
+        def up_of(x):
+            return np.ascontiguousarray(
+                np.swapaxes(np.asarray(x)[:, I:, :], -1, -2))
+
+        def down_of(x):
+            return np.ascontiguousarray(np.swapaxes(np.asarray(x), -1, -2))
+
+        for i in range(self.n_meta):
+            plan[f'model.meta_experts_gate.{i}.weight'] = \
+                (('meta_mlp', 'router', i), T, None)
+            b = f'model.meta_experts.{i}.'
+            plan[b + 'gate_up_proj'] = [
+                (('meta_mlp', 'we_gate', i), gate_of, None),
+                (('meta_mlp', 'we_up', i), up_of, None),
+            ]
+            plan[b + 'down_proj'] = (('meta_mlp', 'we_down', i), down_of, None)
+            for e in range(self.n_experts):
+                x = b + f'{e}.'
+                plan[x + 'gate_proj.weight'] = \
+                    (('meta_mlp', 'we_gate', i), T, _ExpertSlice(e))
+                plan[x + 'up_proj.weight'] = \
+                    (('meta_mlp', 'we_up', i), T, _ExpertSlice(e))
+                plan[x + 'down_proj.weight'] = \
+                    (('meta_mlp', 'we_down', i), T, _ExpertSlice(e))
 
 
 class Qwen3_5MTP(Qwen3_5TextModel):
