@@ -123,6 +123,14 @@ def _qwen3_moe(config: ModelConfig):
 
 register_model('Phi3ForCausalLM', 'Phi3SmallForCausalLM',
                'Phi4MMForCausalLM')(_phi3)
+
+
+def _phi3_v(config: ModelConfig):
+    from .phi3_v import build_phi3_v
+    return build_phi3_v(config)
+
+
+register_model('Phi3VForCausalLM')(_phi3_v)
 register_model('Glm4ForCausalLM', 'GlmForCausalLM')(_glm4)
 register_model('Qwen3MoeForCausalLM')(_qwen3_moe)
 register_model('SDARMoeForCausalLM')(_qwen3_moe)
