@@ -194,6 +194,14 @@ class ModelConfig:
             cfg['architectures'] = archs
             if 'torch_dtype' not in cfg:
                 cfg['torch_dtype'] = 'bfloat16'
+        elif 'vision_config' in cfg:
+            # flat VLM config (minicpmv: LM fields top-level beside
+            # vision_config + resampler fields)
+            vision = {
+                'vision_config': cfg['vision_config'],
+                'image_token_index': cfg.get('image_token_id'),
+                'query_num': cfg.get('query_num'),
+            }
         if 'tie_word_embeddings' not in cfg:
             # nested sub-configs (VLM text_config) omit values equal to the
             # transformers class default — which is True for some families

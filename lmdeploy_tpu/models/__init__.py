@@ -131,6 +131,14 @@ def _phi3_v(config: ModelConfig):
 
 
 register_model('Phi3VForCausalLM')(_phi3_v)
+
+
+def _minicpmv26(config: ModelConfig):
+    from .minicpmv26 import build_minicpmv26
+    return build_minicpmv26(config)
+
+
+register_model('MiniCPMV')(_minicpmv26)
 register_model('Glm4ForCausalLM', 'GlmForCausalLM')(_glm4)
 register_model('Qwen3MoeForCausalLM')(_qwen3_moe)
 register_model('SDARMoeForCausalLM')(_qwen3_moe)
