@@ -168,11 +168,15 @@ class ModelConfig:
             if 'torch_dtype' not in qcfg:
                 qcfg['torch_dtype'] = cfg.get('torch_dtype', 'bfloat16')
             cfg = qcfg
-        elif 'vision_config' in cfg and ('text_config' in cfg or 'llm_config' in cfg):
+        elif 'vision_config' in cfg and ('text_config' in cfg
+                                         or 'llm_config' in cfg
+                                         or 'language_config' in cfg):
             # composite VLM config: llava family nests the LM as text_config,
-            # InternVL as llm_config; keep the outer arch for registry dispatch
-            # and stash the vision bits for the model builder.
-            inner = cfg.get('text_config') or cfg.get('llm_config')
+            # InternVL as llm_config, deepseek-vl2 as language_config; keep
+            # the outer arch for registry dispatch and stash the vision bits
+            # for the model builder.
+            inner = (cfg.get('text_config') or cfg.get('llm_config')
+                     or cfg.get('language_config'))
             vision = {
                 'vision_config': cfg['vision_config'],
                 'image_token_index': (cfg.get('image_token_index')
@@ -189,6 +193,11 @@ class ModelConfig:
                 # interns1_pro: time-series tower config + placeholder id
                 'ts_config': cfg.get('ts_config'),
                 'ts_token_id': cfg.get('ts_token_id'),
+                # deepseek-vl2: projector + tiling layout
+                'projector_config': cfg.get('projector_config'),
+                'tile_tag': cfg.get('tile_tag'),
+                'global_view_pos': cfg.get('global_view_pos'),
+                'candidate_resolutions': cfg.get('candidate_resolutions'),
             }
             cfg = dict(inner)
             cfg['architectures'] = archs

@@ -139,6 +139,14 @@ def _minicpmv26(config: ModelConfig):
 
 
 register_model('MiniCPMV')(_minicpmv26)
+
+
+def _deepseek_vl2(config: ModelConfig):
+    from .deepseek_vl2 import build_deepseek_vl2
+    return build_deepseek_vl2(config)
+
+
+register_model('DeepseekVLV2ForCausalLM')(_deepseek_vl2)
 register_model('Glm4ForCausalLM', 'GlmForCausalLM')(_glm4)
 register_model('Qwen3MoeForCausalLM')(_qwen3_moe)
 register_model('SDARMoeForCausalLM')(_qwen3_moe)

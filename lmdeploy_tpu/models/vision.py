@@ -29,7 +29,10 @@ def quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
-_ACTS = {'quick_gelu': quick_gelu, 'gelu': jax.nn.gelu,
+_ACTS = {'quick_gelu': quick_gelu,
+         # transformers ACT2FN['gelu'] is the exact erf form; the tanh
+         # approximation is its own name
+         'gelu': lambda x: jax.nn.gelu(x, approximate=False),
          'gelu_pytorch_tanh': lambda x: jax.nn.gelu(x, approximate=True)}
 
 

@@ -61,6 +61,25 @@ GROUP_DOT_MAX_M = 256
 
 _MAGIC = 0x43004300          # bf16 pair (128.0, 128.0): exponent 2^7, ulp 1
 
+# measured-best (block_k, block_n) per weight shape at decode M<=64 on the
+# v6e-class chip (benchmark/tune_w4a16.py, long-chain slope timing; the
+# reference ships a full GEMM autotuner — src/turbomind/kernels/gemm/tuner/).
+# Unlisted shapes fall back to the heuristic in _pick_blocks.
+_TUNED_BLOCKS = {
+    (2048, 2560): (512, 1024),      # tinyllama fused qkv        892 GB/s
+    (2048, 2048): (1024, 1024),     # o_proj                     544 GB/s
+    (2048, 11264): (2048, 2048),    # fused gate_up              430 GB/s
+    (5632, 2048): (512, 1024),      # down                       343 GB/s
+    (4096, 14336): (1024, 2048),    # llama-8B gate/up           471 GB/s
+    (14336, 4096): (1024, 2048),    # llama-8B down              578 GB/s
+}
+
+
+def _pick_blocks(K: int, N: int):
+    if (K, N) in _TUNED_BLOCKS:
+        return _TUNED_BLOCKS[(K, N)]
+    return 1024, (2048 if N > 4096 else 1024)
+
 
 def _decode_plane(p: jax.Array, j: int) -> jax.Array:
     """i32 word tile [W, bn] -> bf16 plane tile [2W, bn] holding 128 + q."""
@@ -125,11 +144,15 @@ def w4a16_matmul(x: jax.Array,            # [B, K] bf16/f32
                  zeros: jax.Array,        # [K/gs, N] f32
                  group_size: int = 128,
                  block_m: int = 256,
-                 block_n: int = 1024,
-                 block_k: int = 2048) -> jax.Array:
+                 block_n: int = 0,
+                 block_k: int = 0) -> jax.Array:
     B, K = x.shape
     K8, N = packed.shape
     assert K8 * 8 == K, (K8, K)
+    if not block_n or not block_k:
+        tk, tn = _pick_blocks(K, N)
+        block_k = block_k or tk
+        block_n = block_n or tn
     G = K // group_size
     assert scales.shape == (G, N) and zeros.shape == (G, N)
 

@@ -216,6 +216,7 @@ def load_vis_params_np(model, model_path: str):
             if hook is not None:
                 hook(name, tensor, params_np)
             continue
-        path, transform, col = entry
-        _assign(params_np, path, transform(np.asarray(tensor)), col)
+        entries = entry if isinstance(entry, list) else [entry]
+        for path, transform, col in entries:
+            _assign(params_np, path, transform(np.asarray(tensor)), col)
     return params_np
