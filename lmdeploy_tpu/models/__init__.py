@@ -147,6 +147,14 @@ def _deepseek_vl2(config: ModelConfig):
 
 
 register_model('DeepseekVLV2ForCausalLM')(_deepseek_vl2)
+
+
+def _cogvlm(config: ModelConfig):
+    from .cogvlm import build_cogvlm
+    return build_cogvlm(config)
+
+
+register_model('CogVLMForCausalLM')(_cogvlm)
 register_model('Glm4ForCausalLM', 'GlmForCausalLM')(_glm4)
 register_model('Qwen3MoeForCausalLM')(_qwen3_moe)
 register_model('SDARMoeForCausalLM')(_qwen3_moe)

@@ -449,6 +449,28 @@ class LlamaModel:
         models override — e.g. starcoder2)."""
         return rms_norm(x, weight, eps)
 
+    def _qkv_proj(self, w, lw, x, lin, has_bias):
+        """Attention input projections hook (cogvlm's dual experts
+        override).  Returns flat (q, k, v)."""
+        if 'wqkv' in w:
+            # load-time fused qkv (single-chip, no LoRA): one fat GEMM
+            # instead of three skinny ones — the N=kv_out projections are
+            # too narrow to reach kernel bandwidth on their own
+            from ..nn.linear import linear as proj
+            qkv = proj(x, w['wqkv'], w.get('bqkv'))
+            q = qkv[..., :self.q_out]
+            k = qkv[..., self.q_out:self.q_out + self.kv_out]
+            v = qkv[..., self.q_out + self.kv_out:]
+            return q, k, v
+        q = lin(x, w, lw, 'wq', w.get('bq') if has_bias else None)
+        k = lin(x, w, lw, 'wk', w.get('bk') if has_bias else None)
+        v = lin(x, w, lw, 'wv', w.get('bv') if has_bias else None)
+        return q, k, v
+
+    def _o_proj(self, w, lw, attn, lin):
+        """Attention output projection hook."""
+        return lin(attn, w, lw, 'wo', w.get('bo'))
+
     def _head(self, params, x: jax.Array) -> jax.Array:
         """Hidden -> output logits.  Reward models override with their
         score head (reference: qwen2_reward.py get_logits)."""
@@ -546,18 +568,7 @@ class LlamaModel:
             h, kv_cache, layer = carry
             x = self._norm(h, w['attn_norm'], w.get('attn_norm_b'),
                            cfg.rms_norm_eps)
-            if 'wqkv' in w:
-                # load-time fused qkv (single-chip, no LoRA): one fat GEMM
-                # instead of three skinny ones — the N=kv_out projections are
-                # too narrow to reach kernel bandwidth on their own
-                qkv = proj(x, w['wqkv'], w.get('bqkv'))
-                q = qkv[..., :self.q_out]
-                k = qkv[..., self.q_out:self.q_out + self.kv_out]
-                v = qkv[..., self.q_out + self.kv_out:]
-            else:
-                q = lin(x, w, lw, 'wq', w.get('bq') if has_bias else None)
-                k = lin(x, w, lw, 'wk', w.get('bk') if has_bias else None)
-                v = lin(x, w, lw, 'wv', w.get('bv') if has_bias else None)
+            q, k, v = self._qkv_proj(w, lw, x, lin, has_bias)
             q = q.reshape(B, T, cfg.num_attention_heads, D)
             k = k.reshape(B, T, cfg.num_key_value_heads, D)
             v = v.reshape(B, T, cfg.num_key_value_heads, D)
@@ -585,7 +596,7 @@ class LlamaModel:
                                    bidir_chunk=bidir_chunk,
                                    cp_mesh=getattr(self, 'cp_mesh', None))
             attn = attn.reshape(B, T, self.q_out)
-            out = lin(attn, w, lw, 'wo', w.get('bo'))
+            out = self._o_proj(w, lw, attn, lin)
             if 'post_attn_norm' in w:
                 out = rms_norm(out, w['post_attn_norm'], cfg.rms_norm_eps)
             if self.residual_scale is not None:
