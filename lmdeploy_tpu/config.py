@@ -118,6 +118,13 @@ class ModelConfig:
         """Build from a raw HF config dict. Per-arch adjustments live in models/registry."""
         archs = cfg.get('architectures') or ['LlamaForCausalLM']
         vision = None
+        if 'thinker_config' in cfg:
+            # qwen3-omni: serve the thinker (reference module_map.py:212 maps
+            # the full Omni arch to the thinker model); talker/code2wav are
+            # generation-side modules outside LLM serving
+            cfg = dict(cfg['thinker_config'])
+            cfg['architectures'] = archs
+            cfg.setdefault('model_type', 'qwen3_omni_moe_thinker')
         if cfg.get('model_type') == 'chatglm' or 'multi_query_group_num' in cfg:
             # legacy THUDM chatglm2/3/glm-4 configs use their own field names
             # (reference: configurations/chatglm.py)
@@ -141,7 +148,8 @@ class ModelConfig:
                 cfg.get('model_type') in (
                 'qwen2_vl', 'qwen2_5_vl', 'qwen3_vl', 'qwen3_vl_moe',
                 'qwen3_5', 'qwen3_5_moe', 'intern_s2_preview',
-                'meta_moe', 'interns2_mobius'):
+                'meta_moe', 'interns2_mobius', 'qwen3_omni_moe_thinker',
+                'qwen3_omni_moe'):
             # qwen2-vl: older checkpoints are FLAT (LM fields top-level beside
             # vision_config); transformers>=4.52 nests them under text_config.
             if not cfg.get('architectures'):
@@ -161,6 +169,9 @@ class ModelConfig:
                     'llm_architectures': ['Qwen2ForCausalLM'],
                     'deepstack': cfg['vision_config'].get(
                         'deepstack_visual_indexes'),
+                    # qwen3-omni thinker: audio tower beside the ViT
+                    'audio_config': cfg.get('audio_config'),
+                    'audio_token_id': cfg.get('audio_token_id'),
                 }
             qcfg = dict(inner)
             qcfg['architectures'] = archs

@@ -247,10 +247,32 @@ class Engine:
         if getattr(self, '_sleeping', False):
             raise ValueError('engine is sleeping; call wakeup() (POST /wakeup) first')
         mm_embeds = []
-        is_ts = bool(mm_data) and all(
-            isinstance(m, dict) and m.get('type') == 'time_series'
-            for m in mm_data)
-        if mm_data and is_ts:
+        typed = None
+        if mm_data and all(isinstance(m, dict)
+                           and m.get('type') in ('time_series', 'audio')
+                           for m in mm_data):
+            kinds = {m['type'] for m in mm_data}
+            typed = kinds.pop() if len(kinds) == 1 else None
+        if mm_data and typed == 'audio':
+            # AUDIO modality (qwen3-omni thinker): AuT features injected at
+            # the audio placeholder like image spans
+            agent = self.model_agent
+            model = agent.model
+            if getattr(model, 'audio_tower', None) is None:
+                raise ValueError('audio inputs supplied but the checkpoint '
+                                 'has no audio_config')
+            from ..vl.processor import expand_image_tokens
+            tok_id = getattr(model, 'audio_token_index', None)
+            if tok_id is None:
+                ids = self.tokenizer.encode(model.audio_marker, add_bos=False,
+                                            add_special_tokens=False)
+                tok_id = model.audio_token_index = ids[-1]
+            mm_embeds = agent.encode_audio(mm_data)
+            counts = [int(e.shape[0]) for e in mm_embeds]
+            token_ids, mm_offsets = expand_image_tokens(
+                list(token_ids), tok_id, counts, len(mm_embeds))
+            mm_grids = []
+        elif mm_data and typed == 'time_series':
             # TIME_SERIES modality (interns1_pro; reference
             # input_process Modality.TIME_SERIES): per-signal features are
             # injected exactly like image spans, at the ts placeholder

@@ -512,6 +512,13 @@ class ModelAgent:
         self.last_image_grids = []
         return feats
 
+    def encode_audio(self, items) -> List[np.ndarray]:
+        """Run the AuT audio tower (qwen3-omni): one [n_tokens, H] per item
+        (items: [{'type': 'audio', 'data': waveform|mel, 'sampling_rate'}])."""
+        feats = self.model.encode_audio_raw(self.params, items)
+        self.last_image_grids = []
+        return feats
+
     def encode_images(self, images) -> List[np.ndarray]:
         """Preprocess + run the vision tower; one [num_image_tokens, H] per image.
 

@@ -155,6 +155,15 @@ def _cogvlm(config: ModelConfig):
 
 
 register_model('CogVLMForCausalLM')(_cogvlm)
+
+
+def _qwen3_omni(config: ModelConfig):
+    from .qwen3_omni import build_qwen3_omni
+    return build_qwen3_omni(config)
+
+
+register_model('Qwen3OmniMoeForConditionalGeneration',
+               'Qwen3OmniMoeThinkerForConditionalGeneration')(_qwen3_omni)
 register_model('Glm4ForCausalLM', 'GlmForCausalLM')(_glm4)
 register_model('Qwen3MoeForCausalLM')(_qwen3_moe)
 register_model('SDARMoeForCausalLM')(_qwen3_moe)
