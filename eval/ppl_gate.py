@@ -1,0 +1,159 @@
+"""Quantization accuracy gate: held-out perplexity deltas vs the FP baseline.
+
+VERDICT r3 directive #3: every perf number needs an accuracy anchor.  The
+reference publishes per-dataset accuracy tables for its quant modes
+(docs/en/quantization/kv_quant.md:146, w4a16.md:63); fully offline, the
+equivalent deterministic gate is: a real (trained, non-random) checkpoint
+(eval/train_tiny.py), a fixed held-out corpus (eval/make_corpus.py), and
+``pipeline().get_ppl`` run through the ACTUAL serving stack under each
+quantization config:
+
+    fp32 (baseline) | bf16 | W4A16 (AWQ via lite) | W8A8 (SmoothQuant via
+    lite) | KV int8 | KV int4 | KV fp8
+
+Writes eval/ACCURACY.json and exits nonzero if any delta exceeds its
+threshold.  Thresholds mirror the reference's published degradation bands
+(kv int8 ~0.5%, kv int4 ~2%, W4A16 ~1-3% metric movement on real models)
+with headroom for the 25M-param scale, where 4-bit noise is proportionally
+larger.
+
+Run:  python eval/ppl_gate.py  [--quick]
+"""
+import argparse
+import json
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Accuracy gate runs on CPU: deterministic, immune to tunnel flakiness, and
+# ppl is hardware-independent. (The axon sitecustomize force-selects TPU
+# after jax import, so override via jax.config, not the env var.)
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_default_matmul_precision', 'highest')
+
+ASSETS = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'assets')
+MODEL = os.path.join(ASSETS, 'pylm-25m')
+OUT_JSON = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        'ACCURACY.json')
+
+# relative ppl-delta ceilings vs the fp32 baseline
+THRESHOLDS = {
+    'bf16': 0.01,
+    'w4a16': 0.08,
+    'w8a8': 0.04,
+    'kv8': 0.01,
+    'kv4': 0.06,
+    'kv_fp8': 0.02,
+}
+
+
+def heldout_texts(n: int, chars: int = 2400):
+    with open(os.path.join(ASSETS, 'corpus_heldout.txt'),
+              encoding='utf-8') as f:
+        text = f.read()
+    docs = [d for d in text.split('\n\x00\n') if len(d) >= chars]
+    return [d[:chars] for d in docs[:n]]
+
+
+def ppl_of(model_dir: str, texts, quant_policy: int = 0,
+           dtype: str = 'float32') -> float:
+    from lmdeploy_tpu import pipeline
+    from lmdeploy_tpu.messages import TpuEngineConfig
+    cfg = TpuEngineConfig(dtype=dtype, block_size=32, num_gpu_blocks=256,
+                          max_batch_size=4, session_len=1024,
+                          max_prefill_token_num=512,
+                          quant_policy=quant_policy)
+    pipe = pipeline(model_dir, backend_config=cfg)
+    try:
+        nlls = pipe.get_ppl(texts)
+    finally:
+        pipe.close()
+    return math.exp(sum(nlls) / len(nlls))
+
+
+def build_awq(work_dir: str):
+    from lmdeploy_tpu.lite.auto_awq import auto_awq
+    with open(os.path.join(ASSETS, 'corpus_train.txt'), encoding='utf-8') as f:
+        docs = f.read().split('\n\x00\n')
+    auto_awq(MODEL, work_dir, calib_samples=8, calib_seqlen=512,
+             calib_texts=docs[:64])
+    return work_dir
+
+
+def build_w8a8(work_dir: str):
+    from lmdeploy_tpu.lite.smooth_quant import smooth_quant
+    with open(os.path.join(ASSETS, 'corpus_train.txt'), encoding='utf-8') as f:
+        docs = f.read().split('\n\x00\n')
+    smooth_quant(MODEL, work_dir, calib_samples=8, calib_seqlen=512,
+                 calib_texts=docs[:64])
+    return work_dir
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--quick', action='store_true',
+                    help='fewer eval texts (CI smoke)')
+    ap.add_argument('--configs', default='all')
+    args = ap.parse_args()
+
+    if not os.path.isdir(MODEL):
+        print(f'{MODEL} missing — run eval/make_corpus.py + eval/train_tiny.py '
+              'first', file=sys.stderr)
+        return 2
+
+    texts = heldout_texts(8 if args.quick else 24)
+    print(f'{len(texts)} held-out texts', flush=True)
+    want = (set(THRESHOLDS) if args.configs == 'all'
+            else set(args.configs.split(',')))
+
+    results = {}
+    base = ppl_of(MODEL, texts)
+    results['fp32'] = {'ppl': round(base, 4)}
+    print(f'fp32 baseline ppl {base:.4f}', flush=True)
+
+    runs = []
+    if 'bf16' in want:
+        runs.append(('bf16', MODEL, 0, 'bfloat16'))
+    if 'w4a16' in want:
+        runs.append(('w4a16', build_awq('/tmp/ppl_gate_awq'), 0, 'float32'))
+    if 'w8a8' in want:
+        runs.append(('w8a8', build_w8a8('/tmp/ppl_gate_w8a8'), 0, 'float32'))
+    if 'kv8' in want:
+        runs.append(('kv8', MODEL, 4, 'float32'))
+    if 'kv4' in want:
+        runs.append(('kv4', MODEL, 8, 'float32'))
+    if 'kv_fp8' in want:
+        runs.append(('kv_fp8', MODEL, 16, 'float32'))
+
+    failed = []
+    for name, mdir, policy, dtype in runs:
+        ppl = ppl_of(mdir, texts, quant_policy=policy, dtype=dtype)
+        delta = (ppl - base) / base
+        ok = delta <= THRESHOLDS[name]
+        results[name] = {'ppl': round(ppl, 4), 'rel_delta': round(delta, 5),
+                         'threshold': THRESHOLDS[name], 'pass': ok}
+        print(f'{name:8s} ppl {ppl:.4f}  delta {delta * 100:+.2f}%  '
+              f'(limit {THRESHOLDS[name] * 100:.0f}%)  '
+              f'{"ok" if ok else "FAIL"}', flush=True)
+        if not ok:
+            failed.append(name)
+
+    results['_meta'] = {
+        'model': 'pylm-25m (trained on python-stdlib corpus, '
+                 'eval/train_tiny.py)',
+        'texts': len(texts),
+        'reference_tables': 'docs/en/quantization/kv_quant.md:146, '
+                            'w4a16.md:63',
+    }
+    with open(OUT_JSON, 'w') as f:
+        json.dump(results, f, indent=1)
+    print(f'wrote {OUT_JSON}')
+    return 1 if failed else 0
+
+
+if __name__ == '__main__':
+    raise SystemExit(main())

@@ -1,0 +1,274 @@
+"""Train a small-but-real llama-format LM for the offline accuracy gate.
+
+The quantization accuracy gate (eval/ppl_gate.py) needs a checkpoint whose
+weights have *real* statistics — random weights make every quant-ppl delta
+meaningless (VERDICT r3 missing #1).  With no network and no pretrained
+checkpoints in the image, we train one: a 25M-param llama (HF layout,
+loadable by lmdeploy_tpu and by transformers) on the local Python-source
+corpus from eval/make_corpus.py.
+
+Geometry is chosen to exercise every quantized serving path: GQA (8 q / 2 kv
+heads), group_size-128-divisible projections, untied lm_head.
+
+Run on the TPU (minutes) or CPU (hours):  python eval/train_tiny.py
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+ASSETS = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'assets')
+OUT = os.path.join(ASSETS, 'pylm-25m')
+
+CFG = {
+    'architectures': ['LlamaForCausalLM'],
+    'model_type': 'llama',
+    'hidden_size': 512,
+    'intermediate_size': 1408,
+    'num_hidden_layers': 6,
+    'num_attention_heads': 8,
+    'num_key_value_heads': 2,
+    'head_dim': 64,
+    'vocab_size': 8192,
+    'max_position_embeddings': 1024,
+    'rms_norm_eps': 1e-6,
+    'rope_theta': 10000.0,
+    'bos_token_id': 1,
+    'eos_token_id': 2,
+    'tie_word_embeddings': False,
+    'torch_dtype': 'float32',
+}
+
+SEQ = int(os.environ.get('TRAIN_SEQ', '512'))
+BATCH = int(os.environ.get('TRAIN_BATCH', '32'))
+STEPS = int(os.environ.get('TRAIN_STEPS', '3000'))
+SCAN = int(os.environ.get('TRAIN_SCAN', '10'))     # steps per device dispatch
+LR = float(os.environ.get('TRAIN_LR', '3e-4'))
+SEED = 0
+
+
+def train_tokenizer():
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers, trainers
+    tok = Tokenizer(models.BPE(unk_token=None))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    trainer = trainers.BpeTrainer(
+        vocab_size=CFG['vocab_size'],
+        special_tokens=['<pad>', '<s>', '</s>'],
+        initial_alphabet=pre_tokenizers.ByteLevel.alphabet())
+    with open(os.path.join(ASSETS, 'corpus_train.txt'), encoding='utf-8') as f:
+        text = f.read()
+    docs = text.split('\n\x00\n')
+    tok.train_from_iterator(docs, trainer)
+    os.makedirs(OUT, exist_ok=True)
+    tok.save(os.path.join(OUT, 'tokenizer.json'))
+    with open(os.path.join(OUT, 'tokenizer_config.json'), 'w') as f:
+        json.dump({'tokenizer_class': 'PreTrainedTokenizerFast',
+                   'bos_token': '<s>', 'eos_token': '</s>',
+                   'pad_token': '<pad>',
+                   'model_max_length': CFG['max_position_embeddings']}, f)
+    return tok, docs
+
+
+def tokenize_corpus(tok, docs):
+    cache = os.path.join(ASSETS, 'corpus_train_ids.npy')
+    if os.path.exists(cache):
+        return np.load(cache)
+    ids = []
+    bos, eos = CFG['bos_token_id'], CFG['eos_token_id']
+    for enc in tok.encode_batch(docs):
+        ids.append(np.asarray([bos] + enc.ids + [eos], np.uint16))
+    flat = np.concatenate(ids)
+    np.save(cache, flat)
+    return flat
+
+
+# ---------------------------------------------------------------- model ----
+
+def init_params(rng):
+    H, I, V = CFG['hidden_size'], CFG['intermediate_size'], CFG['vocab_size']
+    nh, nkv, hd = (CFG['num_attention_heads'], CFG['num_key_value_heads'],
+                   CFG['head_dim'])
+    L = CFG['num_hidden_layers']
+
+    def lin(key, fan_in, shape):
+        return (np.asarray(rng.standard_normal(shape), np.float32)
+                * (1.0 / np.sqrt(fan_in)))
+
+    layers = {
+        'wq': np.stack([lin(0, H, (H, nh * hd)) for _ in range(L)]),
+        'wk': np.stack([lin(0, H, (H, nkv * hd)) for _ in range(L)]),
+        'wv': np.stack([lin(0, H, (H, nkv * hd)) for _ in range(L)]),
+        'wo': np.stack([lin(0, nh * hd, (nh * hd, H)) for _ in range(L)]),
+        'wg': np.stack([lin(0, H, (H, I)) for _ in range(L)]),
+        'wu': np.stack([lin(0, H, (H, I)) for _ in range(L)]),
+        'wd': np.stack([lin(0, I, (I, H)) for _ in range(L)]),
+        'ln1': np.ones((L, H), np.float32),
+        'ln2': np.ones((L, H), np.float32),
+    }
+    return {
+        'embed': np.asarray(rng.standard_normal((V, H)), np.float32) * 0.02,
+        'layers': layers,
+        'norm': np.ones((H,), np.float32),
+        'lm_head': np.asarray(rng.standard_normal((H, V)), np.float32) * 0.02,
+    }
+
+
+def forward(params, tokens):
+    """Causal LM forward, HF-llama conventions (split-half rope, rmsnorm,
+    silu gate).  tokens [B, T] -> logits [B, T, V]."""
+    import jax
+    import jax.numpy as jnp
+
+    H = CFG['hidden_size']
+    nh, nkv, hd = (CFG['num_attention_heads'], CFG['num_key_value_heads'],
+                   CFG['head_dim'])
+    B, T = tokens.shape
+    x = params['embed'][tokens]                                    # [B,T,H]
+
+    pos = jnp.arange(T)
+    inv = 1.0 / (CFG['rope_theta']
+                 ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    ang = pos[:, None] * inv[None, :]                              # [T,hd/2]
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+
+    def rope(v):                                                   # [B,T,h,hd]
+        v1, v2 = v[..., :hd // 2], v[..., hd // 2:]
+        c = cos[None, :, None, :]
+        s = sin[None, :, None, :]
+        return jnp.concatenate([v1 * c - v2 * s, v2 * c + v1 * s], -1)
+
+    def rms(v, w):
+        v32 = v.astype(jnp.float32)
+        v32 = v32 * jax.lax.rsqrt(
+            jnp.mean(v32 * v32, -1, keepdims=True) + CFG['rms_norm_eps'])
+        return (v32 * w).astype(v.dtype)
+
+    mask = jnp.tril(jnp.ones((T, T), bool))
+
+    def layer(x, w):
+        h = rms(x, w['ln1'])
+        q = rope((h @ w['wq']).reshape(B, T, nh, hd))
+        k = rope((h @ w['wk']).reshape(B, T, nkv, hd))
+        v = (h @ w['wv']).reshape(B, T, nkv, hd)
+        k = jnp.repeat(k, nh // nkv, axis=2)
+        v = jnp.repeat(v, nh // nkv, axis=2)
+        att = jnp.einsum('bqhd,bkhd->bhqk', q, k) / np.sqrt(hd)
+        att = jnp.where(mask[None, None], att, -1e30)
+        att = jax.nn.softmax(att.astype(jnp.float32), -1).astype(x.dtype)
+        o = jnp.einsum('bhqk,bkhd->bqhd', att, v).reshape(B, T, nh * hd)
+        x = x + o @ w['wo']
+        h = rms(x, w['ln2'])
+        x = x + (jax.nn.silu(h @ w['wg']) * (h @ w['wu'])) @ w['wd']
+        return x, None
+
+    x, _ = jax.lax.scan(layer, x, params['layers'])
+    x = rms(x, params['norm'])
+    return x @ params['lm_head']
+
+
+def loss_fn(params, tokens):
+    import jax
+    import jax.numpy as jnp
+    logits = forward(params, tokens[:, :-1]).astype(jnp.float32)
+    tgt = tokens[:, 1:]
+    lp = jax.nn.log_softmax(logits, -1)
+    nll = -jnp.take_along_axis(lp, tgt[..., None], -1)[..., 0]
+    return nll.mean()
+
+
+# ---------------------------------------------------------------- train ----
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    print(f'backend={jax.default_backend()}', flush=True)
+    tok, docs = train_tokenizer()
+    flat = tokenize_corpus(tok, docs)
+    print(f'corpus: {len(flat) / 1e6:.1f}M tokens', flush=True)
+
+    rng = np.random.default_rng(SEED)
+    params = jax.device_put(init_params(rng))
+    warmup = min(100, max(STEPS // 10, 1))
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, LR, warmup_steps=warmup, decay_steps=STEPS + warmup,
+        end_value=LR * 0.05)
+    opt = optax.adamw(sched, weight_decay=0.01)
+    opt_state = jax.device_put(opt.init(params))
+
+    @jax.jit
+    def multi_step(params, opt_state, chunks):
+        """chunks [SCAN, BATCH, SEQ] -> SCAN optimizer steps per dispatch
+        (amortizes the tunnel RTT)."""
+        def step(carry, tokens):
+            p, s = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p, tokens)
+            updates, s = opt.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s), loss
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), chunks)
+        return params, opt_state, losses
+
+    n_tok = len(flat) - SEQ - 1
+    t0 = time.time()
+    done = 0
+    while done < STEPS:
+        n = min(SCAN, STEPS - done)
+        starts = rng.integers(0, n_tok, size=(n, BATCH))
+        chunks = np.stack([
+            np.stack([flat[s:s + SEQ].astype(np.int32) for s in row])
+            for row in starts])
+        params, opt_state, losses = multi_step(params, opt_state,
+                                               jnp.asarray(chunks))
+        done += n
+        losses = np.asarray(losses)
+        print(f'step {done}/{STEPS} loss {losses[-1]:.3f} '
+              f'ppl {np.exp(losses[-1]):.2f} '
+              f'({done / (time.time() - t0):.1f} steps/s)', flush=True)
+
+    save_hf(jax.device_get(params))
+
+
+def save_hf(params):
+    """Export to HF LlamaForCausalLM safetensors (weights are [out, in])."""
+    from safetensors.numpy import save_file
+    tensors = {
+        'model.embed_tokens.weight': params['embed'],
+        'model.norm.weight': params['norm'],
+        'lm_head.weight': np.ascontiguousarray(params['lm_head'].T),
+    }
+    L = CFG['num_hidden_layers']
+    lay = params['layers']
+    for i in range(L):
+        p = f'model.layers.{i}.'
+        tensors.update({
+            p + 'self_attn.q_proj.weight': np.ascontiguousarray(lay['wq'][i].T),
+            p + 'self_attn.k_proj.weight': np.ascontiguousarray(lay['wk'][i].T),
+            p + 'self_attn.v_proj.weight': np.ascontiguousarray(lay['wv'][i].T),
+            p + 'self_attn.o_proj.weight': np.ascontiguousarray(lay['wo'][i].T),
+            p + 'mlp.gate_proj.weight': np.ascontiguousarray(lay['wg'][i].T),
+            p + 'mlp.up_proj.weight': np.ascontiguousarray(lay['wu'][i].T),
+            p + 'mlp.down_proj.weight': np.ascontiguousarray(lay['wd'][i].T),
+            p + 'input_layernorm.weight': lay['ln1'][i],
+            p + 'post_attention_layernorm.weight': lay['ln2'][i],
+        })
+    tensors = {k: np.ascontiguousarray(v.astype(np.float16))
+               for k, v in tensors.items()}
+    os.makedirs(OUT, exist_ok=True)
+    save_file(tensors, os.path.join(OUT, 'model.safetensors'))
+    cfg = dict(CFG, torch_dtype='float16')
+    with open(os.path.join(OUT, 'config.json'), 'w') as f:
+        json.dump(cfg, f, indent=1)
+    print(f'saved {OUT} '
+          f'({os.path.getsize(os.path.join(OUT, "model.safetensors")) / 1e6:.0f} MB)')
+
+
+if __name__ == '__main__':
+    main()

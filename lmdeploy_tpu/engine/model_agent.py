@@ -895,22 +895,31 @@ class ModelAgent:
         async_engine.py:809 async_get_logits.
         """
         n = len(token_ids)
-        T = bucketize(n, self.chunk_buckets)
         W = max(len(block_ids), 1)
-        input_ids = np.zeros((1, T), np.int32)
-        input_ids[0, :n] = token_ids
-        positions = np.zeros((1, T), np.int32)
-        positions[0, :n] = np.arange(n)
         tables = np.zeros((1, W), np.int32)
         tables[0, :len(block_ids)] = block_ids
         fn = self._get_logits_fn()
-        logits, kv_cache = fn(
-            self.params, self.rope_cos, self.rope_sin,
-            self.cache_engine.kv_cache,
-            input_ids, positions, tables,
-            np.zeros(1, np.int32), np.asarray([n], np.int32))
-        self.cache_engine.swap_caches(kv_cache)
-        return np.asarray(logits[0, :n])
+        # sequences longer than the largest prefill bucket stream through the
+        # KV cache in chunks (same mechanism as chunked prefill), so ppl works
+        # at any length up to the allocated blocks
+        cap = max(self.chunk_buckets)
+        out = []
+        for start in range(0, n, cap):
+            chunk = token_ids[start:start + cap]
+            cn = len(chunk)
+            T = bucketize(cn, self.chunk_buckets)
+            input_ids = np.zeros((1, T), np.int32)
+            input_ids[0, :cn] = chunk
+            positions = np.zeros((1, T), np.int32)
+            positions[0, :cn] = np.arange(start, start + cn)
+            logits, kv_cache = fn(
+                self.params, self.rope_cos, self.rope_sin,
+                self.cache_engine.kv_cache,
+                input_ids, positions, tables,
+                np.asarray([start], np.int32), np.asarray([cn], np.int32))
+            self.cache_engine.swap_caches(kv_cache)
+            out.append(np.asarray(logits[0, :cn]))
+        return out[0] if len(out) == 1 else np.concatenate(out, axis=0)
 
     # -- sleep / wakeup / weight update (RL colocation; reference engine.py:566) -------
     def sleep(self, level: int = 1):

@@ -70,7 +70,12 @@ class QuantKV4:
 
     @property
     def shape(self):
-        return self.data.shape
+        # LOGICAL geometry [L, NB, 2, BS, ROWp]: consumers read the token
+        # capacity of a page from shape[3] (models compute slot mappings from
+        # it), so the packed byte-row dim (BS/2) must not leak here.  That bug
+        # scrambled every kv4 fill (caught by eval/ppl_gate.py: ppl 20 -> 924).
+        d = self.data.shape
+        return d[:3] + (d[3] * 2,) + d[4:]
 
     @property
     def dtype(self):

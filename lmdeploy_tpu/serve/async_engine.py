@@ -320,6 +320,10 @@ class AsyncEngine:
     async def async_get_ppl(self, input_ids: List[List[int]]) -> List[float]:
         """Per-prompt perplexity-style mean NLL (reference returns NLL sums/means)."""
         import numpy as np
+        # clamp to the model context (reference get_ppl windows over
+        # max_input_len; beyond session_len positions are meaningless)
+        cap = self.engine.configs.scheduler.max_session_len
+        input_ids = [ids[:cap] for ids in input_ids]
         logits = await self.async_get_logits(input_ids)
         ppls = []
         for ids, lg in zip(input_ids, logits):

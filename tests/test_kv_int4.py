@@ -151,3 +151,38 @@ def test_engine_e2e_kv_int4(tiny_model_dir):
     quant = gen(8)
     assert len(quant) == 8
     assert quant[:1] == full[:1]
+
+
+def test_logical_shape_drives_slot_mapping():
+    """Regression (round 4, found by eval/ppl_gate.py: kv4 ppl 20 -> 924):
+    models read the page token capacity from ``kv_cache.shape[3]`` to build
+    slot mappings.  QuantKV4 packs two tokens per byte row, so its ``.shape``
+    must report the LOGICAL block size, not ``data.shape[3] == BS/2`` —
+    otherwise every fill lands at half-stride and the cache is garbage."""
+    import jax
+    from lmdeploy_tpu.ops.attention import (compute_slot_mapping,
+                                            fill_kv_cache, gather_layer_kv)
+    from lmdeploy_tpu.ops.kv_quant import QuantKV4, quantize_rows_int4
+
+    L, NB, BS, Hkv, D = 2, 8, 32, 2, 64
+    cache = QuantKV4(jnp.zeros((L, NB, 2, BS // 2, Hkv * D), jnp.uint8),
+                     jnp.zeros((L, NB, 2, Hkv, BS), jnp.float32),
+                     jnp.zeros((L, NB, 2, Hkv, BS), jnp.float32))
+    assert cache.shape == (L, NB, 2, BS, Hkv * D)
+
+    # the model-level path: slot mapping computed FROM the wrapper's shape
+    rng = np.random.RandomState(0)
+    n, T = 45, 64
+    tables = jnp.asarray([[1, 2]], jnp.int32)
+    slots = compute_slot_mapping(tables, jnp.asarray([0], jnp.int32),
+                                 jnp.asarray([n], jnp.int32), T,
+                                 cache.shape[3])
+    k = jnp.asarray(rng.randn(T, Hkv, D), jnp.float32)
+    v = jnp.asarray(rng.randn(T, Hkv, D), jnp.float32)
+    cache = fill_kv_cache(cache, k, v, slots, jnp.int32(1))
+    kg, vg = gather_layer_kv(cache, jnp.int32(1), tables, Hkv, D)
+    kq, sc, mn = quantize_rows_int4(k)
+    want = np.asarray(kq, np.float32) * np.asarray(sc)[..., None] \
+        + np.asarray(mn)[..., None]
+    got = np.moveaxis(np.asarray(kg)[:, 0, :n], 0, 1)
+    np.testing.assert_allclose(got, want[:n], rtol=1e-5, atol=1e-5)
