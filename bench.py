@@ -203,9 +203,9 @@ def build_engine(quant=''):
         model=model_cfg,
         cache=CacheConfig(block_size=128, num_gpu_blocks=0,
                           cache_max_entry_count=0.7,
-                          max_prefill_token_num=4096),
+                          max_prefill_token_num=8192),
         scheduler=SchedulerConfig(max_batch_size=BATCH, max_session_len=session_len,
-                                  max_prefill_token_num=4096, max_prefill_batch=16),
+                                  max_prefill_token_num=8192, max_prefill_batch=16),
         dist=DistConfig(),
         misc=MiscConfig(empty_init=True),
     )
@@ -312,8 +312,13 @@ def _measure_hbm_gbs():
         def passes(n):
             @jax.jit
             def f(x):
+                # NB: the multiplier must not round to 1.0 in bf16 — XLA
+                # simplifies x*1 to a no-op and the "measured" rate becomes
+                # pure RTT (r3 recorded 115 TB/s this way).  1.0078125 is
+                # exactly representable in bf16; 64 passes drift the values
+                # by 1.6x without overflow.
                 return lax.fori_loop(
-                    0, n, lambda i, a: a * jnp.bfloat16(1.0000001), x)
+                    0, n, lambda i, a: a * jnp.bfloat16(1.0078125), x)
             return f
 
         f16, f64 = passes(16), passes(64)
@@ -363,9 +368,14 @@ async def ttft_child():
         await inst.async_end(9000 + i)
 
     try:
+        # warm with the SAME concurrency as the measured round: 8 concurrent
+        # prompts exercise the overlap-prefill dispatch + decode-run buckets
+        # the measured round hits (a 2-request warmup left two executables to
+        # compile inside the measured round: 2414 ms + 612 ms, most of the
+        # r3/r4 TTFT regression)
         warm = []
         await asyncio.wait_for(
-            asyncio.gather(*[one(i, warm) for i in range(2)]), 420)
+            asyncio.gather(*[one(i, warm) for i in range(TTFT_BATCH)]), 420)
         lat = []
         t0 = time.perf_counter()
         await asyncio.wait_for(
