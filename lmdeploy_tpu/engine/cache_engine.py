@@ -65,6 +65,21 @@ class CacheEngine:
                        cfg.num_key_value_heads, cache_config.block_size)
 
         def alloc():
+            if self.cache_config.quant_policy == QuantPolicy.TURBO_QUANT:
+                # K nibble-per-coord pages (V uses 2-bit fields of the same
+                # padded row) + per-token (norm, residual-norm) meta
+                from ..ops.kv_quant import QuantKVTurbo
+                _, rowt = kv_row_width(cfg.num_key_value_heads,
+                                       cfg.cache_head_dim // 2)
+                assert cfg.cache_head_dim % 4 == 0
+                z = jnp.zeros(shape[:3] + (cache_config.block_size, rowt),
+                              jnp.uint8)
+                if sharding is not None:
+                    z = jax.device_put(z, sharding)
+                meta_shape = (self.cache_layers, self.num_blocks, 2, 2,
+                              cfg.num_key_value_heads,
+                              cache_config.block_size)
+                return QuantKVTurbo(z, jnp.zeros(meta_shape, jnp.float32))
             if self.cache_config.quant_policy == QuantPolicy.KV_INT4:
                 # token-pair-packed 4-bit pages + per-token (scale, min)
                 from ..ops.kv_quant import QuantKV4
@@ -108,6 +123,13 @@ class CacheEngine:
         if policy == QuantPolicy.KV_INT4:   # nibble-packed + scale + min
             per = per // 2 + (2 * layers * self.cache_config.block_size *
                               cfg.num_key_value_heads * 8)
+        elif policy == QuantPolicy.TURBO_QUANT:
+            # K 4-bit + V sharing the K-width row (2-bit used) + 2 f32 metas
+            _, rowt = kv_row_width(cfg.num_key_value_heads,
+                                   cfg.cache_head_dim // 2)
+            per = (layers * 2 * self.cache_config.block_size * rowt
+                   + 2 * layers * 2 * self.cache_config.block_size *
+                   cfg.num_key_value_heads * 4)
         elif policy == QuantPolicy.KV_INT8:  # + per-token f32 scales
             per += (2 * layers * self.cache_config.block_size *
                     cfg.num_key_value_heads * 4)

@@ -1255,10 +1255,14 @@ class Engine:
                 # finalize the loop task instead of leaving it pending across
                 # a server restart (latent teardown race)
                 task_loop.call_soon_threadsafe(task.cancel)
-            else:
-                # the host loop is gone; the coroutine can never resume —
-                # silence the destroy-pending GC warning for this orphan
-                task._log_destroy_pending = False
+            # Whether or not the host loop is still running, a sync close()
+            # cannot await the cancellation: callers that tear the loop down
+            # before the scheduled cancel runs (run_until_complete tests,
+            # abrupt server exits) would GC a pending task and print
+            # "Task was destroyed but it is pending!".  async_loop() treats
+            # CancelledError as a clean exit, so suppressing the GC warning
+            # is safe either way.
+            task._log_destroy_pending = False
         self._loop_task = None
         self._executor.shutdown(wait=False)
         if getattr(self, '_profile_dir', None):

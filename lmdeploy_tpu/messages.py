@@ -21,6 +21,7 @@ class QuantPolicy(enum.IntEnum):
     KV_INT8 = 4
     KV_INT4 = 8
     KV_FP8 = 16
+    TURBO_QUANT = 42    # K = 4-bit QJL (3-bit Lloyd-Max + sign), V = 2-bit MSE
 
 
 @dataclass

@@ -85,10 +85,11 @@ def fill_kv_cache(kv_cache, k_new: jax.Array, v_new: jax.Array,
                     attention, overwritten by the next chunk/decode append) and
                     into padding block 0.
     """
-    from .kv_quant import QuantKV, QuantKV4, deint_scale_pos, quantize_rows, \
-        quantize_rows_int4
+    from .kv_quant import QuantKV, QuantKV4, QuantKVTurbo, deint_scale_pos, \
+        quantize_rows, quantize_rows_int4
 
-    if page_tables is not None and not isinstance(kv_cache, (QuantKV, QuantKV4)):
+    if page_tables is not None and not isinstance(
+            kv_cache, (QuantKV, QuantKV4, QuantKVTurbo)):
         L, nb, two, bs, hdp = kv_cache.shape
         B = page_tables.shape[0]
         T = k_new.shape[0] // B
@@ -103,6 +104,8 @@ def fill_kv_cache(kv_cache, k_new: jax.Array, v_new: jax.Array,
 
     if isinstance(kv_cache, QuantKV4):
         return _fill_kv4(kv_cache, k_new, v_new, slot_mapping, layer)
+    if isinstance(kv_cache, QuantKVTurbo):
+        return _fill_turbo(kv_cache, k_new, v_new, slot_mapping, layer)
 
     def plane_idx(nb, bs):
         # flat row index into the [L*NB*2*BS, HDp] view for (k plane, v plane)
@@ -142,6 +145,53 @@ def fill_kv_cache(kv_cache, k_new: jax.Array, v_new: jax.Array,
         jnp.concatenate([plane_rows(k_new, hdp), plane_rows(v_new, hdp)]
                         ).astype(kv_cache.dtype))
     return flat.reshape(L, nb, 2, bs, hdp)
+
+
+def _fill_turbo(kv_cache, k_new, v_new, slot_mapping, layer):
+    """Append rows into the TurboQuant k4v2 cache (quant_policy=42).
+
+    Both K and V rows are Hadamard-rotated per head, then coded (K: 3-bit
+    Lloyd-Max + QJL sign nibble; V: 2-bit Lloyd-Max) — reference
+    fill_kv_cache.py:325-515 + turbo_quant.py hadamard_rotate.  Byte packing
+    follows the reference's shift pattern: K byte at packed coord ``d`` holds
+    raw coords ``(d, d + D/2)``; V byte holds ``(d, d+D/4, d+D/2, d+3D/4)``
+    at 2-bit fields.
+    """
+    from .kv_quant import (QuantKVTurbo, hadamard_rotate, quantize_rows_turbo_k,
+                           quantize_rows_turbo_v)
+
+    L, nb, two, bs, rowt = kv_cache.data.shape
+    h = kv_cache.meta.shape[4]
+    N, Hkv, D = k_new.shape
+    D2, D4 = D // 2, D // 4
+
+    nib, mse, qjl = quantize_rows_turbo_k(hadamard_rotate(k_new))
+    kb = nib[..., :D2] | (nib[..., D2:] << 4)             # [N, Hkv, D/2]
+    code, vnorm = quantize_rows_turbo_v(hadamard_rotate(v_new))
+    vb = (code[..., :D4] | (code[..., D4:2 * D4] << 2)
+          | (code[..., 2 * D4:3 * D4] << 4) | (code[..., 3 * D4:] << 6))
+
+    block = slot_mapping // bs
+    off = slot_mapping % bs
+    k_idx = ((layer * nb + block) * 2 + 0) * bs + off
+    flat = kv_cache.data.reshape(L * nb * 2 * bs, rowt)
+    flat = flat.at[jnp.concatenate([k_idx, k_idx + bs])].set(
+        jnp.concatenate([plane_rows(kb, rowt), plane_rows(vb, rowt)]))
+
+    # meta [L, NB, 2, 2, Hkv, BS]: (K: mse, qjl), (V: norm, unused)
+    base = (layer * nb + block) * 2                              # [N]
+    h_idx = jnp.arange(h, dtype=jnp.int32)
+
+    def pos(kv, comp):
+        return ((((base[:, None] + kv) * 2 + comp) * h + h_idx[None, :]) * bs
+                + off[:, None]).reshape(-1)
+
+    meta = kv_cache.meta.reshape(-1)
+    meta = meta.at[pos(0, 0)].set(mse.reshape(-1))
+    meta = meta.at[pos(0, 1)].set(qjl.reshape(-1))
+    meta = meta.at[pos(1, 0)].set(vnorm.reshape(-1))
+    return QuantKVTurbo(flat.reshape(L, nb, 2, bs, rowt),
+                        meta.reshape(L, nb, 2, 2, h, bs))
 
 
 def _fill_kv4(kv_cache, k_new, v_new, slot_mapping, layer):
@@ -206,9 +256,40 @@ def gather_layer_kv(kv_cache, layer, block_tables, num_kv_heads: int,
     always-correct XLA path (chunked prefill continuation, CPU tests, CP
     decode where GSPMD inserts the cross-shard softmax collectives).
     """
-    from .kv_quant import QuantKV, QuantKV4
+    from .kv_quant import (QuantKV, QuantKV4, QuantKVTurbo, dequantize_turbo_k,
+                           dequantize_turbo_v)
 
     B, W = block_tables.shape
+
+    if isinstance(kv_cache, QuantKVTurbo):
+        # returns K/V in the ROTATED domain — paged_attention rotates q to
+        # match and inverse-rotates the output (reference default.py:354-383)
+        data = jax.lax.dynamic_index_in_dim(kv_cache.data, layer, 0, False)
+        meta = jax.lax.dynamic_index_in_dim(kv_cache.meta, layer, 0, False)
+        NB, _, bs, rowt = data.shape
+        D2, D4 = head_dim // 2, head_dim // 4
+        pages = data[block_tables]                       # [B, W, 2, BS, ROWt]
+        mg = meta[block_tables]                          # [B, W, 2, 2, Hkv, BS]
+
+        def mrow(kv, comp):
+            # [B, W, Hkv, BS] -> token-order [B, W, BS, Hkv]
+            return jnp.moveaxis(mg[:, :, kv, comp], 2, 3)
+
+        kb = pages[:, :, 0, :, :num_kv_heads * D2].reshape(
+            B, W, bs, num_kv_heads, D2)
+        nib = jnp.concatenate([kb & 0xF, kb >> 4], axis=-1)
+        k = dequantize_turbo_k(nib, mrow(0, 0), mrow(0, 1))
+        vb = pages[:, :, 1, :, :num_kv_heads * D4].reshape(
+            B, W, bs, num_kv_heads, D4)
+        code = jnp.concatenate([(vb >> (2 * j)) & 0x3 for j in range(4)],
+                               axis=-1)
+        v = dequantize_turbo_v(code, mrow(1, 0))
+
+        def out(x):
+            return jnp.moveaxis(x, 3, 0).reshape(
+                num_kv_heads, B, W * bs, head_dim)
+
+        return out(k), out(v)
 
     def to_heads(x, bs):
         # [B, W, BS, Hkv*D(+pad)] -> [Hkv, B, W*BS, D]
@@ -372,11 +453,31 @@ def paged_attention(q, kv_cache, block_tables, history_lens, q_lens, scale,
     * otherwise (chunked continuation, prefix-cache hits, CPU tests) -> XLA reference
       over gathered pages
     """
-    from .kv_quant import QuantKV, QuantKV4
+    from .kv_quant import QuantKV, QuantKV4, QuantKVTurbo
 
     T = q.shape[1]
     D = q.shape[3]
     quant = isinstance(kv_cache, (QuantKV, QuantKV4))
+    if isinstance(kv_cache, QuantKVTurbo):
+        # TurboQuant k4v2: cache rows live in the Hadamard-rotated domain.
+        # Fresh-prefill flash still runs on the chunk's own EXACT kv (as the
+        # other quant policies do on TPU); every cache-reading path rotates q
+        # into the cache domain and inverse-rotates the output (reference
+        # backends/cuda/attention/default.py:354-383).
+        import os
+        from .kv_quant import hadamard_rotate, hadamard_rotate_inv
+        if (_on_tpu() and fresh_prefill and chunk_kv is not None
+                and logit_softcap is None and window_size is None
+                and T >= 128 and not block_causal and chunk_local is None
+                and bidir_chunk is None and cp_mesh is None
+                and os.environ.get('LMDEPLOY_TPU_DISABLE_FLASH') != '1'):
+            return _flash_prefill(q, chunk_kv[0], chunk_kv[1], scale)
+        qr = hadamard_rotate(q).astype(q.dtype)
+        k, v = gather_layer_kv(kv_cache, layer, block_tables, num_kv_heads, D)
+        out = attention_dense_gathered(
+            qr, k, v, history_lens, scale, logit_softcap, window_size, sinks,
+            block_causal=block_causal, chunk_local=chunk_local)
+        return hadamard_rotate_inv(out).astype(q.dtype)
     if block_causal:
         # diffusion-LM block pattern: reference path only
         k, v = gather_layer_kv(kv_cache, layer, block_tables, num_kv_heads, D)

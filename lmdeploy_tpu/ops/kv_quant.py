@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @jax.tree_util.register_pytree_node_class
@@ -128,3 +129,151 @@ def quantize_rows_int4(x: jax.Array, eps: float = 1e-8):
 
 def dequantize_int4(q: jax.Array, scale: jax.Array, minv: jax.Array) -> jax.Array:
     return q.astype(jnp.float32) * scale[..., None] + minv[..., None]
+
+
+# ---------------------------------------------------------------- TurboQuant --
+# quant_policy=42 (reference QuantPolicy.TURBO_QUANT, messages.py:27): both K
+# and V are Hadamard-rotated per head at fill time (outliers spread evenly, so
+# aggressive per-coordinate codes survive), then coded per (token, head) row:
+#   K: 4 bits/coord = 3-bit Lloyd-Max index on the L2-normalized row + the
+#      sign bit of the code residual; meta = (mse_norm, qjl_norm)
+#      dequant: k ~= mse_norm * (centroid[idx] + qjl_norm * sign)
+#   V: 2 bits/coord = 2-bit Lloyd-Max index; meta = (norm, 0)
+# Reference: kernels/cuda/turbo_quant.py:1-192 (rotation + baked codebooks),
+# fill_kv_cache.py:325-515 (fill kernels), pagedattention.py:387-510
+# (dequant-on-score), backends/cuda/attention/default.py:354-383 (q rotated
+# into the cache domain, output rotated back).  Published cost: -7.3%
+# throughput vs fp16 KV (docs/en/quantization/kv_quant.md:62-64).
+
+# Lloyd-Max codebooks at sigma=1 (reference turbo_quant.py:164-186), scaled by
+# 1/sqrt(d) at use (rotated-normalized rows are ~N(0, 1/d) per coordinate).
+LLOYD_C3 = np.array([-2.1519456, -1.3439093, -0.7560052, -0.2450942,
+                     0.2450942, 0.7560052, 1.3439093, 2.1519456], np.float32)
+LLOYD_B3 = np.array([-1.7479274, -1.0499573, -0.5005497, 0.0,
+                     0.5005497, 1.0499573, 1.7479274], np.float32)
+LLOYD_C2 = np.array([-1.5104176, -0.4527808, 0.4527808, 1.5104176], np.float32)
+LLOYD_B2 = np.array([-0.9815992, 0.0, 0.9815992], np.float32)
+
+_HADAMARD_CACHE = {}
+
+
+def hadamard(d: int) -> np.ndarray:
+    """Normalized Walsh-Hadamard matrix Q = H/sqrt(d) (orthogonal, Q^-1 = Q^T;
+    reference turbo_quant.py get_hadamard_matrix).  d must be a power of 2."""
+    if d in _HADAMARD_CACHE:
+        return _HADAMARD_CACHE[d]
+    assert d & (d - 1) == 0, f'head_dim {d} not a power of 2'
+    H = np.array([[1.0]], np.float32)
+    while H.shape[0] < d:
+        H = np.block([[H, H], [H, -H]])
+    Q = (H / np.sqrt(d)).astype(np.float32)
+    _HADAMARD_CACHE[d] = Q
+    return Q
+
+
+def hadamard_rotate(x: jax.Array) -> jax.Array:
+    """Rotate the trailing head_dim axis: y = x @ Q^T (Q symmetric here, but
+    keep the reference's convention)."""
+    Q = jnp.asarray(hadamard(x.shape[-1]))
+    return jnp.einsum('...d,ed->...e', x.astype(jnp.float32), Q)
+
+
+def hadamard_rotate_inv(x: jax.Array) -> jax.Array:
+    Q = jnp.asarray(hadamard(x.shape[-1]))
+    return jnp.einsum('...d,de->...e', x.astype(jnp.float32), Q)
+
+
+def _lloyd_index(u: jax.Array, boundaries: np.ndarray) -> jax.Array:
+    """Code index per element: count of boundaries below (reference fill
+    kernel's chain of (u > b_i) adds)."""
+    idx = jnp.zeros(u.shape, jnp.uint8)
+    for b in boundaries:
+        idx = idx + (u > b).astype(jnp.uint8)
+    return idx
+
+
+def quantize_rows_turbo_k(k_rot: jax.Array, eps: float = 1e-8):
+    """ALREADY-ROTATED K rows [..., D] -> (nibbles u8 0..15 [..., D],
+    mse_norm [...], qjl_norm [...]).
+
+    nibble = 3-bit Lloyd-Max index | (residual sign << 3); norms follow the
+    reference fill kernel exactly (qjl_norm divided by sqrt(D))."""
+    D = k_rot.shape[-1]
+    xf = k_rot.astype(jnp.float32)
+    mse_norm = jnp.sqrt(jnp.sum(xf * xf, axis=-1) + eps)
+    u = xf / mse_norm[..., None]
+    sigma = np.float32(1.0 / np.sqrt(D))
+    idx = _lloyd_index(u, LLOYD_B3 * sigma)
+    cent = jnp.asarray(LLOYD_C3 * sigma)[idx]
+    r = u - cent
+    sign = (r >= 0).astype(jnp.uint8)
+    qjl_norm = jnp.sqrt(jnp.sum(r * r, axis=-1) + eps) / np.float32(np.sqrt(D))
+    return idx | (sign << 3), mse_norm, qjl_norm
+
+
+def dequantize_turbo_k(nib: jax.Array, mse_norm: jax.Array,
+                       qjl_norm: jax.Array) -> jax.Array:
+    """u8 nibbles [..., D] -> rotated-domain K (reference pagedattention.py
+    _k4v2 dequant: mse_norm * (centroid + qjl_norm * sign))."""
+    D = nib.shape[-1]
+    sigma = np.float32(1.0 / np.sqrt(D))
+    cent = jnp.asarray(LLOYD_C3 * sigma)[(nib & 0x7).astype(jnp.int32)]
+    sign = ((nib >> 3) & 0x1).astype(jnp.float32) * 2.0 - 1.0
+    return mse_norm[..., None] * (cent + qjl_norm[..., None] * sign)
+
+
+def quantize_rows_turbo_v(v_rot: jax.Array, eps: float = 1e-8):
+    """ALREADY-ROTATED V rows [..., D] -> (codes u8 0..3 [..., D], norm [...])."""
+    D = v_rot.shape[-1]
+    xf = v_rot.astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(xf * xf, axis=-1) + eps)
+    u = xf / norm[..., None]
+    sigma = np.float32(1.0 / np.sqrt(D))
+    return _lloyd_index(u, LLOYD_B2 * sigma), norm
+
+
+def dequantize_turbo_v(code: jax.Array, norm: jax.Array) -> jax.Array:
+    D = code.shape[-1]
+    sigma = np.float32(1.0 / np.sqrt(D))
+    return norm[..., None] * jnp.asarray(LLOYD_C2 * sigma)[code.astype(jnp.int32)]
+
+
+@jax.tree_util.register_pytree_node_class
+class QuantKVTurbo:
+    """TurboQuant k4v2 cache (quant_policy=42).
+
+    ``data``  u8 [L, NB, 2, BS, ROWp] — K plane: one nibble per coordinate,
+              token-pair-packed like QuantKV4 is NOT used here; instead each
+              token's K row packs coordinate pairs (d, d + D/2) into one byte
+              (low nibble = d, high = d + D/2), so a row uses Hkv*D/2 bytes.
+              V plane: 4 coords/byte ((d, d+D/4, d+D/2, d+3D/4) at bit pairs),
+              Hkv*D/4 bytes.  ROWp = lane-padded Hkv*D/2.
+    ``meta``  f32 [L, NB, 2, 2, Hkv, BS] — [.., 0, :, :] = (K: mse_norm,
+              V: norm), [.., 1, :, :] = (K: qjl_norm, V: unused).
+
+    ``.shape`` reports the LOGICAL [L, NB, 2, BS, ROWp] geometry (slot dim =
+    true block size) — see the QuantKV4 shape lesson.
+    """
+
+    def __init__(self, data, meta):
+        self.data = data
+        self.meta = meta
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def nbytes(self):
+        return self.data.nbytes + self.meta.nbytes
+
+    def tree_flatten(self):
+        return (self.data, self.meta), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
