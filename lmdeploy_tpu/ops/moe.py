@@ -76,6 +76,29 @@ def moe_ffn(xf: jax.Array,           # [N, H]
     inside the Pallas kernels of ops/pallas/quant_bmm.py.
     """
     N = xf.shape[0]
+    # Two-batch microbatch overlap (reference: model_agent/agent.py:349-355 +
+    # enable_microbatch envs, TurboMind batch.h phases): split the step's
+    # tokens into two independent halves so XLA's latency-hiding scheduler
+    # can overlap one half's 'ep' dispatch/combine collectives with the other
+    # half's expert GEMMs.  GSPMD inserts the collectives; the split only has
+    # to break the data dependence.  LMDEPLOY_TPU_MOE_MICROBATCH = minimum
+    # tokens PER HALF (0 = off); read at trace time, so set it before the
+    # engine builds.
+    mb = int(os.environ.get('LMDEPLOY_TPU_MOE_MICROBATCH', '0'))
+    if mb > 0 and N >= 2 * mb and N % 2 == 0:
+        h = N // 2
+        lo = _moe_ffn_one(xf[:h], top_idx[:h], top_w[:h], we_gate, we_up,
+                          we_down, out_dtype, allow_ragged, biases, act)
+        hi = _moe_ffn_one(xf[h:], top_idx[h:], top_w[h:], we_gate, we_up,
+                          we_down, out_dtype, allow_ragged, biases, act)
+        return jnp.concatenate([lo, hi], axis=0)
+    return _moe_ffn_one(xf, top_idx, top_w, we_gate, we_up, we_down,
+                        out_dtype, allow_ragged, biases, act)
+
+
+def _moe_ffn_one(xf, top_idx, top_w, we_gate, we_up, we_down, out_dtype,
+                 allow_ragged=True, biases=None, act=_silu_mul):
+    N = xf.shape[0]
     if isinstance(we_gate, dict):
         if allow_ragged and N >= QUANT_RAGGED_MIN_TOKENS:
             return _moe_ragged(xf, top_idx, top_w,

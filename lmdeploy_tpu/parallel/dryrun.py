@@ -142,13 +142,20 @@ def dryrun_moe(n_devices: int, verbose: bool = False):
     step = jax.jit(lambda p, kc: model.forward(p, ids, pos, kc, meta,
                                                cos, sin)[0],
                    donate_argnums=(1,))
-    with mesh:
-        logits = step(params, kc)
-        logits.block_until_ready()
+    # two-batch microbatch overlap (ops/moe.py; reference agent.py:349-355):
+    # validate that the split step compiles + runs under the same shardings
+    import os
+    os.environ['LMDEPLOY_TPU_MOE_MICROBATCH'] = '1'
+    try:
+        with mesh:
+            logits = step(params, kc)
+            logits.block_until_ready()
+    finally:
+        os.environ.pop('LMDEPLOY_TPU_MOE_MICROBATCH', None)
     assert logits.shape == (B, cfg.vocab_size)
     if verbose:
         print(f'moe dryrun ok: mesh=(dp={dp}, ep={ep}, tp={tp}), '
-              f'logits={logits.shape}')
+              f'microbatch=2, logits={logits.shape}')
     return logits
 
 

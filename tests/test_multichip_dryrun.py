@@ -189,3 +189,54 @@ def test_engine_ep2_end_to_end():
 
         prompt = [5, 17, 42, 30, 7]
         assert _engine_greedy(d, prompt, ep=2) == _engine_greedy(d, prompt)
+
+
+def test_engine_ep2_microbatch_token_identical(monkeypatch):
+    """DP+EP two-batch microbatch overlap (reference agent.py:349-355 +
+    TurboMind batch.h phases): splitting a step's tokens into two halves so
+    XLA overlaps one half's 'ep' collectives with the other's expert GEMMs
+    must be TOKEN-IDENTICAL to the unsplit step."""
+    import json
+    import tempfile
+
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    from conftest import make_tiny_tokenizer
+    from test_moe import MOE_CFG
+
+    with tempfile.TemporaryDirectory() as d:
+        with open(d + '/config.json', 'w') as f:
+            json.dump(MOE_CFG, f)
+        make_tiny_tokenizer(d, vocab_size=MOE_CFG['vocab_size'])
+        rng = np.random.RandomState(5)
+        c = MOE_CFG
+        H, V, E, I = (c['hidden_size'], c['vocab_size'],
+                      c['num_local_experts'], c['intermediate_size'])
+        nh, nkv, hd = (c['num_attention_heads'], c['num_key_value_heads'],
+                       c['hidden_size'] // c['num_attention_heads'])
+        t = {'model.embed_tokens.weight': rng.randn(V, H) * 0.02,
+             'model.norm.weight': np.ones(H),
+             'lm_head.weight': rng.randn(V, H) * 0.02}
+        for l in range(c['num_hidden_layers']):
+            p = f'model.layers.{l}.'
+            t[p + 'input_layernorm.weight'] = np.ones(H)
+            t[p + 'post_attention_layernorm.weight'] = np.ones(H)
+            t[p + 'self_attn.q_proj.weight'] = rng.randn(nh * hd, H) * 0.05
+            t[p + 'self_attn.k_proj.weight'] = rng.randn(nkv * hd, H) * 0.05
+            t[p + 'self_attn.v_proj.weight'] = rng.randn(nkv * hd, H) * 0.05
+            t[p + 'self_attn.o_proj.weight'] = rng.randn(H, nh * hd) * 0.05
+            t[p + 'block_sparse_moe.gate.weight'] = rng.randn(E, H) * 0.05
+            for e in range(E):
+                q = p + f'block_sparse_moe.experts.{e}.'
+                t[q + 'w1.weight'] = rng.randn(I, H) * 0.05
+                t[q + 'w2.weight'] = rng.randn(H, I) * 0.05
+                t[q + 'w3.weight'] = rng.randn(I, H) * 0.05
+        t = {k: np.ascontiguousarray(v.astype(np.float32))
+             for k, v in t.items()}
+        save_file(t, d + '/model.safetensors')
+
+        prompt = [5, 17, 42, 30, 7, 12]
+        base = _engine_greedy(d, prompt, ep=2)
+        monkeypatch.setenv('LMDEPLOY_TPU_MOE_MICROBATCH', '1')
+        assert _engine_greedy(d, prompt, ep=2) == base
