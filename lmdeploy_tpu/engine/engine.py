@@ -331,6 +331,17 @@ class Engine:
             base = seq.num_token_ids - len(token_ids)
             seq.mm_spans = (getattr(seq, 'mm_spans', None) or []) + [
                 (base + off, emb) for off, emb in zip(mm_offsets, mm_embeds)]
+            # content digests let the prefix trie distinguish blocks whose
+            # token ids are identical placeholder runs but whose image/audio
+            # content differs (reference: block_trie hashes multimodal
+            # fingerprints into block identity — trie.py, multimodal/data_type.py)
+            import hashlib
+            digests = getattr(seq, 'mm_digests', None) or []
+            for off, emb in zip(mm_offsets, mm_embeds):
+                d = hashlib.sha1(np.ascontiguousarray(emb).tobytes()).digest()
+                digests.append((base + off, base + off + len(emb),
+                                int.from_bytes(d[:8], 'little')))
+            seq.mm_digests = digests
         if getattr(self.model_agent.model, 'uses_mrope', False):
             # mrope (qwen2-vl): 3-component prompt positions + per-seq decode
             # delta; a continuation turn resumes from the stored cursor
@@ -422,6 +433,14 @@ class Engine:
             await self._async_loop_body()
         except asyncio.CancelledError:
             return          # Engine.close() cancels the loop task
+        except Exception as e:  # noqa: BLE001
+            # a crash OUTSIDE the step try (scheduling, swaps, prefix match)
+            # must still fail every pending request — otherwise callers await
+            # queues that will never be fed (found via a scheduler exception
+            # that hung a VLM request forever instead of erroring it)
+            logger.exception('engine loop crashed')
+            self._fail_all(e)
+            raise
 
     async def _async_loop_body(self):
         loop = asyncio.get_running_loop()

@@ -39,6 +39,24 @@ class BlockTrie:
     def _child_key(self, parent: Node, tokens: Tuple[int, ...]) -> Tuple:
         return (hash((parent.key, tokens)), tokens)
 
+    def _block_tokens(self, seq, i: int) -> Tuple:
+        """Block i's identity tuple: its exact token ids, salted with the
+        content digests of any multimodal spans overlapping the block.
+
+        VLM prompts repeat one placeholder id per image token, so raw token
+        hashing would alias different images; mixing (digest, relative span
+        start) in makes block identity content-exact (reference:
+        block_trie/trie.py image fingerprints via multimodal/data_type.py).
+        """
+        ids = seq.history_ids
+        lo, hi = i * self.block_size, (i + 1) * self.block_size
+        tokens = tuple(int(t) for t in ids[lo:hi])
+        spans = getattr(seq, 'mm_digests', None)
+        if not spans:
+            return tokens
+        salt = tuple((d, s - lo) for s, e, d in spans if s < hi and e > lo)
+        return tokens + salt if salt else tokens
+
     # -- match at admission ------------------------------------------------------------
     def match_prefix(self, seq) -> int:
         """Walk the trie over the prompt's full blocks; adopt matched blocks into the seq.
@@ -52,7 +70,7 @@ class BlockTrie:
         node = self.root
         matched: List[Node] = []
         for i in range(max_match):
-            tokens = tuple(int(t) for t in ids[i * self.block_size:(i + 1) * self.block_size])
+            tokens = self._block_tokens(seq, i)
             key = self._child_key(node, tokens)
             child = node.children.get(key)
             if child is None:
@@ -81,7 +99,7 @@ class BlockTrie:
         node = self.root
         ids = seq.history_ids
         for i in range(shared):
-            tokens = tuple(int(t) for t in ids[i * self.block_size:(i + 1) * self.block_size])
+            tokens = self._block_tokens(seq, i)
             key = self._child_key(node, tokens)
             nxt = node.children.get(key)
             if nxt is None or nxt.block != seq.logical_blocks[i]:
@@ -92,7 +110,7 @@ class BlockTrie:
         if node is None:
             return
         for i in range(shared, num_full):
-            tokens = tuple(int(t) for t in ids[i * self.block_size:(i + 1) * self.block_size])
+            tokens = self._block_tokens(seq, i)
             key = self._child_key(node, tokens)
             child = node.children.get(key)
             if child is None:

@@ -127,9 +127,34 @@ class NativeBlockTrie:
             lib.trie_destroy(self._h)
             self._h = None
 
+    def _salted_ids(self, seq) -> 'np.ndarray':
+        """Token-id stream with multimodal content digests mixed in.
+
+        The C++ trie hashes raw int32 ids per block; VLM prompts repeat one
+        placeholder id per image token, which would alias different images.
+        XOR-folding each span's digest (plus the in-span position) into the
+        ids makes block identity content-exact without touching the native
+        ABI — match and insert both go through this view, so the exact-token
+        guard stays consistent.
+        """
+        ids = np.ascontiguousarray(seq.history_ids, dtype=np.int32)
+        spans = getattr(seq, 'mm_digests', None)
+        if not spans:
+            return ids
+        ids = ids.copy()
+        for s, e, d in spans:
+            e = min(e, len(ids))
+            if s >= len(ids):
+                continue
+            span = np.arange(0, e - s, dtype=np.uint64)
+            mix = (np.uint64(d & 0xFFFFFFFFFFFFFFFF) + span) \
+                * np.uint64(0x9E3779B97F4A7C15)
+            ids[s:e] ^= (mix & np.uint64(0x7FFFFFFF)).astype(np.int32)
+        return ids
+
     def match_prefix(self, seq) -> int:
         assert seq.num_computed_tokens == 0 and not seq.logical_blocks
-        ids = np.ascontiguousarray(seq.history_ids, dtype=np.int32)
+        ids = self._salted_ids(seq)
         max_blocks = max(len(ids) - 1, 0) // self.block_size
         if max_blocks == 0:
             return 0
@@ -148,7 +173,7 @@ class NativeBlockTrie:
         num_full = seq.num_computed_tokens // self.block_size
         if num_full <= self._seq_shared.get(seq.seq_id, 0):
             return
-        ids = np.ascontiguousarray(seq.history_ids, dtype=np.int32)
+        ids = self._salted_ids(seq)
         blocks = (ctypes.c_int64 * num_full)(*seq.logical_blocks[:num_full])
         self._lib.trie_insert(
             self._h, ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

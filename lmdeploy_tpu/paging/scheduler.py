@@ -241,10 +241,11 @@ class Scheduler:
                 break
             if running_count + len(chunks) >= self.scheduler_config.max_batch_size:
                 break
-            if (self.block_trie is not None and seq.num_computed_tokens == 0
-                    and not getattr(seq, 'mm_spans', None)):
-                # multimodal prompts repeat one placeholder id for every image,
-                # so token-hash prefix matching would alias different images
+            if self.block_trie is not None and seq.num_computed_tokens == 0:
+                # multimodal prompts are cacheable too: block identity is
+                # salted with per-span content digests (block_trie
+                # _block_tokens / native _salted_ids), so identical
+                # placeholder runs with different images never alias
                 self.block_trie.match_prefix(seq)
                 if self.ssm_ckpt is not None and seq.num_computed_tokens > 0:
                     self._ssm_trim_match(seq)
@@ -434,7 +435,7 @@ class Scheduler:
                 seq.append_token(next_token)
                 seq.num_new_tokens += 1
             seq.status = MessageStatus.RUNNING
-        if self.block_trie is not None and not getattr(seq, 'mm_spans', None):
+        if self.block_trie is not None:
             self.block_trie.cache_seq_blocks(seq)
         self._free_out_of_window(seq)
 
@@ -442,7 +443,7 @@ class Scheduler:
         seq.append_token(next_token)
         seq.num_computed_tokens += 1
         seq.num_new_tokens += 1
-        if self.block_trie is not None and not getattr(seq, 'mm_spans', None):
+        if self.block_trie is not None:
             self.block_trie.cache_seq_blocks(seq)
         self._free_out_of_window(seq)
 
@@ -454,6 +455,6 @@ class Scheduler:
         n = len(token_ids)
         seq.num_computed_tokens += n
         seq.num_new_tokens += n
-        if self.block_trie is not None and not getattr(seq, 'mm_spans', None):
+        if self.block_trie is not None:
             self.block_trie.cache_seq_blocks(seq)
         self._free_out_of_window(seq)
