@@ -807,8 +807,6 @@ class Engine:
                 seq.dllm_start, seq.dllm_fixed = start, rem
                 seq.dllm_conf = np.zeros(D, np.float64)
                 seq.dllm_refresh = None
-                seq.dllm_rng = np.random.default_rng(
-                    seq.sampling_params.random_seed)
             need = seq.dllm_start + D - seq.num_computed_tokens
             if need <= 0 or self.scheduler.extend_decode_capacity(
                     seq, need, exclude=survivors):
@@ -843,47 +841,42 @@ class Engine:
         tables = np.zeros((B, W), np.int32)
         for i, s in enumerate(survivors):
             tables[i, :len(s.logical_blocks)] = s.logical_blocks
-        logits = await loop.run_in_executor(
-            self._executor, self.model_agent.dllm_logits,
-            ids, pos, tables, hist, ql)                       # [B, T, V]
+        temps = np.ones(B, np.float32)
+        tks = np.zeros(B, np.int32)
+        tps = np.ones(B, np.float32)
+        dos = np.zeros(B, bool)
+        seeds = np.zeros(B, np.uint32)
+        for i, s in enumerate(survivors):
+            p = s.sampling_params
+            sampled = bool(p.do_sample and p.temperature > 1e-6
+                           and p.top_k != 1)
+            dos[i] = sampled
+            if sampled:
+                temps[i] = max(p.temperature, 1e-6)
+                tks[i] = max(p.top_k, 0)
+                tps[i] = p.top_p if 0.0 < p.top_p < 1.0 else 1.0
+            s.dllm_step_no = getattr(s, 'dllm_step_no', 0) + 1
+            seeds[i] = np.uint32(((p.random_seed or 0)
+                                  + s.dllm_step_no * 2654435761) & 0xFFFFFFFF)
+        tok, conf = await loop.run_in_executor(
+            self._executor, self.model_agent.dllm_denoise,
+            ids, pos, tables, hist, ql, off, D, temps, tks, tps, dos, seeds)
         for i, seq in enumerate(survivors):
             seq.dllm_refresh = None
             if seq.status == MessageStatus.RUNNING:
-                self._dllm_denoise_row(seq, logits[i, off[i]:off[i] + D])
+                self._dllm_denoise_row(seq, tok[i], conf[i])
 
-    def _dllm_denoise_row(self, seq, logits):
-        """Sample + unmask one row's active block; commit when complete."""
+    def _dllm_denoise_row(self, seq, tok, conf):
+        """Unmask one row's active block from device-sampled (tok, conf);
+        commit when complete.  Sampling + confidence (raw softmax prob of the
+        chosen token, reference dllm/unmasking._get_scores) happen on device
+        inside ``model_agent.dllm_denoise`` — the host only runs the
+        [D]-sized unmasking strategy."""
         import numpy as np
         dllm = self.dllm
-        D, p = dllm.D, seq.sampling_params
-        lf = logits.astype(np.float32)
-        # confidence = softmax probability of the chosen token under the RAW
-        # logits (reference: dllm/unmasking.UnmaskingProcessor._get_scores)
-        lse = lf - lf.max(-1, keepdims=True)
-        probs = np.exp(lse)
-        probs /= probs.sum(-1, keepdims=True)
-        if p.do_sample and p.temperature > 1e-6 and p.top_k != 1:
-            scaled = lf / p.temperature
-            if p.top_k > 0:
-                kth = np.partition(scaled, -p.top_k, axis=-1)[:, -p.top_k]
-                scaled = np.where(scaled < kth[:, None], -np.inf, scaled)
-            sp = np.exp(scaled - scaled.max(-1, keepdims=True))
-            sp /= sp.sum(-1, keepdims=True)
-            if 0.0 < p.top_p < 1.0:
-                order = np.argsort(sp, axis=-1)[:, ::-1]
-                srt = np.take_along_axis(sp, order, -1)
-                keep = np.cumsum(srt, -1) - srt < p.top_p
-                kept = np.where(keep, srt, 0.0)
-                kept /= kept.sum(-1, keepdims=True)
-                draws = (kept.cumsum(-1) >
-                         seq.dllm_rng.random((D, 1))).argmax(-1)
-                tok = np.take_along_axis(order, draws[:, None], -1)[:, 0]
-            else:
-                tok = (sp.cumsum(-1) >
-                       seq.dllm_rng.random((D, 1))).argmax(-1)
-        else:
-            tok = lf.argmax(-1)
-        conf = probs[np.arange(D), tok]
+        D = dllm.D
+        tok = np.asarray(tok, np.int64)
+        conf = np.asarray(conf, np.float64)
         masked = seq.dllm_mask
         scores = np.where(masked, conf, 0.0)
         steps = dllm.steps or D

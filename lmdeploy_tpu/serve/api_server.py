@@ -375,27 +375,49 @@ def create_app(engine: AsyncEngine, model_name: str, api_key: Optional[str] = No
         return web.json_response({'status': 'ok'})
 
     async def distserve_export(request):
-        """PD: export a retained session's KV blocks (reference: distserve.py)."""
+        """PD: export a retained session's KV blocks (reference: distserve.py).
+
+        The device gather + serialization run on the ENGINE's device-executor
+        thread (reference analog: the dedicated migration loop,
+        engine_loop.py:591): migrations interleave between decode steps
+        instead of blocking the HTTP event loop — and never touch the cache
+        concurrently with a step.
+        """
+        import asyncio as _asyncio
+
         from .. import disagg
         session_id = int(request.match_info['session_id'])
-        payload = disagg.export_session_kv(engine.engine, session_id)
-        data = disagg.serialize_payload(payload)
+        loop = _asyncio.get_running_loop()
+
+        def work():
+            payload = disagg.export_session_kv(engine.engine, session_id)
+            return disagg.serialize_payload(payload)
+
+        data = await loop.run_in_executor(engine.engine._executor, work)
         if request.query.get('release', '1') == '1':
             disagg.release_exported(engine.engine, session_id)
         return web.Response(body=data,
                             content_type='application/octet-stream')
 
     async def distserve_import(request):
-        """PD: import migrated KV and register the RUNNING sequence."""
+        """PD: import migrated KV and register the RUNNING sequence (device
+        scatter queued on the engine's device thread, overlapping serving)."""
+        import asyncio as _asyncio
+
         from .. import disagg
         from ..paging.seq import SamplingParams
         session_id = int(request.query['session_id'])
         max_new = int(request.query.get('max_new_tokens', '512'))
-        payload = disagg.deserialize_payload(await request.read())
+        blob = await request.read()
         sp = SamplingParams(max_new_tokens=max_new,
                             stop_token_ids=list(engine.engine.model_config
                                                 .eos_token_id))
-        disagg.import_session_kv(engine.engine, session_id, payload, sp)
+        loop = _asyncio.get_running_loop()
+        await loop.run_in_executor(
+            engine.engine._executor,
+            lambda: disagg.import_session_kv(
+                engine.engine, session_id, disagg.deserialize_payload(blob),
+                sp))
         return web.json_response({'status': 'ok', 'session_id': session_id})
 
     async def distserve_prefill(request):
@@ -520,7 +542,11 @@ def create_app(engine: AsyncEngine, model_name: str, api_key: Optional[str] = No
                                     and not gen_config.ignore_eos) else 'length'
                 yield text, len(out_ids), reason
                 return
-            disagg.import_session_kv(engine.engine, local_sid, payload, sp)
+            import asyncio as _asyncio
+            await _asyncio.get_running_loop().run_in_executor(
+                engine.engine._executor,
+                lambda: disagg.import_session_kv(
+                    engine.engine, local_sid, payload, sp))
             queue = engine.engine.continue_session(local_sid)
             if text:
                 yield text, len(out_ids), None
