@@ -136,9 +136,13 @@ class ModelAgent:
                 # LMDEPLOY_TPU_CP_REF=1 falls back to the XLA reference
                 # whose softmax reductions become GSPMD collectives
                 tp = getattr(configs.dist, 'tp', 1)
+                hd = cfg.num_key_value_heads * cfg.cache_head_dim
                 if (os.environ.get('LMDEPLOY_TPU_CP_REF') == '1'
-                        or (tp > 1 and cfg.num_key_value_heads > 1)):
-                    # kernel CP needs a tp-replicated cache (MLA/MQA or tp=1)
+                        or (tp > 1 and (cfg.num_key_value_heads % tp
+                                        or hd % (128 * tp)))):
+                    # the tp-aware kernel CP needs kv heads (and their
+                    # lane-aligned row width) to divide over 'tp'; otherwise
+                    # fall back to the GSPMD reference attention
                     self.model.force_ref_attention = True
                 else:
                     self.model.cp_mesh = mesh
