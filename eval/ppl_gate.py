@@ -53,6 +53,7 @@ OUT_JSON = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 THRESHOLDS = {
     'bf16': 0.01,
     'w4a16': 0.13,
+    'w4_gptq': 0.13,
     'w8a8': 0.04,
     'kv8': 0.01,
     'kv4': 0.06,
@@ -97,6 +98,15 @@ def build_awq(work_dir: str):
     return work_dir
 
 
+def build_gptq(work_dir: str):
+    from lmdeploy_tpu.lite.gptq import auto_gptq
+    with open(os.path.join(ASSETS, 'corpus_train.txt'), encoding='utf-8') as f:
+        docs = f.read().split('\n\x00\n')
+    auto_gptq(MODEL, work_dir, calib_samples=8, calib_seqlen=512,
+              calib_texts=docs[:64])
+    return work_dir
+
+
 def build_w8a8(work_dir: str):
     from lmdeploy_tpu.lite.smooth_quant import smooth_quant
     with open(os.path.join(ASSETS, 'corpus_train.txt'), encoding='utf-8') as f:
@@ -133,6 +143,8 @@ def main():
         runs.append(('bf16', MODEL, 0, 'bfloat16'))
     if 'w4a16' in want:
         runs.append(('w4a16', build_awq('/tmp/ppl_gate_awq'), 0, 'float32'))
+    if 'w4_gptq' in want:
+        runs.append(('w4_gptq', build_gptq('/tmp/ppl_gate_gptq'), 0, 'float32'))
     if 'w8a8' in want:
         runs.append(('w8a8', build_w8a8('/tmp/ppl_gate_w8a8'), 0, 'float32'))
     if 'kv8' in want:

@@ -23,6 +23,8 @@ class ActStats:
     absmax: Optional[np.ndarray] = None    # [C] running max of |x|
     samples: List[np.ndarray] = field(default_factory=list)   # few [rows, C] f32
     count: int = 0
+    want_hessian: bool = False             # GPTQ: accumulate X^T X
+    hessian: Optional[np.ndarray] = None   # [C, C] f64
 
     def update(self, x: np.ndarray, max_sample_rows: int = 128):
         x2 = x.reshape(-1, x.shape[-1]).astype(np.float32)
@@ -36,6 +38,9 @@ class ActStats:
             self.absmean = (self.absmean * self.count + amean * n) / total
             self.absmax = np.maximum(self.absmax, amax)
             self.count = total
+        if self.want_hessian:
+            h = (x2.astype(np.float64).T @ x2.astype(np.float64))
+            self.hessian = h if self.hessian is None else self.hessian + h
         if sum(s.shape[0] for s in self.samples) < max_sample_rows:
             self.samples.append(x2[:max_sample_rows])
 
@@ -59,7 +64,8 @@ def default_calib_text() -> List[str]:
 
 
 def collect_stats(model, params_np: Dict, input_ids: np.ndarray,
-                  stats: Optional[Dict[str, ActStats]] = None) -> Dict[str, ActStats]:
+                  stats: Optional[Dict[str, ActStats]] = None,
+                  want_hessian: bool = False) -> Dict[str, ActStats]:
     """Instrumented forward over one [T] prompt; updates per-linear input stats.
 
     Stat keys: 'layers.{l}.attn_in' (wq/wk/wv input), 'layers.{l}.o_in',
@@ -72,7 +78,8 @@ def collect_stats(model, params_np: Dict, input_ids: np.ndarray,
     stats = stats if stats is not None else {}
 
     def stat(key, x):
-        stats.setdefault(key, ActStats()).update(np.asarray(x))
+        stats.setdefault(key, ActStats(want_hessian=want_hessian)).update(
+            np.asarray(x))
 
     T = len(input_ids)
     D = cfg.head_dim
@@ -119,6 +126,7 @@ def collect_stats(model, params_np: Dict, input_ids: np.ndarray,
 
 def run_calibration(model, params_np: Dict, tokenizer, texts: Optional[List[str]] = None,
                     calib_samples: int = 16, calib_seqlen: int = 512,
+                    want_hessian: bool = False,
                     ) -> Dict[str, ActStats]:
     texts = texts or default_calib_text()
     stats: Dict[str, ActStats] = {}
@@ -129,6 +137,7 @@ def run_calibration(model, params_np: Dict, tokenizer, texts: Optional[List[str]
         ids = tokenizer.encode(text)[:calib_seqlen]
         if len(ids) < 8:
             continue
-        collect_stats(model, params_np, np.asarray(ids, np.int32), stats)
+        collect_stats(model, params_np, np.asarray(ids, np.int32), stats,
+                      want_hessian=want_hessian)
         n += 1
     return stats

@@ -127,3 +127,25 @@ def mxfp4_dequant(blocks: np.ndarray, scales: np.ndarray) -> np.ndarray:
     scale = np.exp2(scales.astype(np.int32) - 127).astype(np.float32)
     out = vals * scale[..., None]
     return out.reshape(*blocks.shape[:-2], blocks.shape[-2] * 32)
+
+
+def pack_gptq_qweight(q: np.ndarray) -> np.ndarray:
+    """u8[K, N] -> i32[K/8, N] (sequential nibble order along K)."""
+    q = np.asarray(q, np.uint32)
+    K, N = q.shape
+    out = np.zeros((K // 8, N), np.uint32)
+    for i in range(8):
+        out |= q[i::8] << (4 * i)
+    return out.astype(np.int32)
+
+
+def pack_gptq_qzeros(z: np.ndarray) -> np.ndarray:
+    """u8[G, N] zero points -> i32[G, N/8] storing z-1 (the classic GPTQ
+    off-by-one; unpack_gptq_qzeros compensates)."""
+    z = np.asarray(z, np.int64) - 1
+    z = np.clip(z, 0, 15).astype(np.uint32)
+    G, N = z.shape
+    out = np.zeros((G, N // 8), np.uint32)
+    for i in range(8):
+        out |= z[:, i::8] << (4 * i)
+    return out.astype(np.int32)
