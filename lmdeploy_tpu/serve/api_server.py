@@ -368,10 +368,14 @@ def create_app(engine: AsyncEngine, model_name: str, api_key: Optional[str] = No
         return web.json_response({'text': text})
 
     async def abort_request(request):
+        """Abort one session, or ALL in-flight sessions when no session_id is
+        given (reference: stop_all_session epoch bump)."""
         data = await request.json()
         session_id = data.get('session_id')
         if session_id is not None:
             await engine.stop_session(int(session_id))
+        else:
+            await engine.stop_all_sessions()
         return web.json_response({'status': 'ok'})
 
     async def distserve_export(request):

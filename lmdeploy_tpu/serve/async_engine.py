@@ -67,6 +67,11 @@ class AsyncEngine:
         self.instance = self.engine.create_instance()
         self._session_counter = 0
         self._session_locks: Dict[int, asyncio.Lock] = {}
+        # abort-all coordination (reference: managers/session_manager.py
+        # Session.epoch + async_engine.stop_all_session): stop_all_sessions()
+        # bumps the epoch; a generate() bound to an older epoch aborts at its
+        # next loop turn even if it raced the cancellation sweep
+        self.epoch = 0
         self.stop_words: List[str] = list(getattr(self.chat_template, 'stop_words',
                                                   None) or [])
         self.id2step: Dict[int, int] = {}
@@ -78,6 +83,16 @@ class AsyncEngine:
 
     async def stop_session(self, session_id: int):
         await self.instance.async_cancel(session_id)
+
+    async def stop_all_sessions(self):
+        """Abort every in-flight request (reference: stop_all_session —
+        epoch bump + sweep; late racers see the stale epoch and drop)."""
+        self.epoch += 1
+        for sid in list(self.engine._requests.keys()):
+            try:
+                await self.instance.async_cancel(sid)
+            except Exception:  # noqa: BLE001 — session may have just finished
+                pass
 
     async def end_session(self, session_id: int):
         await self.instance.async_end(session_id)
@@ -185,10 +200,22 @@ class AsyncEngine:
         prev_len = 0
         finish_reason = None
         text_cache = ''
+        bound_epoch = self.epoch
 
         async for out in self.instance.async_stream_infer(
                 session_id, input_ids, gen_config,
                 mm_data=mm_images or None):
+            if self.epoch != bound_epoch:
+                # stop_all_sessions() ran after this request bound; drop it
+                # even if the cancel sweep raced past it
+                finish_reason = 'abort'
+                await self.stop_session(session_id)
+                yield GenOut(response='', history_token_len=0,
+                             input_token_len=len(input_ids),
+                             generate_token_len=len(out.token_ids),
+                             finish_reason=finish_reason,
+                             token_ids=[])
+                break
             ids = out.token_ids
             if out.status == ResponseType.FINISH:
                 finish_reason = 'length' if len(ids) >= gen_config.max_new_tokens \

@@ -403,3 +403,47 @@ def test_encode_and_ppl_and_sleep_state(server_client):
         assert r.status == 200
 
     loop.run_until_complete(run())
+
+
+def test_abort_all_sessions(server_client):
+    """POST /abort_request without session_id aborts every in-flight request
+    (reference: stop_all_session epoch bump); the server keeps serving."""
+    loop, client = server_client
+
+    async def run():
+        import json as _json
+
+        async def one_stream():
+            async with client.post('/v1/chat/completions', json={
+                    'model': 'tiny-test',
+                    'messages': [{'role': 'user', 'content': 'hello'}],
+                    'max_tokens': 200, 'stream': True,
+                    'ignore_eos': True}) as r:
+                reason = None
+                async for line in r.content:
+                    line = line.decode().strip()
+                    if not line.startswith('data: ') or line == 'data: [DONE]':
+                        continue
+                    chunk = _json.loads(line[6:])
+                    fr = chunk['choices'][0].get('finish_reason')
+                    if fr:
+                        reason = fr
+                return reason
+
+        tasks = [asyncio.ensure_future(one_stream()) for _ in range(3)]
+        await asyncio.sleep(0.8)               # let generation start
+        r = await client.post('/abort_request', json={})
+        assert r.status == 200
+        reasons = await asyncio.gather(*tasks)
+        assert all(x == 'abort' for x in reasons), reasons
+
+        # server still healthy afterwards
+        r = await client.post('/v1/chat/completions', json={
+            'model': 'tiny-test',
+            'messages': [{'role': 'user', 'content': 'hi'}],
+            'max_tokens': 4, 'temperature': 0})
+        assert r.status == 200
+        body = await r.json()
+        assert body['choices'][0]['finish_reason'] in ('length', 'stop')
+
+    loop.run_until_complete(run())
