@@ -164,6 +164,13 @@ def parent_main():
                 and w4.get('decode_only_tok_s', 0) > 0:
             out['w4a16_vs_bf16_decode_only'] = round(
                 w4['decode_only_tok_s'] / bf16['decode_only_tok_s'], 3)
+        if bf16 and bf16.get('bs8_decode_only_tok_s', 0) > 0 \
+                and w4.get('bs8_decode_only_tok_s', 0) > 0:
+            out['bs8_decode_only_tok_s'] = bf16['bs8_decode_only_tok_s']
+            out['w4a16_bs8_decode_only_tok_s'] = w4['bs8_decode_only_tok_s']
+            out['w4a16_vs_bf16_bs8'] = round(
+                w4['bs8_decode_only_tok_s'] / bf16['bs8_decode_only_tok_s'],
+                3)
 
     ttft = _run_phase('ttft', attempts)
     if ttft:
@@ -265,6 +272,39 @@ async def decode_child(quant):
         if dt > short_dt:
             res['decode_only_tok_s'] = round(
                 (total - short_total) / (dt - short_dt), 2)
+        # small-batch decode (bs=8): the regime the reference's W4A16
+        # headline measures (w4a16.md:119 is single-batch on a 4090) — at
+        # small batch decode is weight-streaming-bound and the 4-bit win
+        # shows up undiluted by attention/sampling shares.  A fresh engine
+        # with k=64 decode runs amortizes the tunnel's per-dispatch RTT
+        # (~30 ms), which at bs8 otherwise dominates the 1 ms steps.
+        import jax as _jax
+        res['_wbytes'] = sum(x.nbytes for x in _jax.tree_util.tree_leaves(
+            eng.model_agent.params))
+        eng.close()
+        # release the big KV cache before building the k=64 engine (its
+        # block-count derivation reads free HBM)
+        eng.model_agent.cache_engine.kv_cache = None
+        eng.model_agent.decode_state = None
+        os.environ['LMDEPLOY_TPU_DECODE_RUN'] = '64'
+        try:
+            eng8 = build_engine(quant)
+            sb = 8
+            await asyncio.wait_for(
+                run_round(eng8, sb, seed=4,
+                          new_tokens=2 * eng8.model_agent.decode_run_steps),
+                warmup_timeout)
+            t8, d8 = await asyncio.wait_for(
+                run_round(eng8, sb, seed=5, new_tokens=256), round_timeout)
+            t8s, d8s = await asyncio.wait_for(
+                run_round(eng8, sb, seed=6, new_tokens=64), round_timeout)
+            if d8 > d8s:
+                res['bs8_decode_only_tok_s'] = round(
+                    (t8 - t8s) / (d8 - d8s), 2)
+        finally:
+            os.environ.pop('LMDEPLOY_TPU_DECODE_RUN', None)
+        if quant:
+            res.pop('_wbytes', None)
     except asyncio.TimeoutError:
         if res['tok_s'] == 0.0:
             res['tok_s'] = round(w_total / w_dt, 2)
@@ -276,9 +316,7 @@ async def decode_child(quant):
         # the tunnel is v6e-class: ~1.6 TB/s, not the v5e 819 GB/s constant
         # earlier rounds divided by): each decode step reads all weights plus
         # the batch's KV pages.
-        import jax
-        wbytes = sum(x.nbytes for x in
-                     jax.tree_util.tree_leaves(eng.model_agent.params))
+        wbytes = res.pop('_wbytes')
         cfg = eng.configs.model
         avg_ctx = PROMPT_LEN + NEW_TOKENS / 2
         kv_bytes = (cfg.num_layers * 2 * cfg.num_key_value_heads
