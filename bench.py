@@ -362,8 +362,8 @@ def _measure_hbm_gbs():
         f16, f64 = passes(16), passes(64)
         for f in (f16, f64):          # compile + warm
             jax.device_get(f(x)[:1])
-        best = None
-        for _ in range(3):
+        rates = []
+        for _ in range(5):
             t0 = time.perf_counter()
             jax.device_get(f16(x)[:1])
             t1 = time.perf_counter()
@@ -371,9 +371,11 @@ def _measure_hbm_gbs():
             t2 = time.perf_counter()
             d = (t2 - t1) - (t1 - t0)
             if d > 0:
-                gbs = (64 - 16) * 2 * x.nbytes / d / 1e9
-                best = max(best or 0.0, gbs)
-        return best
+                rates.append((64 - 16) * 2 * x.nbytes / d / 1e9)
+        if not rates:
+            return None
+        rates.sort()
+        return rates[len(rates) // 2]     # median: the tunnel jitters both ways
     except Exception:
         return None
 
