@@ -387,6 +387,7 @@ class MiscConfig:
     dllm_denoising_steps: Optional[int] = None
     dllm_confidence_threshold: float = 0.85
     dllm_mask_token: int = 151669
+    memdecode: Optional[Dict] = None
 
 
 @dataclass
@@ -431,6 +432,7 @@ class EngineConfigBundle:
                           eager_mode=engine_config.eager_mode,
                           model_format=engine_config.model_format
                           or _detect_model_format(model),
+                          memdecode=getattr(engine_config, 'memdecode', None),
                           dllm_block_length=getattr(
                               engine_config, 'dllm_block_length', 0),
                           dllm_unmasking_strategy=getattr(

@@ -25,7 +25,8 @@ from ..messages import QuantPolicy
 class CacheEngine:
 
     def __init__(self, model_config: ModelConfig, cache_config: CacheConfig,
-                 mesh=None, cache_spec=None, reserved_bytes: int = 0):
+                 mesh=None, cache_spec=None, reserved_bytes: int = 0,
+                 extra_block_bytes: int = 0):
         import jax
         import jax.numpy as jnp
         from ..ops.attention import kv_row_width
@@ -34,6 +35,9 @@ class CacheEngine:
         self.cache_config = cache_config
         self.mesh = mesh
         self.reserved_bytes = reserved_bytes
+        # extra per-block bytes carried by auxiliary caches sharing the block
+        # ids (memdecode memory-model pages)
+        self.extra_block_bytes = extra_block_bytes
 
         if cache_config.num_gpu_blocks <= 0:
             cache_config.num_gpu_blocks = self._derive_num_blocks()
@@ -162,7 +166,7 @@ class CacheEngine:
             free = hbm - self.reserved_bytes - headroom
         budget = int(free * self.cache_config.cache_max_entry_count)
         cfg = self.model_config
-        num = max(budget // self.block_bytes(), 16)
+        num = max(budget // (self.block_bytes() + self.extra_block_bytes), 16)
         return int(num)
 
     def swap_caches(self, kv_cache):

@@ -146,9 +146,23 @@ class ModelAgent:
                     self.model.force_ref_attention = True
                 else:
                     self.model.cp_mesh = mesh
+        # MemDecode: wrap the base model into a composite running a second
+        # ("memory") model in lockstep, fusing per-step log-probs (reference:
+        # memdecode/agent.py + fusion.py; engine/memdecode.py here).  The
+        # composite's cache is a pytree {'pages', 'mem_pages'}, so every
+        # downstream mechanism works unchanged.
+        self._memdecode = getattr(configs.misc, 'memdecode', None)
+        if self._memdecode:
+            from .memdecode import build_memdecode
+            assert mesh is None, 'memdecode: single-chip only for now'
+            self.model, self.params = build_memdecode(
+                self.model, self.params, self._memdecode, configs)
         params_bytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(self.params))
         self.cache_engine = CacheEngine(cfg, configs.cache, mesh, cache_spec,
-                                        reserved_bytes=params_bytes)
+                                        reserved_bytes=params_bytes,
+                                        extra_block_bytes=(
+                                            self._mem_block_bytes()
+                                            if self._memdecode else 0))
         self.num_blocks = self.cache_engine.num_blocks
         # hybrid linear-attention models: per-slot recurrent/conv state rides
         # the cache pytree ({'pages', ...states}), donated through every step
@@ -163,6 +177,17 @@ class ModelAgent:
                     self.max_batch + 1).items()}
             self.cache_engine.kv_cache = dict(
                 pages=self.cache_engine.kv_cache, **states)
+        if self._memdecode:
+            # memory model pages: same (NB, BS) geometry, its own layer/head
+            # widths — one pytree cache, donated through every step
+            from ..ops.attention import kv_row_width
+            mc = self.model.mem_config
+            _, rowp = kv_row_width(mc.num_key_value_heads, mc.cache_head_dim)
+            mem_pages = jnp.zeros(
+                ((mc.num_cache_layers or mc.num_layers), self.num_blocks, 2,
+                 configs.cache.block_size, rowp), mc.jnp_dtype())
+            self.cache_engine.kv_cache = dict(
+                pages=self.cache_engine.kv_cache, mem_pages=mem_pages)
 
         # -- sampling state -----------------------------------------------------------
         # one extra garbage row for padding slots
@@ -515,6 +540,16 @@ class ModelAgent:
         feats = self.model.encode_time_series_raw(self.params, items)
         self.last_image_grids = []
         return feats
+
+    def _mem_block_bytes(self) -> int:
+        """Per-block bytes of the memdecode memory model's pages (added to
+        the base block cost when deriving the block count from free HBM)."""
+        from ..ops.attention import kv_row_width
+        mc = self.model.mem_config
+        _, rowp = kv_row_width(mc.num_key_value_heads, mc.cache_head_dim)
+        itemsize = 4 if mc.dtype == 'float32' else 2
+        return ((mc.num_cache_layers or mc.num_layers) * 2
+                * self.cache_config.block_size * rowp * itemsize)
 
     def encode_audio(self, items) -> List[np.ndarray]:
         """Run the AuT audio tower (qwen3-omni): one [n_tokens, H] per item

@@ -125,6 +125,11 @@ class TpuEngineConfig:
     dllm_denoising_steps: Optional[int] = None
     dllm_confidence_threshold: float = 0.85
     dllm_mask_token: int = 151669
+    # MemDecode: auxiliary memory model whose log-probs fuse with the base
+    # model's each step (reference: config.py MemDecodeConfig + memdecode/).
+    # {'memory_model_path', 'lambda_value', 'adaptive_router', 'router_path',
+    #  'lambda_base_only_threshold'}; None = disabled.
+    memdecode: Optional[Dict[str, Any]] = None
 
     def validate(self):
         assert self.tp >= 1 and self.dp >= 1 and self.ep >= 1 and self.cp >= 1

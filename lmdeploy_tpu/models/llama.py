@@ -649,4 +649,9 @@ class LlamaModel:
         last_idx = jnp.maximum(meta.q_lens - 1, 0)
         last_hidden = jnp.take_along_axis(
             hidden, last_idx[:, None, None], axis=1)[:, 0]            # [B,H]
+        if return_hidden:
+            # memdecode router conditions on the sampled position's features
+            last_pre = jnp.take_along_axis(
+                hidden_prenorm, last_idx[:, None, None], axis=1)[:, 0]
+            return head(last_hidden), kv_cache, last_pre
         return head(last_hidden), kv_cache
