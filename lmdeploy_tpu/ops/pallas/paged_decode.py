@@ -136,7 +136,10 @@ def _softmax_update(s, m_ref, l_ref, acc_ref, v, pr_scale=None, pr_const=None):
     l_ref[...] = alpha * l_prev + jnp.sum(pr, axis=2, keepdims=True)
     m_ref[...] = m_new
     pv_p = pr if pr_scale is None else pr * pr_scale
-    upd = jax.lax.dot_general(pv_p, v, (((2,), (1,)), ((0,), (0,))),
+    # match v's dtype: a bf16 V plane gets a bf16 probability operand (full
+    # MXU rate, f32 accumulation); dequantized f32 V keeps f32 probabilities
+    upd = jax.lax.dot_general(pv_p.astype(v.dtype), v,
+                              (((2,), (1,)), ((0,), (0,))),
                               preferred_element_type=jnp.float32)
     if pr_const is not None:
         upd = upd + jnp.sum(pr * pr_const, axis=2, keepdims=True)
@@ -198,7 +201,7 @@ def _decode_kernel(lengths_ref, tables_ref, meta_ref,         # scalar prefetch
     def _():
         start(0, p_lo, 0)
 
-    q = q_ref[...].astype(jnp.float32) * scale
+    q = q_ref[...] * jnp.asarray(scale, q_ref.dtype)   # bf16 MXU operand
     acc_ref[...] = jnp.zeros_like(acc_ref)
     m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
     l_ref[...] = jnp.zeros_like(l_ref)
@@ -223,15 +226,18 @@ def _decode_kernel(lengths_ref, tables_ref, meta_ref,         # scalar prefetch
             start(rb + 1, nxt_lo, 1 - slot)
 
         wait(slot, rb, p)
-        k = buf[slot, :, 0].astype(jnp.float32)           # [RB, BS, HDp]
+        # bf16 OPERANDS into the MXU, f32 accumulation (same trade as
+        # flash_prefill): f32 dots ran at half MXU rate and each page-step
+        # materialized two 2 MB f32 K/V converts in VMEM — measured 384 GB/s
+        # effective; bf16 operands remove both
+        k = buf[slot, :, 0]                               # [RB, BS, HDp] bf16
         s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
         if logit_softcap is not None:
             s = jnp.tanh(s / logit_softcap) * logit_softcap
         pos = p * BS + pos0
         s = jnp.where((pos < lens) & (pos >= ws_full), s, MASK_VALUE)
-        _softmax_update(s, m_ref, l_ref, acc_ref,
-                        buf[slot, :, 1].astype(jnp.float32))
+        _softmax_update(s, m_ref, l_ref, acc_ref, buf[slot, :, 1])
         return 0
 
     jax.lax.fori_loop(0, n_pages, body, 0)
