@@ -163,13 +163,21 @@ def _fill_turbo(kv_cache, k_new, v_new, slot_mapping, layer):
     L, nb, two, bs, rowt = kv_cache.data.shape
     h = kv_cache.meta.shape[4]
     N, Hkv, D = k_new.shape
-    D2, D4 = D // 2, D // 4
+    HD = Hkv * D
+    H2 = HD // 2
 
+    # PLANAR packing over the head-major flattened row P[Hkv*D]: K byte j
+    # holds nibbles (P[j], P[j + HD/2]); V byte j holds 2-bit fields
+    # (P[j], P[j + HD/2]) in its low nibble (the upper nibble is free — the
+    # row space is allocated at K's width anyway).  Halves decode into a
+    # single lane-aligned concat at HD/2, so the Pallas decode kernel needs
+    # no lane shuffles when HD/2 is a multiple of 128.
     nib, mse, qjl = quantize_rows_turbo_k(hadamard_rotate(k_new))
-    kb = nib[..., :D2] | (nib[..., D2:] << 4)             # [N, Hkv, D/2]
+    nibf = nib.reshape(N, HD)
+    kb = nibf[:, :H2] | (nibf[:, H2:] << 4)               # [N, HD/2]
     code, vnorm = quantize_rows_turbo_v(hadamard_rotate(v_new))
-    vb = (code[..., :D4] | (code[..., D4:2 * D4] << 2)
-          | (code[..., 2 * D4:3 * D4] << 4) | (code[..., 3 * D4:] << 6))
+    cf = code.reshape(N, HD)
+    vb = cf[:, :H2] | (cf[:, H2:] << 2)                   # [N, HD/2]
 
     block = slot_mapping // bs
     off = slot_mapping % bs
@@ -267,7 +275,6 @@ def gather_layer_kv(kv_cache, layer, block_tables, num_kv_heads: int,
         data = jax.lax.dynamic_index_in_dim(kv_cache.data, layer, 0, False)
         meta = jax.lax.dynamic_index_in_dim(kv_cache.meta, layer, 0, False)
         NB, _, bs, rowt = data.shape
-        D2, D4 = head_dim // 2, head_dim // 4
         pages = data[block_tables]                       # [B, W, 2, BS, ROWt]
         mg = meta[block_tables]                          # [B, W, 2, 2, Hkv, BS]
 
@@ -275,14 +282,16 @@ def gather_layer_kv(kv_cache, layer, block_tables, num_kv_heads: int,
             # [B, W, Hkv, BS] -> token-order [B, W, BS, Hkv]
             return jnp.moveaxis(mg[:, :, kv, comp], 2, 3)
 
-        kb = pages[:, :, 0, :, :num_kv_heads * D2].reshape(
-            B, W, bs, num_kv_heads, D2)
-        nib = jnp.concatenate([kb & 0xF, kb >> 4], axis=-1)
+        # planar order: K byte j = (P[j], P[j+HD/2]); V byte j = 4 quarters
+        HD = num_kv_heads * head_dim
+        kb = pages[:, :, 0, :, :HD // 2]
+        nib = jnp.concatenate([kb & 0xF, kb >> 4], axis=-1).reshape(
+            B, W, bs, num_kv_heads, head_dim)
         k = dequantize_turbo_k(nib, mrow(0, 0), mrow(0, 1))
-        vb = pages[:, :, 1, :, :num_kv_heads * D4].reshape(
-            B, W, bs, num_kv_heads, D4)
-        code = jnp.concatenate([(vb >> (2 * j)) & 0x3 for j in range(4)],
-                               axis=-1)
+        vb = pages[:, :, 1, :, :HD // 2]
+        code = jnp.concatenate([vb & 0x3, (vb >> 2) & 0x3],
+                               axis=-1).reshape(B, W, bs, num_kv_heads,
+                                                head_dim)
         v = dequantize_turbo_v(code, mrow(1, 0))
 
         def out(x):
@@ -473,6 +482,19 @@ def paged_attention(q, kv_cache, block_tables, history_lens, q_lens, scale,
                 and os.environ.get('LMDEPLOY_TPU_DISABLE_FLASH') != '1'):
             return _flash_prefill(q, chunk_kv[0], chunk_kv[1], scale)
         qr = hadamard_rotate(q).astype(q.dtype)
+        if (T == 1 and _on_tpu() and sinks is None
+                and (window_size is None
+                     or (isinstance(window_size, int) and window_size <= 0))
+                and not block_causal and chunk_local is None
+                and cp_mesh is None
+                and (num_kv_heads * D) % 256 == 0):
+            # streaming path: the Pallas turbo kernel decodes the planar
+            # codes arithmetically and applies norms on the score side
+            from .pallas.paged_decode import paged_decode_attention
+            out = paged_decode_attention(
+                qr[:, 0], kv_cache, block_tables, history_lens + 1, layer,
+                scale, num_kv_heads, logit_softcap=logit_softcap)
+            return hadamard_rotate_inv(out[:, None]).astype(q.dtype)
         k, v = gather_layer_kv(kv_cache, layer, block_tables, num_kv_heads, D)
         out = attention_dense_gathered(
             qr, k, v, history_lens, scale, logit_softcap, window_size, sinks,

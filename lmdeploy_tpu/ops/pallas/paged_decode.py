@@ -35,6 +35,7 @@ import functools
 from typing import Optional
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -330,6 +331,134 @@ def _decode_kernel_quant(lengths_ref, tables_ref, layer_ref,
         s = jnp.where(p * BS + pos0 < lens, s, MASK_VALUE)
         _softmax_update(s, m_ref, l_ref, acc_ref,
                         buf[slot, :, 1].astype(jnp.float32), pr_scale=vsc)
+        return 0
+
+    jax.lax.fori_loop(0, n_pages, body, 0)
+    l = l_ref[...]
+    out_ref[...] = (acc_ref[...] / jnp.where(l == 0.0, 1.0, l)
+                    ).astype(out_ref.dtype)
+
+
+def _decode_kernel_turbo(lengths_ref, tables_ref, layer_ref,
+                         q_ref,                         # [RB, HkvG, HDp] ROTATED
+                         pages_ref,                     # [L, NB, 2, BS, ROWt] u8
+                         meta_ref,                      # [L, NB, 2, 2, Hkv, BS]
+                         out_ref,
+                         buf, mbuf, sems, m_sems,
+                         acc_ref, m_ref, l_ref,
+                         *, RB: int, BS: int, G: int, scale: float,
+                         w_max: int, num_rb: int,
+                         logit_softcap: Optional[float]):
+    """TurboQuant k4v2 (quant_policy=42): planar-packed codes stream at 1/4
+    the bf16 bytes; decode is pure arithmetic (the Lloyd-Max codebooks are
+    ANTISYMMETRIC, so centroid = sign * 2-bit-magnitude LUT — no gathers),
+    halves concatenate at the lane-aligned HD/2 boundary, and the per-token
+    norms apply on the score side:
+
+        s   = (q.cent + qjl * (q.sgn)) * mse          (two MXU dots)
+        out += (p * vnorm) @ vcent                     (pr_scale machinery)
+
+    q arrives ROTATED into the cache domain (caller handles q rotation and
+    output inverse rotation — reference default.py:354-383).
+    """
+    rb = pl.program_id(0)
+    layer = layer_ref[0]
+
+    def start(rb_idx, p, slot):
+        for r in range(RB):
+            row = rb_idx * RB + r
+            @pl.when(p * BS < lengths_ref[row])
+            def _():
+                page = tables_ref[row, p]
+                pltpu.make_async_copy(pages_ref.at[layer, page],
+                                      buf.at[slot, r], sems.at[slot, r]).start()
+                pltpu.make_async_copy(meta_ref.at[layer, page],
+                                      mbuf.at[slot, r],
+                                      m_sems.at[slot, r]).start()
+
+            @pl.when(p * BS >= lengths_ref[row])
+            def _():
+                buf[slot, r] = jnp.zeros_like(buf[slot, r])
+                mbuf[slot, r] = jnp.zeros_like(mbuf[slot, r])
+
+    def wait(slot, rb_idx, p):
+        for r in range(RB):
+            @pl.when(p * BS < lengths_ref[rb_idx * RB + r])
+            def _():
+                pltpu.make_async_copy(buf.at[slot, r], buf.at[slot, r],
+                                      sems.at[slot, r]).wait()
+                pltpu.make_async_copy(mbuf.at[slot, r], mbuf.at[slot, r],
+                                      m_sems.at[slot, r]).wait()
+
+    n_pages = _prog_pages(lengths_ref, rb, RB, BS)
+    base = _base_parity(lengths_ref, rb, RB, BS)
+
+    @pl.when(rb == 0)
+    def _():
+        start(0, 0, 0)
+
+    HD = q_ref.shape[-1]
+    D = HD // (q_ref.shape[1] // G) if G else HD
+    sigk = np.float32(1.0 / np.sqrt(D))
+    q = q_ref[...].astype(jnp.float32) * scale
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
+    l_ref[...] = jnp.zeros_like(l_ref)
+    shape = (RB, q.shape[1], BS)
+    pos0 = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    lens = _row_lens(lengths_ref, rb, RB, shape)
+
+    def k_cent(idx):
+        # C3 antisymmetric: idx 0..7 -> sign(b2) * LUT2(m), m = b2? idx&3 :
+        # 3-(idx&3); LUT2 = sigma*(0.245, 0.756, 1.344, 2.152).  Mosaic has
+        # no u8->f32 cast, so bit math runs in i32.
+        b2 = (idx >> 2) & 1
+        m = jnp.where(b2 == 1, idx & 3, 3 - (idx & 3))
+        a = jnp.where((m >> 1) == 1,
+                      jnp.where((m & 1) == 1, 2.1519456, 1.3439093),
+                      jnp.where((m & 1) == 1, 0.7560052, 0.2450942))
+        return (b2.astype(jnp.float32) * 2.0 - 1.0) * a * sigk
+
+    def v_cent(c):
+        # C2: (-1.5104, -0.4528, +0.4528, +1.5104) = sign(b1)*where(b0==b1)
+        b0, b1 = c & 1, (c >> 1) & 1
+        a = jnp.where(b0 == b1, 1.5104176, 0.4527808)
+        return (b1.astype(jnp.float32) * 2.0 - 1.0) * a * sigk
+
+    def body(p, _):
+        slot = jax.lax.rem(base + p, 2)
+
+        @pl.when(p + 1 < n_pages)
+        def _():
+            start(rb, p + 1, 1 - slot)
+
+        @pl.when((p + 1 == n_pages) & (rb + 1 < num_rb))
+        def _():
+            start(rb + 1, 0, 1 - slot)
+
+        wait(slot, rb, p)
+        kb = buf[slot, :, 0].astype(jnp.int32)            # [RB, BS, ROWt]
+        lo, hi = kb & 0xF, (kb >> 4) & 0xF
+        cent = jnp.concatenate(
+            [k_cent(lo & 7), k_cent(hi & 7)], axis=-1)    # [RB, BS, HD]
+        sgn = jnp.concatenate(
+            [((lo >> 3) & 1).astype(jnp.float32) * 2.0 - 1.0,
+             ((hi >> 3) & 1).astype(jnp.float32) * 2.0 - 1.0], axis=-1)
+        mse = _expand_heads(mbuf[slot, :, 0, 0], G)       # [RB, HkvG, BS]
+        qjl = _expand_heads(mbuf[slot, :, 0, 1], G)
+        s1 = jax.lax.dot_general(q, cent, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        s2 = jax.lax.dot_general(q, sgn, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        s = (s1 + qjl * s2) * mse
+        if logit_softcap is not None:
+            s = jnp.tanh(s / logit_softcap) * logit_softcap
+        s = jnp.where(p * BS + pos0 < lens, s, MASK_VALUE)
+        vb = buf[slot, :, 1].astype(jnp.int32)
+        vcent = jnp.concatenate(
+            [v_cent(vb & 3), v_cent((vb >> 2) & 3)], axis=-1)
+        vnorm = _expand_heads(mbuf[slot, :, 1, 0], G)
+        _softmax_update(s, m_ref, l_ref, acc_ref, vcent, pr_scale=vnorm)
         return 0
 
     jax.lax.fori_loop(0, n_pages, body, 0)
@@ -716,7 +845,7 @@ def paged_decode_attention(q: jax.Array, kv_cache, block_tables: jax.Array,
     sliding-window size (int or traced per-layer scalar; None/<=0 = full
     attention; plain caches only); ``sinks`` [Hq] learned attention-sink
     logits join the softmax denominator.  Returns [B, Hq, D]."""
-    from ..kv_quant import QuantKV, QuantKV4
+    from ..kv_quant import QuantKV, QuantKV4, QuantKVTurbo
 
     B, Hq, D = q.shape
     G = Hq // num_kv_heads
@@ -729,9 +858,13 @@ def paged_decode_attention(q: jax.Array, kv_cache, block_tables: jax.Array,
 
     quant8 = isinstance(kv_cache, QuantKV)
     quant4 = isinstance(kv_cache, QuantKV4)
-    data = kv_cache.data if (quant8 or quant4) else kv_cache
-    hdp = data.shape[-1]
+    turbo = isinstance(kv_cache, QuantKVTurbo)
+    data = kv_cache.data if (quant8 or quant4 or turbo) else kv_cache
+    hdp = num_kv_heads * D if turbo else data.shape[-1]
     BS = data.shape[3] * (2 if quant4 else 1)
+    if turbo:
+        # planar halves decode via a lane-aligned concat; needs ROWt == HD/2
+        assert data.shape[-1] == hdp // 2 and hdp % 256 == 0,             'turbo decode kernel needs Hkv*D % 256 == 0'
 
     q_bd = _block_diag_q(q, num_kv_heads, hdp)
     RB = _pick_rb(B, HkvG, hdp)
@@ -752,7 +885,27 @@ def paged_decode_attention(q: jax.Array, kv_cache, block_tables: jax.Array,
         pltpu.VMEM((RB, HkvG, 1), jnp.float32),
     ]
 
-    if quant4:
+    if turbo:
+        kernel = functools.partial(_decode_kernel_turbo, G=G, **common)
+        rowt = data.shape[-1]
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(num_rb,),
+                in_specs=[q_spec] + [pl.BlockSpec(memory_space=pltpu.HBM)] * 2,
+                out_specs=out_spec,
+                scratch_shapes=[
+                    pltpu.VMEM((2, RB, 2, BS, rowt), jnp.uint8),
+                    pltpu.VMEM((2, RB, 2, 2, num_kv_heads, BS), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2, RB)),
+                    pltpu.SemaphoreType.DMA((2, RB)),
+                ] + softmax_scratch,
+            ),
+            out_shape=jax.ShapeDtypeStruct((num_rb * RB, HkvG, hdp), q.dtype),
+        )(kv_lens, block_tables, meta_arr, q_bd, kv_cache.data,
+          kv_cache.meta)
+    elif quant4:
         kernel = functools.partial(_decode_kernel_quant4, G=G, **common)
         out = pl.pallas_call(
             kernel,

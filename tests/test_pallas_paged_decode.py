@@ -297,3 +297,48 @@ def test_cp_decode_window_and_sinks():
             jnp.int32(LAYER), scale, Hkv, mesh, window=win, sinks=sinks,
             interpret=True))
         np.testing.assert_allclose(got, np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize('lens', [[64], [37, 128, 1, 200]])
+def test_turbo_decode_matches_gather_reference(lens):
+    """TurboQuant k4v2 kernel (planar codes, arithmetic centroid decode,
+    score-side norms) vs the XLA gather+dequant reference — identical up to
+    f32 accumulation order."""
+    from lmdeploy_tpu.ops.attention import compute_slot_mapping, fill_kv_cache
+    from lmdeploy_tpu.ops.kv_quant import QuantKVTurbo, hadamard_rotate
+
+    rng = np.random.RandomState(5)
+    B = len(lens)
+    Hkv, D, BS = 2, 128, 16          # Hkv*D = 256 (kernel alignment gate)
+    G = 4
+    NB, W = 96, 16
+    rowt = Hkv * D // 2
+
+    cache = QuantKVTurbo(jnp.zeros((L, NB, 2, BS, rowt), jnp.uint8),
+                         jnp.zeros((L, NB, 2, 2, Hkv, BS), jnp.float32))
+    tables = rng.permutation(np.arange(1, NB))[:B * W].reshape(
+        B, W).astype(np.int32)
+    # fill each row's context through the real fill path
+    for b, n in enumerate(lens):
+        slots = compute_slot_mapping(
+            jnp.asarray(tables[b:b + 1]), jnp.asarray([0], jnp.int32),
+            jnp.asarray([n], jnp.int32), n, BS)
+        k = jnp.asarray(rng.randn(n, Hkv, D), jnp.float32)
+        v = jnp.asarray(rng.randn(n, Hkv, D), jnp.float32)
+        cache = fill_kv_cache(cache, k, v, slots, jnp.int32(LAYER))
+
+    q = jnp.asarray(rng.randn(B, Hkv * G, D).astype(np.float32))
+    q_rot = hadamard_rotate(q.reshape(B, Hkv * G, D)).astype(jnp.float32)
+    kv_lens = np.asarray(lens, np.int32)
+    scale = D ** -0.5
+
+    out = paged_decode.paged_decode_attention(
+        q_rot, cache, jnp.asarray(tables), jnp.asarray(kv_lens),
+        jnp.int32(LAYER), scale, Hkv)
+    out = np.asarray(out)
+
+    k_g, v_g = gather_layer_kv(cache, jnp.int32(LAYER), jnp.asarray(tables),
+                               Hkv, D)
+    ref = attention_dense_gathered(q_rot[:, None], k_g, v_g,
+                                   jnp.asarray(kv_lens - 1), scale)[:, 0]
+    np.testing.assert_allclose(out, np.asarray(ref), rtol=2e-4, atol=2e-4)
