@@ -116,6 +116,15 @@ class ModelAgent:
             self._proj_fused = any(
                 k in fused.get('layers', {}) for k in ('wqkv', 'w_gateup'))
             self.params = fused
+        # W4A16: convert leaves to the stacked-kernel 'prepared' format so
+        # the layer scan streams weights with no per-layer slice copy (the
+        # round-4 bs64 decode regression; see ops/pallas/quant_matmul.py).
+        # Single-chip only: the mesh path shards per-projection f32 leaves.
+        if (mesh is None
+                and os.environ.get('LMDEPLOY_TPU_W4_STACKED', '1') != '0'
+                and hasattr(self.model, 'prep_quant_leaves')):
+            fast = os.environ.get('LMDEPLOY_TPU_W4_FAST', '0') == '1'
+            self.params = self.model.prep_quant_leaves(self.params, fast=fast)
 
         # -- rope tables --------------------------------------------------------------
         cos, sin = make_rope_table(cfg.rope_dim, self.max_model_len,

@@ -419,6 +419,26 @@ class LlamaModel:
                 del lp['w_gate'], lp['w_up']
         return dict(params, layers=lp)
 
+    def prep_quant_leaves(self, params, fast: bool = False):
+        """Convert w4a16 leaves to the stacked-kernel 'prepared' format
+        {'packed','sb','corr'} (ops/pallas/quant_matmul.py round-5 design):
+        the layer scan then closes over the full stacks and injects a traced
+        layer index, so the Pallas kernel streams weights with no per-layer
+        slice copy.  Only models running the stock LlamaModel.forward opt in
+        (same gate as fuse_projections); only 3-D [L, G, N] leaves convert.
+        """
+        if type(self).forward is not LlamaModel.forward \
+                or 'layers' not in params:
+            return params
+        from ..ops.pallas.quant_matmul import prep_w4
+        lp = dict(params['layers'])
+        for name, leaf in lp.items():
+            if (isinstance(leaf, dict) and 'packed' in leaf
+                    and 'scales' in leaf and leaf['packed'].ndim == 3):
+                sb, corr = prep_w4(leaf['scales'], leaf['zeros'], not fast)
+                lp[name] = {'packed': leaf['packed'], 'sb': sb, 'corr': corr}
+        return dict(params, layers=lp)
+
     def unfuse_projections(self, params):
         """Inverse of fuse_projections (slices the concatenated leaves)."""
         if not isinstance(params, dict) or 'layers' not in params:
@@ -543,6 +563,15 @@ class LlamaModel:
         lp = params['layers']
         has_bias = 'bq' in lp
         has_qknorm = 'q_norm' in lp
+        # prepared w4a16 stacks (prep_quant_leaves) stay OUT of the scan xs:
+        # scan slicing would materialize a per-layer copy before the Pallas
+        # custom-call.  The layer body re-injects them whole, tagged with the
+        # carried layer index, and the stacked kernel offsets its DMAs.
+        qstacks = {k: v for k, v in lp.items()
+                   if isinstance(v, dict) and 'sb' in v and 'packed' in v
+                   and v['packed'].ndim == 3}
+        if qstacks:
+            lp = {k: v for k, v in lp.items() if k not in qstacks}
         # S-LoRA: slot stacks attached by the agent as params['lora'] ride the
         # same layer scan; per-row adapter_ids gather each row's low-rank pair.
         lora = params.get('lora')
@@ -566,6 +595,10 @@ class LlamaModel:
         def layer_fn(carry, xs):
             w, lw = xs if lora is not None else (xs, None)
             h, kv_cache, layer = carry
+            if qstacks:
+                w = dict(w)
+                for k, st in qstacks.items():
+                    w[k] = dict(st, layer=layer)
             x = self._norm(h, w['attn_norm'], w.get('attn_norm_b'),
                            cfg.rms_norm_eps)
             q, k, v = self._qkv_proj(w, lw, x, lin, has_bias)

@@ -6,6 +6,8 @@ blocked_fp8 variants behind one build_linear API) and TurboMind's LlamaLinear
 
 A weight leaf is either a plain jax.Array [K, N] (dense) or a dict:
   {'packed': u8[K/2, N], 'scales': f32[K/gs, N], 'zeros': f32[K/gs, N]}  (w4a16)
+  {'packed': i32[L, K/8, N], 'sb': bf16, 'corr': f32|bf16 [, 'layer': i32]}
+      (w4a16 "prepared" stacked leaf — see prep_quant_leaves/quant_matmul)
   {'w8': i8[K, N], 'scale': f32[N]}                                      (w8a8)
   {'w8': fp8_e4m3[K, N], 'scale': f32[N]}                      (fp8 weight-only)
 Dispatch is static (pytree structure + w8 dtype), so one jitted step handles
@@ -70,13 +72,56 @@ def _w4a16(x: jax.Array, w: dict) -> jax.Array:
     K = x.shape[-1]
     x2d = x.reshape(-1, K)
     n_tok = x2d.shape[0]
-    gs = (K // w['scales'].shape[-2])
-    if _on_tpu() and n_tok <= _DENSE_SWITCH:
-        y = w4a16_matmul(x2d, w['packed'], w['scales'], w['zeros'], group_size=gs)
+    if 'sb' in w:
+        y = _w4a16_prepped(x2d, w)
     else:
-        # CPU fallback / env-forced: dequant to bf16, dense matmul
-        y = w4a16_matmul_reference(x2d, w['packed'], w['scales'], w['zeros'], gs)
+        gs = (K // w['scales'].shape[-2])
+        if _on_tpu() and n_tok <= _DENSE_SWITCH:
+            y = w4a16_matmul(x2d, w['packed'], w['scales'], w['zeros'],
+                             group_size=gs)
+        else:
+            # CPU fallback / env-forced: dequant to bf16, dense matmul
+            y = w4a16_matmul_reference(x2d, w['packed'], w['scales'],
+                                       w['zeros'], gs)
     return y.reshape(*lead, -1).astype(x.dtype)
+
+
+# token count at/below which the stacked W4A16 kernel beats dequant+dense
+# (above it the GEMM turns MXU-bound and dense runs at full matmul speed)
+_STACKED_MAX_M = 256
+
+
+def _w4a16_prepped(x2d: jax.Array, w: dict) -> jax.Array:
+    """Prepared leaf {'packed','sb','corr'[,'layer']}: stacked Pallas kernel
+    on TPU decode shapes, dense dequant otherwise (prefill / CPU).
+
+    The 'layer' key is a traced scalar injected by the model's layer scan
+    (LlamaModel.forward) so the kernel reads the full [L, ...] stacks with no
+    per-layer slice; see ops/pallas/quant_matmul.py (round-5 design)."""
+    from ..ops.attention import _on_tpu
+    from ..ops.pallas.quant_matmul import (dequant_w4_szc, w4a16_matmul_stacked)
+    K = x2d.shape[-1]
+    packed, sb, corr = w['packed'], w['sb'], w['corr']
+    gs = K // sb.shape[-2]
+    stacked = packed.ndim == 3
+    layer = w.get('layer')
+    kernel_ok = (_on_tpu() and x2d.shape[0] <= min(_STACKED_MAX_M,
+                                                   _DENSE_SWITCH)
+                 and K % (4 * gs) == 0 and (K // 4) % 128 == 0)
+    if stacked and kernel_ok:
+        li = layer if layer is not None else 0
+        return w4a16_matmul_stacked(x2d, packed, sb, corr, li, group_size=gs)
+    if not stacked and kernel_ok:
+        return w4a16_matmul_stacked(x2d, packed[None], sb[None], corr[None],
+                                    0, group_size=gs)
+    if stacked:
+        idx = layer if layer is not None else 0
+        packed = jax.lax.dynamic_index_in_dim(packed, idx, 0, keepdims=False)
+        sb = jax.lax.dynamic_index_in_dim(sb, idx, 0, keepdims=False)
+        corr = jax.lax.dynamic_index_in_dim(corr, idx, 0, keepdims=False)
+    wd = dequant_w4_szc(packed, sb, corr, gs)
+    return jnp.dot(x2d.astype(jnp.bfloat16), wd,
+                   preferred_element_type=jnp.float32)
 
 
 def _w8a8(x: jax.Array, w: dict) -> jax.Array:
