@@ -412,13 +412,52 @@ def w4a16_matmul_stacked(x: jax.Array,        # [B, K] bf16/f32
     return y[:B]
 
 
-# measured-best block_n at decode M<=64, stacked-layer regime
-# (benchmark/tune_w4a16.py; merged with the on-disk dispatch table —
-# see dispatch_table.py).
-_TUNED_BLOCKS_STACKED = {}
+# -- runtime GEMM dispatch table (reference analog: the per-GPU tuned
+# dispatch cache TurboMind persists and loads at startup,
+# src/turbomind/kernels/gemm/dispatch_cache.cu).  An in-tree JSON maps
+# device_kind -> {"KxN": block_n}, produced by benchmark/tune_w4a16.py
+# --write on the target chip; LMDEPLOY_TPU_W4_DISPATCH points at a
+# user-local table that overrides it.
+DISPATCH_PATH = __import__('os').path.join(
+    __import__('os').path.dirname(__import__('os').path.abspath(__file__)),
+    'w4a16_dispatch.json')
+_TUNED_BLOCKS_STACKED = None
+
+
+def _load_dispatch():
+    import os
+    table = {}
+    for path in (DISPATCH_PATH, os.environ.get('LMDEPLOY_TPU_W4_DISPATCH')):
+        if not path or not os.path.exists(path):
+            continue
+        try:
+            import json
+            with open(path) as f:
+                by_dev = json.load(f)
+        except (OSError, ValueError):
+            continue
+        try:
+            dev = jax.devices()[0].device_kind
+        except Exception:  # noqa: BLE001
+            dev = ''
+        # exact device first, else any entry whose key shares the family
+        # prefix (e.g. "TPU v5" matches "TPU v5 lite")
+        entries = by_dev.get(dev)
+        if entries is None:
+            for k, v in by_dev.items():
+                if dev and (k.startswith(dev[:6]) or dev.startswith(k[:6])):
+                    entries = v
+                    break
+        for key, bn in (entries or {}).items():
+            kk, nn = key.split('x')
+            table[(int(kk), int(nn))] = int(bn)
+    return table
 
 
 def _pick_blocks_stacked(K: int, N: int):
+    global _TUNED_BLOCKS_STACKED
+    if _TUNED_BLOCKS_STACKED is None:
+        _TUNED_BLOCKS_STACKED = _load_dispatch()
     if (K, N) in _TUNED_BLOCKS_STACKED:
         return _TUNED_BLOCKS_STACKED[(K, N)]
     return 1024

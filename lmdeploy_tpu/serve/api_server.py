@@ -104,24 +104,64 @@ def _completion_logprobs(entries, token_ids, tokenizer):
             'top_logprobs': top_logprobs, 'text_offset': []}
 
 
-def create_app(engine: AsyncEngine, model_name: str, api_key: Optional[str] = None):
+def create_app(engine: AsyncEngine, model_name: str, api_key: Optional[str] = None,
+               allow_origins: Optional[list] = None,
+               max_concurrent_requests: Optional[int] = None):
     from aiohttp import web
 
     def error_response(msg: str, status: int = 400) -> 'web.Response':
         body = {'error': ErrorResponse(message=msg).model_dump()}
         return web.json_response(body, status=status)
 
+    # concurrency limiter (reference: openai/api_server.py:159
+    # ConcurrencyLimitMiddleware — reject with 429 above the cap instead of
+    # queueing unboundedly); env fallback mirrors the reference's CLI flag.
+    limit = max_concurrent_requests or int(
+        os.environ.get('LMDEPLOY_TPU_MAX_CONCURRENT_REQUESTS', '0')) or None
+    inflight = {'n': 0}
+    _GEN_PATHS = ('/v1/chat/completions', '/v1/completions', '/generate',
+                  '/v1/messages', '/v1/responses', '/pooling', '/v1/encode')
+    origins = allow_origins if allow_origins is not None else [
+        o for o in os.environ.get('LMDEPLOY_TPU_ALLOW_ORIGINS', '').split(',')
+        if o]
+
+    def _cors_headers(request):
+        origin = request.headers.get('Origin')
+        if not origins or origin is None:
+            return {}
+        if '*' in origins or origin in origins:
+            return {'Access-Control-Allow-Origin': origin,
+                    'Access-Control-Allow-Methods': 'GET, POST, OPTIONS',
+                    'Access-Control-Allow-Headers':
+                        'Content-Type, Authorization'}
+        return {}
+
     @web.middleware
     async def auth_middleware(request, handler):
+        if request.method == 'OPTIONS':        # CORS preflight
+            return web.Response(headers=_cors_headers(request))
         if api_key is not None and request.path.startswith('/v1'):
             auth = request.headers.get('Authorization', '')
             if auth != f'Bearer {api_key}':
                 return error_response('invalid api key', 401)
+        limited = limit is not None and request.path in _GEN_PATHS
+        if limited and inflight['n'] >= limit:
+            resp = error_response('too many concurrent requests', 429)
+            resp.headers.update(_cors_headers(request))
+            return resp
+        if limited:
+            inflight['n'] += 1
         try:
-            return await handler(request)
+            resp = await handler(request)
         except ValueError as e:
             # user-input errors raised by the engine (e.g. prompt > session_len)
-            return error_response(str(e), 400)
+            resp = error_response(str(e), 400)
+        finally:
+            if limited:
+                inflight['n'] -= 1
+        if not getattr(resp, 'prepared', False):   # SSE already sent headers
+            resp.headers.update(_cors_headers(request))
+        return resp
 
     async def parse(request, model_cls):
         try:

@@ -447,3 +447,60 @@ def test_abort_all_sessions(server_client):
         assert body['choices'][0]['finish_reason'] in ('length', 'stop')
 
     loop.run_until_complete(run())
+
+
+def test_cors_and_concurrency_limit(tiny_model_dir):
+    """CORS preflight/echo headers + 429 above the concurrency cap
+    (reference: openai/api_server.py:159 limiter + CORS config)."""
+    import asyncio as aio
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from lmdeploy_tpu.messages import TpuEngineConfig
+    from lmdeploy_tpu.serve.api_server import create_app
+    from lmdeploy_tpu.serve.async_engine import AsyncEngine
+
+    loop = aio.new_event_loop()
+    cfg = TpuEngineConfig(dtype='float32', block_size=16, num_gpu_blocks=64,
+                          max_batch_size=8, session_len=256,
+                          max_prefill_token_num=128)
+    engine = AsyncEngine(tiny_model_dir, backend_config=cfg)
+    app = create_app(engine, 'tiny-test', allow_origins=['http://ui.local'],
+                     max_concurrent_requests=1)
+
+    async def run():
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            # CORS preflight
+            r = await client.options('/v1/chat/completions',
+                                     headers={'Origin': 'http://ui.local'})
+            assert r.status == 200
+            assert r.headers['Access-Control-Allow-Origin'] == 'http://ui.local'
+            # CORS headers on a normal response; disallowed origin gets none
+            r = await client.get('/v1/models',
+                                 headers={'Origin': 'http://ui.local'})
+            assert r.headers.get('Access-Control-Allow-Origin') == 'http://ui.local'
+            r = await client.get('/v1/models',
+                                 headers={'Origin': 'http://evil.local'})
+            assert 'Access-Control-Allow-Origin' not in r.headers
+            # concurrency limit: two generations at once -> one 429
+            body = {'model': 'tiny-test',
+                    'messages': [{'role': 'user', 'content': 'hi'}],
+                    'max_tokens': 8, 'temperature': 0}
+            r1, r2 = await aio.gather(
+                client.post('/v1/chat/completions', json=body),
+                client.post('/v1/chat/completions', json=body))
+            statuses = sorted([r1.status, r2.status])
+            assert statuses == [200, 429], statuses
+            # and the limiter releases: a later request succeeds
+            r = await client.post('/v1/chat/completions', json=body)
+            assert r.status == 200
+        finally:
+            await client.close()
+        return True
+
+    try:
+        assert loop.run_until_complete(run())
+    finally:
+        engine.close()
+        loop.close()
