@@ -81,6 +81,7 @@ def awq_quantize_params(model, params_np: Dict, stats: Dict[str, ActStats],
             'scales': scales.astype(np.float16),
         }
 
+    moe = 'we_gate' in lp
     for l in range(cfg.num_layers):
         p = f'model.layers.{l}.'
         # 1) attn_norm -> q/k/v
@@ -91,6 +92,42 @@ def awq_quantize_params(model, params_np: Dict, stats: Dict[str, ActStats],
         lp['attn_norm'][l] /= s
         for name in ('wq', 'wk', 'wv'):
             lp[name][l] *= s[:, None]
+        quant_store(p + 'self_attn.q_proj', lp['wq'][l])
+        quant_store(p + 'self_attn.k_proj', lp['wk'][l])
+        quant_store(p + 'self_attn.v_proj', lp['wv'][l])
+        quant_store(p + 'self_attn.o_proj', lp['wo'][l])
+
+        if moe:
+            # MoE block (reference awq.py:406 quantizes each expert on the
+            # tokens routed to it).  mlp_norm feeds EVERY expert's gate/up,
+            # so one shared scale folds into the norm; per-expert up->down
+            # scales fold within each expert.
+            st = stats[f'layers.{l}.mlp_in']
+            E = lp['we_gate'].shape[1]
+            s = _search_scale(
+                st.sample_matrix(),
+                [np.transpose(lp['we_gate'][l], (1, 0, 2)).reshape(
+                     lp['we_gate'].shape[2], -1),
+                 np.transpose(lp['we_up'][l], (1, 0, 2)).reshape(
+                     lp['we_up'].shape[2], -1)],
+                st.absmean, group_size)
+            lp['mlp_norm'][l] /= s
+            lp['we_gate'][l] *= s[None, :, None]
+            lp['we_up'][l] *= s[None, :, None]
+            for e in range(E):
+                est = stats.get(f'layers.{l}.experts.{e}.down_in')
+                if est is not None:
+                    se = _search_scale(est.sample_matrix(),
+                                       [lp['we_down'][l, e]], est.absmean,
+                                       group_size)
+                    lp['we_up'][l, e] /= se[None, :]
+                    lp['we_down'][l, e] *= se[:, None]
+                q = p + f'block_sparse_moe.experts.{e}.'
+                quant_store(q + 'w1', lp['we_gate'][l, e])
+                quant_store(q + 'w3', lp['we_up'][l, e])
+                quant_store(q + 'w2', lp['we_down'][l, e])
+            continue
+
         # 2) mlp_norm -> gate/up
         st = stats[f'layers.{l}.mlp_in']
         s = _search_scale(st.sample_matrix(), [lp['w_gate'][l], lp['w_up'][l]],
@@ -105,10 +142,6 @@ def awq_quantize_params(model, params_np: Dict, stats: Dict[str, ActStats],
         lp['w_up'][l] /= s[None, :]
         lp['w_down'][l] *= s[:, None]
 
-        quant_store(p + 'self_attn.q_proj', lp['wq'][l])
-        quant_store(p + 'self_attn.k_proj', lp['wk'][l])
-        quant_store(p + 'self_attn.v_proj', lp['wv'][l])
-        quant_store(p + 'self_attn.o_proj', lp['wo'][l])
         quant_store(p + 'mlp.gate_proj', lp['w_gate'][l])
         quant_store(p + 'mlp.up_proj', lp['w_up'][l])
         quant_store(p + 'mlp.down_proj', lp['w_down'][l])
@@ -155,6 +188,9 @@ def auto_awq(model_path: str, work_dir: str = './work_dir', w_bits: int = 4,
         tensors[p + 'input_layernorm.weight'] = lp['attn_norm'][l].astype(np.float16)
         tensors[p + 'post_attention_layernorm.weight'] = \
             lp['mlp_norm'][l].astype(np.float16)
+        if 'router' in lp:      # MoE router stays fp16 ([E, H] HF layout)
+            tensors[p + 'block_sparse_moe.gate.weight'] = \
+                np.ascontiguousarray(lp['router'][l].T).astype(np.float16)
         for src, hf in (('bq', 'self_attn.q_proj.bias'),
                         ('bk', 'self_attn.k_proj.bias'),
                         ('bv', 'self_attn.v_proj.bias')):

@@ -116,11 +116,43 @@ def collect_stats(model, params_np: Dict, input_ids: np.ndarray,
         h = h + attn @ w['wo']
         x = rms_norm(h, jnp.asarray(w['mlp_norm'], jnp.float32), cfg.rms_norm_eps)
         stat(f'layers.{l}.mlp_in', x)
-        gate = x @ w['w_gate']
-        up = x @ w['w_up']
-        act = (gate / (1 + jnp.exp(-gate))) * up          # silu(gate) * up
-        stat(f'layers.{l}.down_in', act)
-        h = h + act @ w['w_down']
+        if 'we_gate' in w:
+            # sparse-MoE block (mixtral/qwen2-moe geometry): route tokens,
+            # collect each expert's down-proj input over the tokens it
+            # actually processed (reference: lite/quantization/awq.py:406
+            # calibrates experts on their routed subsets)
+            xf = np.asarray(x.reshape(T, -1), np.float32)
+            logits = xf @ np.asarray(w['router'], np.float32)        # [T, E]
+            k = cfg.num_experts_per_tok
+            E = logits.shape[-1]
+            top_idx = np.argsort(-logits, axis=-1)[:, :k]            # [T, k]
+            probs = np.exp(logits - logits.max(-1, keepdims=True))
+            probs /= probs.sum(-1, keepdims=True)
+            moe_out = np.zeros_like(xf)
+            top_p = np.take_along_axis(probs, top_idx, axis=-1)
+            if cfg.norm_topk_prob:
+                top_p = top_p / np.maximum(top_p.sum(-1, keepdims=True),
+                                           1e-9)
+            for e in range(E):
+                rows = np.nonzero((top_idx == e).any(-1))[0]
+                if rows.size == 0:
+                    continue
+                xe = xf[rows]
+                gate = xe @ np.asarray(w['we_gate'][e], np.float32)
+                up = xe @ np.asarray(w['we_up'][e], np.float32)
+                act = (gate / (1 + np.exp(-gate))) * up
+                stat(f'layers.{l}.experts.{e}.down_in', act)
+                ye = act @ np.asarray(w['we_down'][e], np.float32)
+                wgt = np.where((top_idx[rows] == e), top_p[rows],
+                               0.0).sum(-1, keepdims=True)
+                moe_out[rows] += wgt * ye
+            h = h + jnp.asarray(moe_out.reshape(1, T, -1))
+        else:
+            gate = x @ w['w_gate']
+            up = x @ w['w_up']
+            act = (gate / (1 + jnp.exp(-gate))) * up      # silu(gate) * up
+            stat(f'layers.{l}.down_in', act)
+            h = h + act @ w['w_down']
     return stats
 
 
@@ -137,7 +169,9 @@ def run_calibration(model, params_np: Dict, tokenizer, texts: Optional[List[str]
         ids = tokenizer.encode(text)[:calib_seqlen]
         if len(ids) < 8:
             continue
-        collect_stats(model, params_np, np.asarray(ids, np.int32), stats,
+        ids = np.clip(np.asarray(ids, np.int32), 0,
+                      params_np['embed'].shape[0] - 1)
+        collect_stats(model, params_np, ids, stats,
                       want_hessian=want_hessian)
         n += 1
     return stats

@@ -80,12 +80,39 @@ def to_kernel_packed(q: np.ndarray) -> np.ndarray:
     return out.view(np.int32)
 
 
-def awq_qweight_to_kernel(qw: np.ndarray) -> np.ndarray:
-    return to_kernel_packed(unpack_awq_qweight(qw))
+def pad_k4(K: int, group_size: int = 128) -> int:
+    """K rounded up to a multiple of 4*group_size — the plane-packed layout
+    needs each of its 4 K-planes to hold whole quant groups.  Planes take
+    contiguous group ranges in K order, so padding lands at the END of K:
+    pad q rows are 0, pad scales 1, pad zeros 0 and the activation pads with
+    zeros at matmul time ((0-0)*1*0 contributes nothing — exact)."""
+    unit = 4 * group_size
+    return -(-K // unit) * unit
 
 
-def gptq_qweight_to_kernel(qw: np.ndarray) -> np.ndarray:
-    return to_kernel_packed(unpack_gptq_qweight(qw))
+def _pad_rows(q: np.ndarray, pad_to: int) -> np.ndarray:
+    if pad_to and pad_to > q.shape[0]:
+        q = np.concatenate(
+            [q, np.zeros((pad_to - q.shape[0], q.shape[1]), q.dtype)])
+    return q
+
+
+def pad_groups(a: np.ndarray, pad_to_g: int, value: float) -> np.ndarray:
+    """Pad a [G, N] scales/zeros tensor to pad_to_g group rows."""
+    a = np.asarray(a, np.float32)
+    if pad_to_g and pad_to_g > a.shape[0]:
+        a = np.concatenate(
+            [a, np.full((pad_to_g - a.shape[0], a.shape[1]), value,
+                        np.float32)])
+    return a
+
+
+def awq_qweight_to_kernel(qw: np.ndarray, pad_to: int = 0) -> np.ndarray:
+    return to_kernel_packed(_pad_rows(unpack_awq_qweight(qw), pad_to))
+
+
+def gptq_qweight_to_kernel(qw: np.ndarray, pad_to: int = 0) -> np.ndarray:
+    return to_kernel_packed(_pad_rows(unpack_gptq_qweight(qw), pad_to))
 
 
 # -- MXFP4 (gpt-oss checkpoints) --------------------------------------------------

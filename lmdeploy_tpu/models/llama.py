@@ -115,10 +115,12 @@ class LlamaModel:
     def _linear_shape(self, L: int, K: int, N: int):
         import jax
         if self.quant_method == 'w4a16':
+            from ..lite.formats import pad_k4
             gs = self.group_size
-            return {'packed': jax.ShapeDtypeStruct((L, K // 8, N), jnp.int32),
-                    'scales': jax.ShapeDtypeStruct((L, K // gs, N), jnp.float32),
-                    'zeros': jax.ShapeDtypeStruct((L, K // gs, N), jnp.float32)}
+            Kp = pad_k4(K, gs)       # plane-packed layout: K in whole groups x4
+            return {'packed': jax.ShapeDtypeStruct((L, Kp // 8, N), jnp.int32),
+                    'scales': jax.ShapeDtypeStruct((L, Kp // gs, N), jnp.float32),
+                    'zeros': jax.ShapeDtypeStruct((L, Kp // gs, N), jnp.float32)}
         if self.quant_method == 'w8a8':
             return {'w8': jax.ShapeDtypeStruct((L, K, N), jnp.int8),
                     'scale': jax.ShapeDtypeStruct((L, N), jnp.float32)}
@@ -262,6 +264,8 @@ class LlamaModel:
             ('model.layers.{}.self_attn.k_norm.weight', ('layers', 'k_norm'), ident, None),
         ]
         if self.quant_method == 'w4a16':
+            import functools as _ft
+
             from ..lite import formats
             fmt = (cfg.quantization_config or {}).get('quant_method', 'awq')
             if fmt == 'gptq':
@@ -270,14 +274,27 @@ class LlamaModel:
             else:
                 unpack_w = formats.awq_qweight_to_kernel
                 unpack_z = formats.unpack_awq_qzeros
+            gs = self.group_size
+            k_in = {'wq': cfg.hidden_size, 'wk': cfg.hidden_size,
+                    'wv': cfg.hidden_size, 'wo': q_out,
+                    'w_gate': cfg.hidden_size, 'w_up': cfg.hidden_size,
+                    'w_down': I}
             for hf, name in hf_linears:
+                kp = formats.pad_k4(k_in[name], gs)
+
+                def pad_s(x, g=kp // gs):
+                    return formats.pad_groups(x.astype('float32'), g, 1.0)
+
+                def pad_z(x, g=kp // gs, uz=unpack_z):
+                    return formats.pad_groups(uz(x), g, 0.0)
+
                 per_layer += [
                     (f'model.layers.{{}}.{hf}.qweight', ('layers', name, 'packed'),
-                     unpack_w, None),
+                     _ft.partial(unpack_w, pad_to=kp), None),
                     (f'model.layers.{{}}.{hf}.scales', ('layers', name, 'scales'),
-                     lambda x: x.astype('float32'), None),
+                     pad_s, None),
                     (f'model.layers.{{}}.{hf}.qzeros', ('layers', name, 'zeros'),
-                     unpack_z, None),
+                     pad_z, None),
                 ]
         elif self.quant_method == 'w8a8':
             for hf, name in hf_linears:

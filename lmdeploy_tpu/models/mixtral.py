@@ -36,6 +36,22 @@ class MixtralModel(LlamaModel):
         cfg = self.config
         E = cfg.num_experts
         Ie = cfg.moe_intermediate_size or I
+        if self.quant_method == 'w4a16':
+            # W4A16 expert stacks stay PACKED in HBM (4x residency saving —
+            # the reason to quantize MoE: fitting more/larger experts) and
+            # the selected layer's experts dequantize on the fly in _mlp.
+            import jax as _jax
+            gs = self.group_size
+
+            def q4(K, N):
+                return {'packed': _jax.ShapeDtypeStruct((L, E, K // 8, N),
+                                                        jnp.int32),
+                        'scales': _jax.ShapeDtypeStruct((L, E, K // gs, N),
+                                                        jnp.float32),
+                        'zeros': _jax.ShapeDtypeStruct((L, E, K // gs, N),
+                                                       jnp.float32)}
+            return {'router': (L, H, E), 'we_gate': q4(H, Ie),
+                    'we_up': q4(H, Ie), 'we_down': q4(Ie, H)}
         return {
             'router': (L, H, E),
             'we_gate': (L, E, H, Ie),
@@ -43,12 +59,30 @@ class MixtralModel(LlamaModel):
             'we_down': (L, E, Ie, H),
         }
 
+    @staticmethod
+    def _expert_weights(w, name, dtype):
+        """Dense [E, K, N] expert stack; dequantizes W4A16 leaves on the fly
+        (vmapped plane-unpack over E; one transient bf16 stack per layer)."""
+        leaf = w[name]
+        if not isinstance(leaf, dict) or 'packed' not in leaf:
+            return leaf
+        from ..ops.pallas.quant_matmul import dequant_w4
+        K8 = leaf['packed'].shape[-2]
+        gs = K8 * 8 // leaf['scales'].shape[-2]
+        return jax.vmap(lambda p, s, z: dequant_w4(p, s, z, gs, dtype))(
+            leaf['packed'], leaf['scales'], leaf['zeros'])
+
     def _mlp(self, w, x: jax.Array) -> jax.Array:
         from ..ops.moe import eplb_remap, moe_ffn
         cfg = self.config
         k = cfg.num_experts_per_tok
         B, T, H = x.shape
         xf = x.reshape(B * T, H)
+        if isinstance(w.get('we_gate'), dict):
+            w = dict(w,
+                     we_gate=self._expert_weights(w, 'we_gate', x.dtype),
+                     we_up=self._expert_weights(w, 'we_up', x.dtype),
+                     we_down=self._expert_weights(w, 'we_down', x.dtype))
 
         logits = jnp.dot(xf, w['router'],
                          preferred_element_type=jnp.float32)        # [N, E]
@@ -71,10 +105,41 @@ class MixtralModel(LlamaModel):
         # drop the dense-mlp entries inherited from the base class
         for l in range(cfg.num_layers):
             for mod in ('mlp.gate_proj', 'mlp.up_proj', 'mlp.down_proj'):
-                plan.pop(f'model.layers.{l}.{mod}.weight', None)
+                for part in ('weight', 'qweight', 'qzeros', 'scales'):
+                    plan.pop(f'model.layers.{l}.{mod}.{part}', None)
 
         def T(x):
             return np.ascontiguousarray(np.swapaxes(x, -1, -2))
+
+        if self.quant_method == 'w4a16':
+            from ..lite import formats
+            fmt = (cfg.quantization_config or {}).get('quant_method', 'awq')
+            unpack_w = (formats.gptq_qweight_to_kernel if fmt == 'gptq'
+                        else formats.awq_qweight_to_kernel)
+            unpack_z = (formats.unpack_gptq_qzeros if fmt == 'gptq'
+                        else formats.unpack_awq_qzeros)
+            for l in range(cfg.num_layers):
+                p = f'model.layers.{l}.'
+                plan[p + 'block_sparse_moe.gate.weight'] = \
+                    (('layers', 'router', l), T, None)
+                for e in range(cfg.num_experts):
+                    for prefix, leaf in ((f'block_sparse_moe.experts.{e}.w1',
+                                          'we_gate'),
+                                         (f'block_sparse_moe.experts.{e}.w3',
+                                          'we_up'),
+                                         (f'block_sparse_moe.experts.{e}.w2',
+                                          'we_down')):
+                        q = p + prefix
+                        plan[q + '.qweight'] = (
+                            ('layers', leaf, 'packed', l), unpack_w,
+                            _ExpertSlice(e))
+                        plan[q + '.scales'] = (
+                            ('layers', leaf, 'scales', l),
+                            lambda x: x.astype('float32'), _ExpertSlice(e))
+                        plan[q + '.qzeros'] = (
+                            ('layers', leaf, 'zeros', l), unpack_z,
+                            _ExpertSlice(e))
+            return plan
 
         for l in range(cfg.num_layers):
             p = f'model.layers.{l}.'

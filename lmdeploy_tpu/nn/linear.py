@@ -72,10 +72,15 @@ def _w4a16(x: jax.Array, w: dict) -> jax.Array:
     K = x.shape[-1]
     x2d = x.reshape(-1, K)
     n_tok = x2d.shape[0]
+    # K may be padded up to whole quant groups x 4 planes in the leaf
+    # (lite/formats.py pad_k4); pad rows are exact zeros in the product
+    Kp = w['packed'].shape[-2] * 8
+    if Kp > K:
+        x2d = jnp.pad(x2d, ((0, 0), (0, Kp - K)))
     if 'sb' in w:
         y = _w4a16_prepped(x2d, w)
     else:
-        gs = (K // w['scales'].shape[-2])
+        gs = (Kp // w['scales'].shape[-2])
         if _on_tpu() and n_tok <= _DENSE_SWITCH:
             y = w4a16_matmul(x2d, w['packed'], w['scales'], w['zeros'],
                              group_size=gs)

@@ -228,3 +228,58 @@ class TestRaggedDispatch:
         dense = np.asarray(_moe_dense_quant(xf, top_idx, top_w, wg, wu, wd,
                                             jnp.float32))
         np.testing.assert_allclose(got, dense, rtol=3e-4, atol=3e-4)
+
+
+def test_moe_awq_quantize_and_serve(moe_model_dir, tmp_path_factory):
+    """Offline AWQ of a MoE checkpoint (per-expert calibration on routed
+    tokens, reference lite/quantization/awq.py:406) and serving it: packed
+    int4 expert stacks resident, dequant-on-the-fly in _mlp."""
+    import asyncio
+
+    from lmdeploy_tpu.lite.auto_awq import auto_awq
+    from lmdeploy_tpu.engine.engine import Engine
+    from lmdeploy_tpu.messages import GenerationConfig, TpuEngineConfig
+
+    work = str(tmp_path_factory.mktemp('moe_awq'))
+    auto_awq(moe_model_dir, work_dir=work, w_group_size=32, calib_samples=4,
+             calib_seqlen=96)
+
+    import json as _json
+    import os as _os
+    with open(_os.path.join(work, 'config.json')) as f:
+        cfg = _json.load(f)
+    assert cfg['quantization_config']['quant_method'] == 'awq'
+    from safetensors import safe_open
+    with safe_open(_os.path.join(work, 'model.safetensors'),
+                   framework='np') as f:
+        names = set(f.keys())
+    assert 'model.layers.0.block_sparse_moe.experts.0.w1.qweight' in names
+    assert 'model.layers.0.block_sparse_moe.gate.weight' in names
+    assert 'model.layers.0.self_attn.q_proj.qweight' in names
+
+    def gen(model_dir, prompt, n):
+        ecfg = TpuEngineConfig(dtype='float32', block_size=16,
+                               num_gpu_blocks=32, max_batch_size=4,
+                               session_len=128, max_prefill_token_num=64)
+        eng = Engine.from_pretrained(model_dir, ecfg)
+
+        async def run():
+            inst = eng.create_instance()
+            out = await inst.async_infer(
+                1, prompt, GenerationConfig(max_new_tokens=n,
+                                            ignore_eos=True))
+            await inst.async_end(1)
+            return out.token_ids
+
+        loop = asyncio.new_event_loop()
+        try:
+            return loop.run_until_complete(run())
+        finally:
+            eng.close()
+            loop.close()
+
+    prompt = [1, 17, 42, 99, 7, 23]
+    dense = gen(moe_model_dir, prompt, 4)
+    quant = gen(work, prompt, 4)
+    assert len(quant) == 4
+    assert quant[0] == dense[0]     # greedy first token survives int4

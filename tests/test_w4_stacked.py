@@ -148,3 +148,33 @@ def test_llama_forward_injects_stacks(tiny_model_dir):
     # identical argmax and near-identical logits (scale-rounding only)
     assert (a.argmax(-1) == b.argmax(-1)).mean() > 0.9
     np.testing.assert_allclose(a, b, rtol=0.05, atol=0.2)
+
+
+def test_unaligned_k_pads_to_plane_groups():
+    """K=11008-style geometry (llama2-7b down_proj) pads to whole quant
+    groups x 4 planes (lite/formats.py pad_k4); the product is exact because
+    pad rows see zero activations and (0-0)*1 weights."""
+    from lmdeploy_tpu.lite import formats
+    from lmdeploy_tpu.nn.linear import linear
+    rng = np.random.RandomState(3)
+    K, N, gs = 160, 64, 32            # pad_k4 -> 256
+    assert formats.pad_k4(K, gs) == 256
+    w = rng.randn(K, N).astype(np.float32) * 0.05
+    # quantize the ORIGINAL K, emulate checkpoint tensors, then load-pad
+    g = K // gs
+    wg = w.reshape(g, gs, N)
+    sc = (wg.max(1) - wg.min(1)) / 15.0
+    sc = np.where(sc == 0, 1.0, sc)
+    zp = np.clip(np.round(-wg.min(1) / sc), 0, 15)
+    q = np.clip(np.round(wg / sc[:, None] + zp[:, None]), 0, 15
+                ).reshape(K, N).astype(np.uint8)
+    packed = formats.to_kernel_packed(formats._pad_rows(q, 256))
+    scales = formats.pad_groups(sc, 256 // gs, 1.0)
+    zeros = formats.pad_groups(zp, 256 // gs, 0.0)
+    x = jnp.asarray(rng.randn(4, K).astype(np.float32), jnp.bfloat16)
+    y = linear(x, {'packed': jnp.asarray(packed), 'scales': jnp.asarray(scales),
+                   'zeros': jnp.asarray(zeros)})
+    w_hat = ((q.reshape(g, gs, N) - zp[:, None]) * sc[:, None]).reshape(K, N)
+    y_ref = np.asarray(x, np.float32) @ w_hat
+    np.testing.assert_allclose(np.asarray(y, np.float32), y_ref,
+                               rtol=0.05, atol=0.05)
