@@ -47,7 +47,11 @@ SHAPES = [
 ]
 M = int(os.environ.get('TUNE_M', '64'))
 L = int(os.environ.get('TUNE_L', '22'))
-R = int(os.environ.get('TUNE_R', '40'))
+# device seconds per timing call: reps scale per shape so device time dwarfs
+# the tunnel's +-30ms transfer jitter (an R too small let noise pick losing
+# blocks — the r5 first-cut table cost 40% of engine decode throughput)
+SECS = float(os.environ.get('TUNE_SECS', '0.8'))
+SAMPLES = int(os.environ.get('TUNE_SAMPLES', '4'))
 FAST = os.environ.get('TUNE_FAST', '0') == '1'
 
 
@@ -84,7 +88,9 @@ def _best_time(fn, xs, stacks):
                for x in xs[1:])
 
 
-def timeit(stacks, xs, bn):
+def timeit(stacks, xs, bn, pgib):
+    est = max(pgib / 280.0 * L, 1e-5)        # rep seconds at ~300 GB/s (GiB/s)
+    R = max(20, int(SECS / est))
     lo = _best_time(make_run(stacks, R, bn), xs, stacks)
     hi = _best_time(make_run(stacks, 3 * R, bn), xs, stacks)
     return max((hi - lo) / (2 * R), 1e-9) / L
@@ -108,12 +114,12 @@ def main():
         sb, cc = prep_w4(s, z, precise=not FAST)
         stacks = (packed, sb, cc)
         xs = [jnp.asarray(rng.randn(M, K).astype(np.float32), jnp.bfloat16)
-              for _ in range(4)]
+              for _ in range(SAMPLES + 1)]
         pgib = K // 8 * N * 4 / 2**30
         rows = []
         for bn in bn_candidates(N):
             try:
-                t = timeit(stacks, xs, bn)
+                t = timeit(stacks, xs, bn, pgib)
             except Exception as e:  # noqa: BLE001
                 print(f'# K{K} N{N} bn{bn}: {type(e).__name__}',
                       file=sys.stderr)

@@ -104,7 +104,7 @@ def _w4a16_prepped(x2d: jax.Array, w: dict) -> jax.Array:
     (LlamaModel.forward) so the kernel reads the full [L, ...] stacks with no
     per-layer slice; see ops/pallas/quant_matmul.py (round-5 design)."""
     from ..ops.attention import _on_tpu
-    from ..ops.pallas.quant_matmul import (dequant_w4_szc, w4a16_matmul_stacked)
+    from ..ops.pallas.quant_matmul import w4a16_matmul_stacked
     K = x2d.shape[-1]
     packed, sb, corr = w['packed'], w['sb'], w['corr']
     gs = K // sb.shape[-2]
@@ -124,9 +124,8 @@ def _w4a16_prepped(x2d: jax.Array, w: dict) -> jax.Array:
         packed = jax.lax.dynamic_index_in_dim(packed, idx, 0, keepdims=False)
         sb = jax.lax.dynamic_index_in_dim(sb, idx, 0, keepdims=False)
         corr = jax.lax.dynamic_index_in_dim(corr, idx, 0, keepdims=False)
-    wd = dequant_w4_szc(packed, sb, corr, gs)
-    return jnp.dot(x2d.astype(jnp.bfloat16), wd,
-                   preferred_element_type=jnp.float32)
+    from ..ops.pallas.quant_matmul import w4a16_dense_szc
+    return w4a16_dense_szc(x2d, packed, sb, corr, gs)
 
 
 def _w8a8(x: jax.Array, w: dict) -> jax.Array:

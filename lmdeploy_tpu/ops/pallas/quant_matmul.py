@@ -310,6 +310,43 @@ def dequant_w4_szc(packed: jax.Array, sb: jax.Array, corr: jax.Array,
     return ((q - bias) * s - c).astype(dtype)
 
 
+def dequant_w4_biased(packed: jax.Array, sb: jax.Array,
+                      group_size: int = 128) -> jax.Array:
+    """bf16 (128 + q) * sb — the fast-mode kernel's main-term weights,
+    INCLUDING its per-weight bf16 product rounding.  The dense fallback uses
+    this so CPU/prefill results (and the accuracy gate) carry the same
+    numerics as the Pallas kernel."""
+    K8, N = packed.shape
+    planes = []
+    for j in range(4):
+        even = (packed >> (4 * j)) & 0xF
+        odd = (packed >> (16 + 4 * j)) & 0xF
+        planes.append(jnp.stack([even, odd], axis=1).reshape(K8 * 2, N))
+    q = jnp.concatenate(planes, axis=0).astype(jnp.bfloat16) + jnp.bfloat16(128)
+    s = jnp.repeat(sb.astype(jnp.bfloat16), group_size, axis=0)
+    return q * s                                   # bf16 product rounding
+
+
+def w4a16_dense_szc(x2d: jax.Array, packed: jax.Array, sb: jax.Array,
+                    corr: jax.Array, group_size: int = 128) -> jax.Array:
+    """Dense-path GEMM over prepared operands, numerics-matched to the
+    stacked kernel mode (corr dtype selects): used for CPU fallback and
+    prefill."""
+    xb = x2d.astype(jnp.bfloat16)
+    if corr.dtype == jnp.bfloat16:                 # precise mode
+        w = dequant_w4_szc(packed, sb, corr, group_size)
+        return jnp.dot(xb, w, preferred_element_type=jnp.float32)
+    B, K = xb.shape
+    G = K // group_size
+    wmain = dequant_w4_biased(packed, sb, group_size)
+    y = jnp.dot(xb, wmain, preferred_element_type=jnp.float32)
+    xg = xb.astype(jnp.float32).reshape(B, G, group_size).sum(-1)
+    c = jnp.dot(xg, corr.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    return y - c
+
+
 def _w4a16_kernel_stacked(li_ref, x0, x1, x2, x3, xg_ref, p_ref, s_ref, c_ref,
                           out_ref, *, group_rows: int, groups_per_plane: int,
                           precise: bool):

@@ -84,9 +84,14 @@ def test_linear_dispatch_prepped_leaf(precise):
                        'layer': jnp.int32(li)})
         p, s, z = refs[li]
         y_old = linear(x, {'packed': p, 'scales': s, 'zeros': z})
+        # fast mode carries the kernel's per-weight bf16 product rounding
+        # even on the CPU dense path (numerics-matched fallback)
+        # (fast error scales ~0.15*s*sqrt(K) across the reduction)
+        tol = float(np.asarray(s).max()) * (1.0 if precise
+                                            else 1.5 * np.sqrt(K))
         np.testing.assert_allclose(np.asarray(y, np.float32),
                                    np.asarray(y_old, np.float32),
-                                   rtol=0, atol=float(np.asarray(s).max()))
+                                   rtol=0, atol=tol)
 
 
 def test_llama_forward_injects_stacks(tiny_model_dir):
