@@ -153,6 +153,17 @@ def _decode_kernel(lengths_ref, tables_ref, meta_ref,         # scalar prefetch
                    *rest,                                     # [sinks?] out scratch
                    RB: int, BS: int, scale: float, w_max: int, num_rb: int,
                    logit_softcap: Optional[float], has_sinks: bool):
+    """Flat-batched plain-path kernel (round 5).
+
+    The round-2..4 kernel batched the score/pv dots PER ROW (a batched
+    dot_general unrolls to RB MXU issues per page step) — at bs64/ctx192
+    that is 256 small MXU issues per layer and the kernel measured 44 us
+    against a 15 us DMA floor: MXU-issue-bound.  This version runs ONE wide
+    score dot [RB*HkvG, HDp] x [RB*BS, HDp]^T and ONE pv dot per page step;
+    cross-row products land in off-diagonal blocks that the mask sends to
+    MASK_VALUE, so exp() zeroes them exactly and the pv dot drops them.
+    The RB^2 FLOP waste is cheap at small RB (decode is issue-bound, not
+    FLOP-bound); _pick_rb caps RB accordingly."""
     if has_sinks:
         sinks_ref, out_ref, buf, sems, acc_ref, m_ref, l_ref = rest
     else:
@@ -162,9 +173,10 @@ def _decode_kernel(lengths_ref, tables_ref, meta_ref,         # scalar prefetch
     layer = meta_ref[0]
     window = meta_ref[1]          # <= 0 disables sliding-window masking
     HkvG = q_ref.shape[1]
+    hdp = q_ref.shape[2]
+    RBH, RBB = RB * HkvG, RB * BS
 
     def fetch_pred(row, p):
-        # a page is fetched iff it holds any in-window token of the row
         ln = lengths_ref[row]
         ws = _row_ws(lengths_ref, row, window, BS)
         return (p * BS < ln) & ((p + 1) * BS > ws)
@@ -172,9 +184,7 @@ def _decode_kernel(lengths_ref, tables_ref, meta_ref,         # scalar prefetch
     def start(rb_idx, p, slot):
         for r in range(RB):
             row = rb_idx * RB + r
-            # skip pages outside the row's [window_start, length) span;
-            # zero the buffer instead — stale VMEM bits can decode to
-            # NaN/Inf and 0 * NaN would poison the accumulator
+
             @pl.when(fetch_pred(row, p))
             def _():
                 pltpu.make_async_copy(
@@ -192,9 +202,6 @@ def _decode_kernel(lengths_ref, tables_ref, meta_ref,         # scalar prefetch
                 pltpu.make_async_copy(buf.at[slot, r], buf.at[slot, r],
                                       sems.at[slot, r]).wait()
 
-    # dynamic page span: loop only over this program's in-window pages —
-    # compiling to the static table width would burn a full masked
-    # dot+softmax pass (and an 8MB buffer zero-fill) per skipped page
     p_lo, n_pages = _prog_span(lengths_ref, rb, RB, BS, window)
     base = _base_parity_w(lengths_ref, rb, RB, BS, window)
 
@@ -202,19 +209,26 @@ def _decode_kernel(lengths_ref, tables_ref, meta_ref,         # scalar prefetch
     def _():
         start(0, p_lo, 0)
 
-    q = q_ref[...] * jnp.asarray(scale, q_ref.dtype)   # bf16 MXU operand
+    q = (q_ref[...] * jnp.asarray(scale, q_ref.dtype)).reshape(RBH, hdp)
     acc_ref[...] = jnp.zeros_like(acc_ref)
     m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
     l_ref[...] = jnp.zeros_like(l_ref)
-    shape = (RB, q.shape[1], BS)
-    pos0 = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
-    lens = _row_lens(lengths_ref, rb, RB, shape)
-    ws_full = jnp.where(window > 0, jnp.maximum(lens - window, 0), 0)
+
+    # page-independent mask pieces on the flat [RBH, RBB] score tile:
+    # same-row block diagonal + per-COLUMN row length / window start
+    shape = (RBH, RBB)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0) // HkvG
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    row_j = col // BS
+    colmod = col - row_j * BS
+    same_row = row_i == row_j
+    lens_c = jnp.zeros(shape, jnp.int32)
+    for r in range(RB):
+        lens_c = jnp.where(row_j == r, lengths_ref[rb * RB + r], lens_c)
+    ws_c = jnp.where(window > 0, jnp.maximum(lens_c - window, 0), 0)
 
     def body(i, _):
         p = p_lo + i
-        # slot parity continues the global prefix-sum schedule so the
-        # cross-program prefetch lands where the receiver waits
         slot = jax.lax.rem(base + i, 2)
 
         @pl.when(i + 1 < n_pages)
@@ -227,31 +241,41 @@ def _decode_kernel(lengths_ref, tables_ref, meta_ref,         # scalar prefetch
             start(rb + 1, nxt_lo, 1 - slot)
 
         wait(slot, rb, p)
-        # bf16 OPERANDS into the MXU, f32 accumulation (same trade as
-        # flash_prefill): f32 dots ran at half MXU rate and each page-step
-        # materialized two 2 MB f32 K/V converts in VMEM — measured 384 GB/s
-        # effective; bf16 operands remove both
-        k = buf[slot, :, 0]                               # [RB, BS, HDp] bf16
-        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+        k = buf[slot, :, 0].reshape(RBB, hdp)             # [RB*BS, HDp] bf16
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         if logit_softcap is not None:
             s = jnp.tanh(s / logit_softcap) * logit_softcap
-        pos = p * BS + pos0
-        s = jnp.where((pos < lens) & (pos >= ws_full), s, MASK_VALUE)
-        _softmax_update(s, m_ref, l_ref, acc_ref, buf[slot, :, 1])
+        pos = p * BS + colmod
+        s = jnp.where(same_row & (pos < lens_c) & (pos >= ws_c), s,
+                      MASK_VALUE)
+        # online softmax on the flat tile; off-diagonal (cross-row) entries
+        # are MASK_VALUE -> exp underflows to exactly 0 -> pv drops them
+        m_prev = m_ref[...]
+        l_prev = l_ref[...]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        pr = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[...] = alpha * l_prev + jnp.sum(pr, axis=1, keepdims=True)
+        m_ref[...] = m_new
+        v = buf[slot, :, 1].reshape(RBB, hdp)
+        upd = jax.lax.dot_general(pr.astype(v.dtype), v,
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        acc_ref[...] = acc_ref[...] * alpha + upd
         return 0
 
     jax.lax.fori_loop(0, n_pages, body, 0)
     l = l_ref[...]
     if has_sinks:
-        # learned per-head sink logit joins the softmax denominator only
-        # (reference: flashattention.py s_aux); guard fully-masked rows
-        # whose running max is still MASK_VALUE
         m = m_ref[...]
+        sk = jnp.broadcast_to(
+            sinks_ref[...].reshape(1, HkvG, 1), (RB, HkvG, 1)).reshape(RBH, 1)
         l = l + jnp.where(m > 0.5 * MASK_VALUE,
-                          jnp.exp(sinks_ref[...].astype(jnp.float32) - m), 0.0)
+                          jnp.exp(sk.astype(jnp.float32) - m), 0.0)
     out_ref[...] = (acc_ref[...] / jnp.where(l == 0.0, 1.0, l)
-                    ).astype(out_ref.dtype)
+                    ).reshape(RB, HkvG, hdp).astype(out_ref.dtype)
 
 
 def _decode_kernel_quant(lengths_ref, tables_ref, layer_ref,
@@ -868,6 +892,11 @@ def paged_decode_attention(q: jax.Array, kv_cache, block_tables: jax.Array,
 
     q_bd = _block_diag_q(q, num_kv_heads, hdp)
     RB = _pick_rb(B, HkvG, hdp)
+    if not (quant8 or quant4 or turbo):
+        # flat-batched plain kernel: MXU waste scales with RB (RB^2 total
+        # FLOPs for RB rows) — measured on v5e at bs64/ctx192: RB=4 42us,
+        # RB=8 71us (softmax VPU blow-up), RB=2 77us (program overhead)
+        RB = min(RB, 4)
     num_rb = -(-B // RB)
     if num_rb * RB != B:           # batch buckets are powers of two; safety pad
         pad = num_rb * RB - B
@@ -964,9 +993,13 @@ def paged_decode_attention(q: jax.Array, kv_cache, block_tables: jax.Array,
                 scratch_shapes=[
                     pltpu.VMEM((2, RB, 2, BS, hdp), kv_cache.dtype),
                     pltpu.SemaphoreType.DMA((2, RB)),
-                ] + softmax_scratch,
+                    pltpu.VMEM((RB * HkvG, hdp), jnp.float32),
+                    pltpu.VMEM((RB * HkvG, 1), jnp.float32),
+                    pltpu.VMEM((RB * HkvG, 1), jnp.float32),
+                ],
             ),
             out_shape=jax.ShapeDtypeStruct((num_rb * RB, HkvG, hdp), q.dtype),
         )(kv_lens, block_tables, meta_arr, q_bd, kv_cache, *extra)
 
     return _extract_v_diag(out[:B], num_kv_heads, G, D)
+
