@@ -43,7 +43,8 @@ SHAPES = [
     (4096, 28672),     # llama-8B fused gate_up
     (14336, 4096),     # llama-8B down
     (4096, 22016),     # llama-7B fused gate_up
-    (11008, 4096),     # llama-7B down
+    (11264, 4096),     # llama-7B down (K load-padded from 11008, formats.pad_k4)
+    (4096, 12288),     # llama-7B fused qkv (MHA)
 ]
 M = int(os.environ.get('TUNE_M', '64'))
 L = int(os.environ.get('TUNE_L', '22'))

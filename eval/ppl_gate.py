@@ -57,10 +57,20 @@ THRESHOLDS = {
     'w8a8': 0.04,
     'kv8': 0.01,
     'kv4': 0.06,
-    # TurboQuant k4v2: the 2-bit V code dominates the error (numpy sim on
-    # this checkpoint: +22.8% ppl total, of which V-only +15.8%, K-only
-    # +2.7%); proportionally larger at 25M than at the reference's 7B scale
-    'kv_turbo': 0.35,
+    # TurboQuant k4v2: the 2-bit V code dominates the error, and it is
+    # proportionally larger at 25M scale than at the reference's 7B.
+    # Round-5 resolution of the r4 "engine exceeds sim floor" worry: the
+    # in-stack simulation (kv_turbo_sim below) measures +30.48%% on the
+    # IDENTICAL protocol vs the packed-kernel engine's +30.47%% — the r4
+    # "+22.8%% numpy floor" came from a non-comparable ad-hoc eval, and the
+    # Pallas path is faithful to the codec to 0.01 points.  Threshold =
+    # measured floor + ~2.5pt margin.
+    'kv_turbo': 0.33,
+    # simulation floor run through the SAME serving stack (plain cache,
+    # fill-side quant->dequant; ops/attention.py LMDEPLOY_TPU_KV_SIM):
+    # anchors kv_turbo — the packed-kernel path must stay within a few
+    # points of this
+    'kv_turbo_sim': 0.33,
     'kv_fp8': 0.02,
 }
 
@@ -153,12 +163,19 @@ def main():
         runs.append(('kv4', MODEL, 8, 'float32'))
     if 'kv_turbo' in want:
         runs.append(('kv_turbo', MODEL, 42, 'float32'))
+    if 'kv_turbo_sim' in want:
+        runs.append(('kv_turbo_sim', MODEL, 0, 'float32'))
     if 'kv_fp8' in want:
         runs.append(('kv_fp8', MODEL, 16, 'float32'))
 
     failed = []
     for name, mdir, policy, dtype in runs:
-        ppl = ppl_of(mdir, texts, quant_policy=policy, dtype=dtype)
+        if name == 'kv_turbo_sim':
+            os.environ['LMDEPLOY_TPU_KV_SIM'] = 'turbo'
+        try:
+            ppl = ppl_of(mdir, texts, quant_policy=policy, dtype=dtype)
+        finally:
+            os.environ.pop('LMDEPLOY_TPU_KV_SIM', None)
         delta = (ppl - base) / base
         ok = delta <= THRESHOLDS[name]
         results[name] = {'ppl': round(ppl, 4), 'rel_delta': round(delta, 5),

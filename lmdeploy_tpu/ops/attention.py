@@ -88,6 +88,25 @@ def fill_kv_cache(kv_cache, k_new: jax.Array, v_new: jax.Array,
     from .kv_quant import QuantKV, QuantKV4, QuantKVTurbo, deint_scale_pos, \
         quantize_rows, quantize_rows_int4
 
+    import os as _os
+    sim = _os.environ.get('LMDEPLOY_TPU_KV_SIM')
+    if sim and not isinstance(kv_cache, (QuantKV, QuantKV4, QuantKVTurbo)):
+        # accuracy-isolation harness (eval/turbo_sim.py / ppl_gate
+        # kv_turbo_sim): quant->dequant rows through the turbo codec but
+        # store DEQUANTIZED values in the plain cache, so the simulation
+        # runs the exact serving path minus the packed kernels.
+        from .kv_quant import (dequantize_turbo_k, dequantize_turbo_v,
+                               hadamard_rotate, hadamard_rotate_inv,
+                               quantize_rows_turbo_k, quantize_rows_turbo_v)
+        if sim in ('turbo', 'turbo_k'):
+            nib, mse, qjl = quantize_rows_turbo_k(hadamard_rotate(k_new))
+            k_new = hadamard_rotate_inv(
+                dequantize_turbo_k(nib, mse, qjl)).astype(k_new.dtype)
+        if sim in ('turbo', 'turbo_v'):
+            code, norm = quantize_rows_turbo_v(hadamard_rotate(v_new))
+            v_new = hadamard_rotate_inv(
+                dequantize_turbo_v(code, norm)).astype(v_new.dtype)
+
     if page_tables is not None and not isinstance(
             kv_cache, (QuantKV, QuantKV4, QuantKVTurbo)):
         L, nb, two, bs, hdp = kv_cache.shape

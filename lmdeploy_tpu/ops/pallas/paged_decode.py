@@ -43,15 +43,20 @@ from jax.experimental.pallas import tpu as pltpu
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _pick_rb(B: int, hkv_g: int, rowp: int) -> int:
-    """Rows per program: bounded by VMEM (acc [RB, HkvG, HDp] f32 <= ~4MB).
+def _pick_rb(B: int, hkv_g: int, rowp: int, bs: int = 128,
+             elt: int = 2) -> int:
+    """Rows per program, bounded by SCOPED VMEM (~16MB): the dominant terms
+    are the double-buffered page scratch (2 slots x 2 planes x BS x HDp x
+    elt bytes per row-slot) and the f32 accumulator [RB, HkvG, HDp].  MHA
+    geometries (llama2-7b: HDp = 4096) previously blew the limit — the old
+    budget only counted the accumulator.
 
-    Measured on v5e (TinyLlama shapes, 2 pages/row): RB=8 -> 72 us/layer,
-    RB=16 -> 30 us/layer (DMA issue overlap + wider VPU batching), RB=32 ->
-    59 us/layer (VMEM pressure) — 16 is the knee."""
-    budget = max(1, (4 << 20) // (hkv_g * rowp * 4))
+    Measured on v5e (TinyLlama shapes, 2 pages/row, row-batched kernel):
+    RB=8 -> 72 us/layer, RB=16 -> 30, RB=32 -> 59 — 16 is the knee when
+    VMEM allows."""
+    per_rb = 2 * 2 * bs * rowp * elt + hkv_g * rowp * 4
     rb = 1
-    while rb * 2 <= min(16, B, budget):
+    while rb * 2 <= min(16, B) and (rb * 2) * per_rb <= (10 << 20):
         rb *= 2
     return rb
 
@@ -891,7 +896,8 @@ def paged_decode_attention(q: jax.Array, kv_cache, block_tables: jax.Array,
         assert data.shape[-1] == hdp // 2 and hdp % 256 == 0,             'turbo decode kernel needs Hkv*D % 256 == 0'
 
     q_bd = _block_diag_q(q, num_kv_heads, hdp)
-    RB = _pick_rb(B, HkvG, hdp)
+    elt = 1 if (quant8 or turbo) else 2
+    RB = _pick_rb(B, HkvG, hdp, BS if not quant4 else BS // 2, elt)
     if not (quant8 or quant4 or turbo):
         # flat-batched plain kernel: MXU waste scales with RB (RB^2 total
         # FLOPs for RB rows) — measured on v5e at bs64/ctx192: RB=4 42us,
