@@ -94,6 +94,9 @@ class ModelAgent:
             # contraction (it doubles as the GSPMD expert-parallel combine);
             # the ragged grouped-GEMM path is single-shard only for now
             self.model.ep_sharded = True
+            # explicit microbatch pipeline needs the mesh to emit its own
+            # ordered collectives (ops/moe.py moe_ffn_ep_pipelined)
+            self.model.ep_mesh = mesh
 
         cfg = configs.model
         self.max_batch = configs.scheduler.max_batch_size

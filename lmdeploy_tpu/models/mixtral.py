@@ -96,7 +96,8 @@ class MixtralModel(LlamaModel):
         top_idx = eplb_remap(w, top_idx)
         out = moe_ffn(xf, top_idx, top_w, w['we_gate'], w['we_up'],
                       w['we_down'], x.dtype,
-                      allow_ragged=not getattr(self, 'ep_sharded', False))
+                      allow_ragged=not getattr(self, 'ep_sharded', False),
+                      ep_mesh=getattr(self, 'ep_mesh', None))
         return out.reshape(B, T, H).astype(x.dtype)
 
     def make_assign_plan(self):

@@ -67,7 +67,8 @@ def moe_ffn(xf: jax.Array,           # [N, H]
             out_dtype,
             allow_ragged: bool = True,
             biases=None,             # (bg [E,Ie], bu [E,Ie], bd [E,H]) or None
-            act=_silu_mul) -> jax.Array:
+            act=_silu_mul,
+            ep_mesh=None) -> jax.Array:
     """Routed-expert FFN: act(x@We_g, x@We_u) @ We_d combined by top_w.
 
     Expert weights may be quantized leaf dicts kept resident in HBM —
@@ -85,6 +86,11 @@ def moe_ffn(xf: jax.Array,           # [N, H]
     # tokens PER HALF (0 = off); read at trace time, so set it before the
     # engine builds.
     mb = int(os.environ.get('LMDEPLOY_TPU_MOE_MICROBATCH', '0'))
+    if (mb > 0 and N >= 2 * mb and N % 2 == 0 and ep_mesh is not None
+            and not isinstance(we_gate, dict)
+            and we_gate.shape[0] % ep_mesh.shape.get('ep', 1) == 0):
+        return moe_ffn_ep_pipelined(xf, top_idx, top_w, we_gate, we_up,
+                                    we_down, out_dtype, ep_mesh, act)
     if mb > 0 and N >= 2 * mb and N % 2 == 0:
         h = N // 2
         lo = _moe_ffn_one(xf[:h], top_idx[:h], top_w[:h], we_gate, we_up,
@@ -94,6 +100,62 @@ def moe_ffn(xf: jax.Array,           # [N, H]
         return jnp.concatenate([lo, hi], axis=0)
     return _moe_ffn_one(xf, top_idx, top_w, we_gate, we_up, we_down,
                         out_dtype, allow_ragged, biases, act)
+
+
+def moe_ffn_ep_pipelined(xf, top_idx, top_w, we_gate, we_up, we_down,
+                         out_dtype, mesh, act=_silu_mul) -> jax.Array:
+    """Two-half expert-parallel MoE with an EXPLICIT overlap structure.
+
+    The GSPMD microbatch split (moe_ffn above) turned out to be a no-op for
+    overlap: XLA's all-reduce combiner merges the two halves' combines into
+    ONE tupled all-reduce, so both halves' GEMMs must finish before any
+    combine starts (verified in tests/test_multichip_dryrun.py).  This
+    shard_map version emits the collectives itself and orders them with an
+    optimization_barrier: half B's psum INPUT is tied to half A's psum
+    RESULT, so (a) the combiner cannot merge the two all-reduces, and
+    (b) half B's expert GEMMs stay data-independent of half A's combine —
+    exactly the dependence structure the latency-hiding scheduler needs to
+    run A's combine under B's GEMMs (reference: TurboMind's two-batch phase
+    pipeline, src/turbomind/engine/batch.h).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    E = we_gate.shape[0]
+    ep = mesh.shape['ep']
+    El = E // ep
+    N, H = xf.shape
+    h = N // 2
+
+    def local_part(xc, ic, wc, wg, wu, wd, base):
+        """This shard's experts' contribution for one token half."""
+        comb = jnp.zeros((xc.shape[0], El), jnp.float32)
+        rows = jnp.arange(xc.shape[0])[:, None]
+        loc = ic - base
+        ok = (loc >= 0) & (loc < El)
+        comb = comb.at[rows, jnp.clip(loc, 0, El - 1)].add(
+            jnp.where(ok, wc.astype(jnp.float32), 0.0))
+        gate = jnp.einsum('nh,ehi->nei', xc, wg,
+                          preferred_element_type=jnp.float32)
+        up = jnp.einsum('nh,ehi->nei', xc, wu,
+                        preferred_element_type=jnp.float32)
+        a = act(gate, up) * comb[:, :, None]
+        return jnp.einsum('nei,eih->nh', a.astype(wd.dtype), wd,
+                          preferred_element_type=jnp.float32)
+
+    def body(xf, ti, tw, wg, wu, wd):
+        base = jax.lax.axis_index('ep') * El
+        pa = local_part(xf[:h], ti[:h], tw[:h], wg, wu, wd, base)
+        ra = jax.lax.psum(pa, 'ep')
+        pb = local_part(xf[h:], ti[h:], tw[h:], wg, wu, wd, base)
+        pb, _ = jax.lax.optimization_barrier((pb, ra))
+        rb = jax.lax.psum(pb, 'ep')
+        return jnp.concatenate([ra, rb], axis=0).astype(out_dtype)
+
+    return shard_map(body, mesh=mesh,
+                     in_specs=(P(), P(), P(), P('ep'), P('ep'), P('ep')),
+                     out_specs=P(), check_rep=False)(
+        xf, top_idx, top_w, we_gate, we_up, we_down)
 
 
 def _moe_ffn_one(xf, top_idx, top_w, we_gate, we_up, we_down, out_dtype,
