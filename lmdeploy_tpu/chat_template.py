@@ -208,6 +208,69 @@ class DeepSeekR1(BaseChatTemplate):
     stop_words = ['<｜end▁of▁sentence｜>']
 
 
+@register_template('deepseek-vl2')
+class DeepSeekVL2(BaseChatTemplate):
+    """DeepSeek-VL2 (reference: model.py DeepSeekVL2 ':545')."""
+    system = ''
+    meta_instruction = None
+    user = '<|User|>: '
+    eoh = '\n\n'
+    assistant = '<|Assistant|>: '
+    eoa = '<｜end▁of▁sentence｜>'
+    stop_words = ['<｜end▁of▁sentence｜>']
+
+
+class _DeepSeekV3Family(BaseChatTemplate):
+    """DeepSeek V3.x wire format (reference: deepseek_v32_encoding.py):
+    bos + system content rendered bare, '<｜User｜>{content}<｜Assistant｜>'
+    turns, assistant turns closed by eos; the LAST user turn opens a
+    '<think>' span in thinking mode and '</think>' otherwise."""
+    bos = '<｜begin▁of▁sentence｜>'
+    user = '<｜User｜>'
+    assistant = '<｜Assistant｜>'
+    eoa = '<｜end▁of▁sentence｜>'
+    stop_words = ['<｜end▁of▁sentence｜>']
+    thinking = False
+
+    def messages2prompt(self, messages, sequence_start=True, **kwargs):
+        if isinstance(messages, str):
+            messages = [{'role': 'user', 'content': messages}]
+        thinking = bool(kwargs.get('enable_thinking',
+                                   kwargs.get('thinking', self.thinking)))
+        out = self.bos if sequence_start else ''
+        last_user = max((i for i, m in enumerate(messages)
+                         if m.get('role') in ('user', 'developer')), default=-1)
+        for i, m in enumerate(messages):
+            role = m.get('role')
+            content = m.get('content') or ''
+            if role == 'system':
+                out += content
+            elif role in ('user', 'developer', 'tool'):
+                out += f'{self.user}{content}{self.assistant}'
+                out += '<think>' if (thinking and i == last_user) \
+                    else '</think>'
+            elif role == 'assistant':
+                out += f'{content}{self.eoa}'
+        return out
+
+    def get_prompt(self, prompt, sequence_start=True):
+        return self.messages2prompt([{'role': 'user', 'content': prompt}],
+                                    sequence_start)
+
+
+@register_template('deepseek-v32')
+class DeepSeekV32(_DeepSeekV3Family):
+    """DeepSeek-V3.2 (reference: model.py ':669' +
+    deepseek_v32_encoding.py render_message)."""
+
+
+@register_template('deepseek-v4')
+class DeepSeekV4(_DeepSeekV3Family):
+    """DeepSeek-V4 (reference: model.py ':587' + deepseek_v4_encoding.py;
+    same turn framing as V3.2 — reasoning_effort/tool blocks ride the system
+    message upstream)."""
+
+
 @register_template('vicuna')
 class Vicuna(BaseChatTemplate):
     system = ''

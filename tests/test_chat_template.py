@@ -56,3 +56,29 @@ def test_openai_content_parts():
                                      {'type': 'text', 'text': 'part2'}]},
     ])
     assert 'part1 part2' in out
+
+
+def test_deepseek_v32_family_turns():
+    from lmdeploy_tpu.chat_template import MODELS
+    t = MODELS['deepseek-v32']()
+    msgs = [{'role': 'system', 'content': 'sys'},
+            {'role': 'user', 'content': 'hi'},
+            {'role': 'assistant', 'content': 'yo'},
+            {'role': 'user', 'content': 'more'}]
+    p = t.messages2prompt(msgs)
+    assert p.startswith('<｜begin▁of▁sentence｜>sys<｜User｜>hi<｜Assistant｜>')
+    assert p.endswith('<｜User｜>more<｜Assistant｜></think>')
+    assert 'yo<｜end▁of▁sentence｜>' in p
+    # thinking mode opens a think span on the LAST user turn only
+    p2 = t.messages2prompt(msgs, enable_thinking=True)
+    assert p2.endswith('<｜Assistant｜><think>')
+    assert p2.count('<think>') == 1
+    assert MODELS['deepseek-v4']().messages2prompt('q').startswith(
+        '<｜begin▁of▁sentence｜><｜User｜>q<｜Assistant｜>')
+
+
+def test_deepseek_vl2_template():
+    from lmdeploy_tpu.chat_template import MODELS
+    t = MODELS['deepseek-vl2']()
+    p = t.messages2prompt([{'role': 'user', 'content': 'see'}])
+    assert '<|User|>: see' in p and '<|Assistant|>: ' in p
