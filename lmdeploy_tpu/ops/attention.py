@@ -135,7 +135,7 @@ def fill_kv_cache(kv_cache, k_new: jax.Array, v_new: jax.Array,
 
     if isinstance(kv_cache, QuantKV):
         L, nb, two, bs, hdp = kv_cache.data.shape
-        h = kv_cache.scale.shape[3]
+        h = kv_cache.scale.shape[-1]
         # per-(token, head) int8 with the head axis quantized independently
         kq, ksc = quantize_rows(k_new)                   # [N,Hkv,D], [N,Hkv]
         vq, vsc = quantize_rows(v_new)
@@ -144,18 +144,22 @@ def fill_kv_cache(kv_cache, k_new: jax.Array, v_new: jax.Array,
         data = data.at[jnp.concatenate([k_idx, v_idx])].set(
             jnp.concatenate([plane_rows(kq, hdp), plane_rows(vq, hdp)]
                             ).astype(kv_cache.data.dtype))
-        # scales [L, NB, 2, Hkv, BS]: scalar 1-D scatter per (kv, head, token)
+        # scales [L, NB, 2, BS, Hkv] (token-major): each token's scales are
+        # one [Hkv] ROW, scattered IN THE NATIVE 5-D LAYOUT with multidim
+        # indices.  Both a flattened-row scatter and the old per-element
+        # [.., Hkv, BS] scatter made XLA pick a different operand layout
+        # than the scan carry and insert TWO full-array layout-conversion
+        # copies per layer (12.3 ms/step at llama2-7b MHA geometry).
         block = slot_mapping // bs
         off = slot_mapping % bs
-        base = ((layer * nb + block) * 2)                            # [N]
-        h_idx = jnp.arange(h, dtype=jnp.int32)
-        k_pos = ((base[:, None] + 0) * h + h_idx[None, :]) * bs + off[:, None]
-        v_pos = ((base[:, None] + 1) * h + h_idx[None, :]) * bs + off[:, None]
-        scale = kv_cache.scale.reshape(-1)
-        scale = scale.at[k_pos.reshape(-1)].set(ksc.reshape(-1))
-        scale = scale.at[v_pos.reshape(-1)].set(vsc.reshape(-1))
-        return QuantKV(data.reshape(L, nb, 2, bs, hdp),
-                       scale.reshape(L, nb, 2, h, bs))
+        n = slot_mapping.shape[0]
+        li = jnp.full((2 * n,), layer, jnp.int32)
+        blocks2 = jnp.tile(block, 2)
+        planes2 = jnp.repeat(jnp.arange(2, dtype=jnp.int32), n)
+        offs2 = jnp.tile(off, 2)
+        scale = kv_cache.scale.at[li, blocks2, planes2, offs2].set(
+            jnp.concatenate([ksc, vsc]), unique_indices=True, mode='drop')
+        return QuantKV(data.reshape(L, nb, 2, bs, hdp), scale)
 
     L, nb, two, bs, hdp = kv_cache.shape
     k_idx, v_idx = plane_idx(nb, bs)
@@ -365,13 +369,13 @@ def gather_layer_kv(kv_cache, layer, block_tables, num_kv_heads: int,
         scale = jax.lax.dynamic_index_in_dim(kv_cache.scale, layer, 0, False)
         NB, _, bs, hdp = data.shape
         pages = data[block_tables].astype(jnp.float32)   # [B, W, 2, BS, HDp]
-        sc = scale[block_tables]                         # [B, W, 2, Hkv, BS]
+        sc = scale[block_tables]                         # [B, W, 2, BS, Hkv]
         hd = num_kv_heads * head_dim
 
         def deq(kv):
             x = pages[:, :, kv, :, :hd].reshape(
                 B, W, bs, num_kv_heads, head_dim)
-            x = x * jnp.moveaxis(sc[:, :, kv], 3, 2)[..., None]
+            x = x * sc[:, :, kv][..., None]
             return jnp.moveaxis(x, 3, 0).reshape(
                 num_kv_heads, B, W * bs, head_dim)
 
@@ -456,7 +460,9 @@ def paged_attention_reference(q, kv_cache, block_tables, history_lens, q_lens,
     pure-XLA reference path.  q: [B, T, Hq, D]."""
     Hq, D = q.shape[2], q.shape[3]
     from .kv_quant import QuantKV, QuantKV4
-    if isinstance(kv_cache, (QuantKV, QuantKV4)):
+    if isinstance(kv_cache, QuantKV):
+        hkv = kv_cache.scale.shape[-1]       # token-major [.., BS, Hkv]
+    elif isinstance(kv_cache, QuantKV4):
         hkv = kv_cache.scale.shape[3]
     else:
         # ROWp >= 2*Hkv*D; the caller's q tells us Hq, config must supply Hkv

@@ -286,7 +286,7 @@ def _decode_kernel(lengths_ref, tables_ref, meta_ref,         # scalar prefetch
 def _decode_kernel_quant(lengths_ref, tables_ref, layer_ref,
                          q_ref,                         # [RB, HkvG, ROWp]
                          pages_ref,                     # [L, NB, BS, ROWp] i8
-                         scale_ref,                     # [L, NB, 2, Hkv, BS] f32
+                         scale_ref,                     # [NB, 2, Hkv, BS] f32
                          out_ref,
                          buf, sc_buf, sems, sc_sems, acc_ref, m_ref, l_ref,
                          *, RB: int, BS: int, G: int, scale: float, w_max: int,
@@ -304,7 +304,7 @@ def _decode_kernel_quant(lengths_ref, tables_ref, layer_ref,
                 page = tables_ref[row, p]
                 pltpu.make_async_copy(pages_ref.at[layer, page],
                                       buf.at[slot, r], sems.at[slot, r]).start()
-                pltpu.make_async_copy(scale_ref.at[layer, page],
+                pltpu.make_async_copy(scale_ref.at[page],
                                       sc_buf.at[slot, r],
                                       sc_sems.at[slot, r]).start()
 
@@ -962,6 +962,17 @@ def paged_decode_attention(q: jax.Array, kv_cache, block_tables: jax.Array,
         )(kv_lens, block_tables, meta_arr, q_bd, kv_cache.data,
           kv_cache.scale, kv_cache.minv)
     elif quant8:
+        # scales are stored TOKEN-MAJOR [L, NB, 2, BS, Hkv] so the decode
+        # fill can scatter them in place (head-major storage forced XLA into
+        # full-array layout-conversion copies every layer — 12.3 ms/step at
+        # llama2-7b).  The kernel wants head-major [Hkv, BS] tiles and
+        # Mosaic can neither DMA a 32-lane minor dim nor lane-split
+        # in-kernel, so transpose just the CURRENT layer's scales here
+        # (a few MB) before the call.
+        sc_layer = jnp.swapaxes(
+            jax.lax.dynamic_index_in_dim(
+                kv_cache.scale, jnp.asarray(layer, jnp.int32), 0,
+                keepdims=False), 2, 3)
         kernel = functools.partial(_decode_kernel_quant, G=G, **common)
         out = pl.pallas_call(
             kernel,
@@ -978,8 +989,7 @@ def paged_decode_attention(q: jax.Array, kv_cache, block_tables: jax.Array,
                 ] + softmax_scratch,
             ),
             out_shape=jax.ShapeDtypeStruct((num_rb * RB, HkvG, hdp), q.dtype),
-        )(kv_lens, block_tables, meta_arr, q_bd, kv_cache.data,
-          kv_cache.scale)
+        )(kv_lens, block_tables, meta_arr, q_bd, kv_cache.data, sc_layer)
     else:
         kernel = functools.partial(_decode_kernel, has_sinks=sinks is not None,
                                    **common)

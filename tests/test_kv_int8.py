@@ -33,7 +33,7 @@ def test_fill_and_attention_quant_matches_manual_dequant():
     B, T, Hq = 2, 8, 4
     _, rowp = kv_row_width(Hkv, D)
     kv = QuantKV(jnp.zeros((L, NB, 2, BS, rowp), jnp.int8),
-                 jnp.zeros((L, NB, 2, Hkv, BS), jnp.float32))
+                 jnp.zeros((L, NB, 2, BS, Hkv), jnp.float32))
     tables = np.asarray([[1, 2, 0, 0], [3, 4, 0, 0]], np.int32)
     history = np.zeros(B, np.int32)
     q_lens = np.full(B, T, np.int32)
