@@ -31,7 +31,10 @@ import time
 
 BATCH = int(os.environ.get('BENCH_BATCH', '64'))
 PROMPT_LEN = int(os.environ.get('BENCH_PROMPT', '128'))
-NEW_TOKENS = int(os.environ.get('BENCH_NEW', '128'))
+# 256-out rounds (vs 128 in r1-r4): longer decode chains make the
+# decode-only slope reflect pipelined steady state instead of ramp
+# tails; the reference's static-decode rows use 2048-out
+NEW_TOKENS = int(os.environ.get('BENCH_NEW', '256'))
 TTFT_PROMPT = int(os.environ.get('BENCH_TTFT_PROMPT', '2048'))
 TTFT_BATCH = int(os.environ.get('BENCH_TTFT_BATCH', '8'))
 ROUNDS = int(os.environ.get('BENCH_ROUNDS', '3'))   # median-of-N slopes
