@@ -150,6 +150,20 @@ class Scheduler:
     def schedule(self, prefer_decode: bool = False) -> SchedulerOutput:
         """Pick the next step: prefill if any WAITING can be admitted, else decode.
 
+        On TurboMind's two-phase transactional Schedule/ReplayMemory
+        (reference ``src/turbomind/engine/scheduler.h:130-170``): that
+        mechanism exists because the reference admits requests from
+        CONCURRENT producer threads and must be able to roll a partial
+        admission back.  This engine runs ONE asyncio host loop — admission
+        is single-threaded by construction, so each schedule() call is
+        already atomic and a replay log would have nothing to replay.  The
+        one genuinely concurrent case — ``schedule_overlap_prefill`` runs
+        while an in-flight decode run mutates block state on-device — is
+        handled by restricting that pass to free blocks only
+        (``allow_preempt=False``): it can only ACQUIRE resources no live
+        row references, so no rollback is ever needed.  If the host loop is
+        ever parallelized, the transactional mechanism belongs here.
+
         Prefill-priority matches the reference default (new requests reach first token
         fast; decode throughput is preserved by the token-budget chunking).
         ``prefer_decode`` inverts the priority while sequences are RUNNING —
