@@ -537,32 +537,39 @@ async def rps_child():
     import numpy as np
     from lmdeploy_tpu.messages import GenerationConfig
 
-    n_req = int(os.environ.get('BENCH_RPS_REQUESTS', '256'))
+    n_req = int(os.environ.get('BENCH_RPS_REQUESTS', '128'))
     eng = build_engine('w4a16', kv_policy=4)
     rng = np.random.RandomState(13)
     in_lens = np.clip(rng.lognormal(4.5, 1.1, n_req).astype(int), 4, 1536)
     out_lens = np.clip(rng.lognormal(5.0, 0.9, n_req).astype(int), 4, 512)
-    warmup_timeout = float(os.environ.get('BENCH_WARMUP_TIMEOUT', '420'))
+    warmup_timeout = float(os.environ.get('BENCH_WARMUP_TIMEOUT', '900'))
 
-    async def one(i):
+    async def one(i, ilen=None, olen=None, base=3000):
         inst = eng.create_instance()
-        prompt = rng.randint(10, 31000, size=int(in_lens[i])).tolist()
-        gen = GenerationConfig(max_new_tokens=int(out_lens[i]),
+        prompt = rng.randint(
+            10, 31000, size=int(ilen or in_lens[i])).tolist()
+        gen = GenerationConfig(max_new_tokens=int(olen or out_lens[i]),
                                ignore_eos=True)
-        out = await inst.async_infer(3000 + i, prompt, gen)
-        await inst.async_end(3000 + i)
+        out = await inst.async_infer(base + i, prompt, gen)
+        await inst.async_end(base + i)
         return len(out.token_ids)
 
     res = {}
     try:
-        # warmup: a small burst covering prefill + decode-run buckets
+        # warmup sweeps the prefill-length bucket spectrum FIRST (each new
+        # (batch, chunk) shape costs a multi-second XLA compile on the
+        # tunnel; the length distribution otherwise hits them mid-measure),
+        # then a mixed burst covers decode-run row buckets
+        for ln in (16, 64, 256, 1024, 1536):
+            await asyncio.wait_for(one(9000 + ln, ilen=ln, olen=8, base=0),
+                                   warmup_timeout)
         await asyncio.wait_for(
-            asyncio.gather(*[one(i) for i in range(min(16, n_req))]),
+            asyncio.gather(*[one(i, base=8000) for i in range(16)]),
             warmup_timeout)
         t0 = time.perf_counter()
         counts = await asyncio.wait_for(
-            asyncio.gather(*[one(i) for i in range(16, n_req)]),
-            float(os.environ.get('BENCH_RPS_TIMEOUT', '600')))
+            asyncio.gather(*[one(i) for i in range(n_req)]),
+            float(os.environ.get('BENCH_RPS_TIMEOUT', '900')))
         dt = time.perf_counter() - t0
         res['rps'] = round(len(counts) / dt, 3)
         res['out_tok_s'] = round(sum(counts) / dt, 1)
@@ -656,6 +663,11 @@ async def ttft_child():
 def child_main(name):
     import asyncio
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    # persistent XLA compilation cache across phases/retries: cold dispatch
+    # buckets (especially the RPS phase's length spectrum) otherwise pay a
+    # fresh multi-second compile per (batch, chunk) shape every run
+    os.environ.setdefault('LMDEPLOY_TPU_COMPILE_CACHE',
+                          '/tmp/lmdeploy_tpu_xla_cache')
     if _FORCE_CPU:
         import jax
         jax.config.update('jax_platforms', 'cpu')

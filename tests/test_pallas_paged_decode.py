@@ -109,8 +109,9 @@ def make_int8_cache(rng, Hkv, NB, BS, D):
     vr = plane_rows(jnp.asarray(np.asarray(vq).reshape(-1, Hkv, D)), hdp)
     data = jnp.stack([kr.reshape(L, NB, BS, hdp),
                       vr.reshape(L, NB, BS, hdp)], axis=2).astype(jnp.int8)
-    # scales [L, NB, 2, Hkv, BS]
-    sc = jnp.stack([jnp.moveaxis(ksc, 3, 2), jnp.moveaxis(vsc, 3, 2)], axis=2)
+    # scales token-major [L, NB, 2, BS, Hkv] (round 5: the fill row-scatters
+    # per-token [Hkv] rows; the kernel wrapper transposes the current layer)
+    sc = jnp.stack([ksc, vsc], axis=2)
     return QuantKV(data, sc)
 
 
