@@ -121,6 +121,18 @@ def main():
             xs, stacks[0], sb, zc)
         res['stacked_deq'] = {'us': round(t * 1e6, 2),
                               'gbs': round(pgib / t, 1)}
+        sp, zp = prep_w4(stacks[1], stacks[2], precise=True)
+        t = timeit(lambda r: stacked_idx_run(
+            lambda c, l, p, s, z: w4a16_matmul_stacked(c, p, s, z, l), r),
+            xs, stacks[0], sp, zp)
+        res['stacked_precise'] = {'us': round(t * 1e6, 2),
+                                  'gbs': round(pgib / t, 1)}
+        sg, zg = prep_w4(stacks[1], stacks[2], mode='gd')
+        t = timeit(lambda r: stacked_idx_run(
+            lambda c, l, p, s, z: w4a16_matmul_stacked(c, p, s, z, l), r),
+            xs, stacks[0], sg, zg)
+        res['stacked_gd'] = {'us': round(t * 1e6, 2),
+                             'gbs': round(pgib / t, 1)}
         out[f'{K}x{N}'] = res
         print(json.dumps({f'{K}x{N}': res}), flush=True)
     print(json.dumps(out))

@@ -54,6 +54,8 @@ L = int(os.environ.get('TUNE_L', '22'))
 SECS = float(os.environ.get('TUNE_SECS', '0.8'))
 SAMPLES = int(os.environ.get('TUNE_SAMPLES', '4'))
 FAST = os.environ.get('TUNE_FAST', '0') == '1'
+# TUNE_MODE=gd|precise|fast overrides (gd = round-5 group-dot schedule)
+MODE = os.environ.get('TUNE_MODE') or ('fast' if FAST else 'precise')
 
 
 def bn_candidates(N):
@@ -112,7 +114,7 @@ def main():
             -2**31, 2**31 - 1, (L, K // 8, N), np.int64).astype(np.int32))
         s = jnp.asarray(rng.rand(L, G, N).astype(np.float32) * 0.01)
         z = jnp.asarray(rng.rand(L, G, N).astype(np.float32) * 15)
-        sb, cc = prep_w4(s, z, precise=not FAST)
+        sb, cc = prep_w4(s, z, mode=MODE)
         stacks = (packed, sb, cc)
         xs = [jnp.asarray(rng.randn(M, K).astype(np.float32), jnp.bfloat16)
               for _ in range(SAMPLES + 1)]
@@ -136,7 +138,7 @@ def main():
         del packed, s, z, sb, cc, stacks
 
     out = {'device_kind': dev, 'M': M,
-           'mode': 'fast' if FAST else 'precise',
+           'mode': MODE,
            'blocks': {k: v['bn'] for k, v in table.items()},
            'measured': table}
     print(json.dumps(out))

@@ -193,6 +193,13 @@ def main():
         'reference_tables': 'docs/en/quantization/kv_quant.md:146, '
                             'w4a16.md:63',
     }
+    if args.configs != 'all' and os.path.exists(OUT_JSON):
+        # subset rerun (e.g. after touching one kernel): merge into the
+        # existing table instead of dropping the other configs' rows
+        with open(OUT_JSON) as f:
+            merged = json.load(f)
+        merged.update(results)
+        results = merged
     with open(OUT_JSON, 'w') as f:
         json.dump(results, f, indent=1)
     print(f'wrote {OUT_JSON}')

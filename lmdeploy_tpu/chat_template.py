@@ -38,7 +38,10 @@ class ChatTemplateConfig:
     capability: Optional[str] = None
 
     def chat_template(self, tokenizer=None):
-        if self.model_name:
+        if self.model_name == 'hf':
+            # explicit HF-jinja delegation (reference: model.py:758)
+            tmpl = HFChatTemplate(tokenizer)
+        elif self.model_name:
             if self.model_name not in MODELS:
                 raise ValueError(f'unknown chat template {self.model_name!r}; '
                                  f'available: {sorted(MODELS)}')
@@ -175,6 +178,7 @@ class InternLM2(ChatML):
 
 
 @register_template('mistral')
+@register_template('mixtral')
 class Mistral(BaseChatTemplate):
     """Mistral-instruct [INST] format (no system segment)."""
 
@@ -259,6 +263,7 @@ class _DeepSeekV3Family(BaseChatTemplate):
 
 
 @register_template('deepseek-v32')
+@register_template('deepseek-v3.2')
 class DeepSeekV32(_DeepSeekV3Family):
     """DeepSeek-V3.2 (reference: model.py ':669' +
     deepseek_v32_encoding.py render_message)."""

@@ -453,6 +453,15 @@ class Engine:
                 or self._loop_task.get_loop() is not loop):
             # a previous host loop may have been torn down (sync facade, tests):
             # rebind the wakeup event and loop task to the current loop
+            old = self._loop_task
+            if old is not None and not old.done():
+                # a task orphaned on a dead/foreign loop can never be awaited
+                # from here; cancel it if its loop still runs and suppress the
+                # GC "Task was destroyed but it is pending!" either way
+                old_loop = old.get_loop()
+                if old_loop.is_running():
+                    old_loop.call_soon_threadsafe(old.cancel)
+                old._log_destroy_pending = False
             self._new_work = asyncio.Event()
             self._loop_task = loop.create_task(self.async_loop())
 

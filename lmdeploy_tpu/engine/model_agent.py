@@ -141,7 +141,12 @@ class ModelAgent:
                 and os.environ.get('LMDEPLOY_TPU_W4_STACKED', '1') != '0'
                 and hasattr(self.model, 'prep_quant_leaves')):
             fast = os.environ.get('LMDEPLOY_TPU_W4_FAST', '0') == '1'
-            self.params = self.model.prep_quant_leaves(self.params, fast=fast)
+            # schedule override: gd (group-dot, scales on f32 dot outputs) /
+            # precise / fast — see ops/pallas/quant_matmul.prep_w4
+            sched = os.environ.get('LMDEPLOY_TPU_W4_SCHED',
+                                   'gd' if not fast else '') or None
+            self.params = self.model.prep_quant_leaves(self.params, fast=fast,
+                                                       mode=sched)
 
         # -- rope tables --------------------------------------------------------------
         cos, sin = make_rope_table(cfg.rope_dim, self.max_model_len,

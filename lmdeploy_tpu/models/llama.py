@@ -436,7 +436,8 @@ class LlamaModel:
                 del lp['w_gate'], lp['w_up']
         return dict(params, layers=lp)
 
-    def prep_quant_leaves(self, params, fast: bool = False):
+    def prep_quant_leaves(self, params, fast: bool = False,
+                          mode: str | None = None):
         """Convert w4a16 leaves to the stacked-kernel 'prepared' format
         {'packed','sb','corr'} (ops/pallas/quant_matmul.py round-5 design):
         the layer scan then closes over the full stacks and injects a traced
@@ -452,7 +453,8 @@ class LlamaModel:
         for name, leaf in lp.items():
             if (isinstance(leaf, dict) and 'packed' in leaf
                     and 'scales' in leaf and leaf['packed'].ndim == 3):
-                sb, corr = prep_w4(leaf['scales'], leaf['zeros'], not fast)
+                sb, corr = prep_w4(leaf['scales'], leaf['zeros'], not fast,
+                                   mode=mode)
                 lp[name] = {'packed': leaf['packed'], 'sb': sb, 'corr': corr}
         return dict(params, layers=lp)
 

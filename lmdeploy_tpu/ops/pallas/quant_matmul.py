@@ -270,22 +270,35 @@ def _round_up(v: int, m: int) -> int:
 _C135 = 135.0    # 128 (decode bias) + 7 (nibble center; must be integral)
 
 
-def prep_w4(scales: jax.Array, zeros: jax.Array, precise: bool = False):
+def prep_w4(scales: jax.Array, zeros: jax.Array, precise: bool = False,
+            mode: str | None = None):
     """f32 (scales, zeros) -> (sb, corr) operands for the stacked kernel.
 
-    Fast (default): sb = bf16(s), corr = f32((z + 128) * s).
-    Precise:        sb = bf16(s), corr = bf16((z - 7) * s).
-    The corr dtype statically selects the kernel mode downstream.
+    Fast:    sb = bf16(s), corr = f32((z + 128) * s).
+    Precise: sb = bf16(s), corr = bf16((z - 7) * s).
+    gd:      sb = f32(s),  corr = f32((z + 128) * s) — group-dot schedule:
+             scales hit the f32 *dot outputs* per quant group, so the main
+             term carries NO per-weight rounding at all (best accuracy of the
+             three) and the kernel spends only the 3-op nibble decode per
+             weight on the VPU (fastest at decode M; see the round-5 module
+             comment).
+    The (sb, corr) dtypes statically select the kernel mode downstream:
+    sb f32 -> gd; else corr bf16 -> precise, corr f32 -> fast.
     Works on [G, N] or [L, G, N].
     """
+    if mode is None:
+        mode = 'precise' if precise else 'fast'
     z = zeros.astype(jnp.float32)
+    if mode == 'gd':
+        s = scales.astype(jnp.float32)
+        return s, (z + 128.0) * s
     sb = scales.astype(jnp.bfloat16)
     # corr MUST be built from the bf16-ROUNDED scales: the kernel's main term
     # is (128+q)*sb, so a corr built from unrounded s leaves the s-rounding
     # error on the ~30x bias term uncanceled (group-systematic ~0.26*s error,
     # measured 15% output error before this fix).
     s = sb.astype(jnp.float32)
-    if precise:
+    if mode == 'precise':
         return sb, ((z - 7.0) * s).astype(jnp.bfloat16)
     return sb, (z + 128.0) * s
 
@@ -306,7 +319,7 @@ def dequant_w4_szc(packed: jax.Array, sb: jax.Array, corr: jax.Array,
     q = jnp.concatenate(planes, axis=0).astype(jnp.float32)       # [K, N]
     s = jnp.repeat(sb.astype(jnp.float32), group_size, axis=0)
     c = jnp.repeat(corr.astype(jnp.float32), group_size, axis=0)
-    bias = 7.0 if corr.dtype == jnp.bfloat16 else -128.0
+    bias = 7.0 if corr.dtype == jnp.bfloat16 else -128.0          # gd: -128
     return ((q - bias) * s - c).astype(dtype)
 
 
@@ -333,7 +346,8 @@ def w4a16_dense_szc(x2d: jax.Array, packed: jax.Array, sb: jax.Array,
     stacked kernel mode (corr dtype selects): used for CPU fallback and
     prefill."""
     xb = x2d.astype(jnp.bfloat16)
-    if corr.dtype == jnp.bfloat16:                 # precise mode
+    if corr.dtype == jnp.bfloat16 or sb.dtype == jnp.float32:
+        # precise / gd modes: dequant in f32, single bf16 rounding, dense dot
         w = dequant_w4_szc(packed, sb, corr, group_size)
         return jnp.dot(xb, w, preferred_element_type=jnp.float32)
     B, K = xb.shape
@@ -375,6 +389,35 @@ def _w4a16_kernel_stacked(li_ref, x0, x1, x2, x3, xg_ref, p_ref, s_ref, c_ref,
     out_ref[...] = (acc - corr).astype(out_ref.dtype)
 
 
+def _w4a16_kernel_stacked_gd(li_ref, x0, x1, x2, x3, xg_ref, p_ref, s_ref,
+                             c_ref, out_ref, *, group_rows: int,
+                             groups_per_plane: int):
+    """Group-dot schedule (round 5): per plane, decode -> one MXU dot per
+    quant group; the f32 scale multiplies the DOT OUTPUT [B, bn] instead of
+    the weights [gs, bn], so per-weight VPU work is just the 3-op nibble
+    decode (the measured VPU-boundedness lever — see module comment) and the
+    main term carries no per-weight rounding at all."""
+    del li_ref                                   # consumed by the index maps
+    p = p_ref[0]                                 # [K/8, bn] i32
+    gs, Gq = group_rows, groups_per_plane
+    acc = None
+    for j, x_ref in enumerate((x0, x1, x2, x3)):
+        plane = _decode_plane(p, j)              # [Kq, bn] bf16 = 128 + q
+        x = x_ref[...]
+        for g in range(Gq):
+            r0 = g * gs
+            d = jnp.dot(x[:, r0:r0 + gs], plane[r0:r0 + gs],
+                        preferred_element_type=jnp.float32)      # [B, bn]
+            t = d * s_ref[0, pl.ds(j * Gq + g, 1), :]            # f32 scale
+            acc = t if acc is None else acc + t
+    # bias removal: main term is x @ (128+q)*s summed per group; corr =
+    # xg @ ((z+128) * s) cancels the +128 bias and applies the zero point.
+    # HIGHEST: the corr term is ~30x the signal (round-4 lesson).
+    corr = jnp.dot(xg_ref[...], c_ref[0], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    out_ref[...] = (acc - corr).astype(out_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=('group_size', 'block_n',
                                              'block_k'))
 def w4a16_matmul_stacked(x: jax.Array,        # [B, K] bf16/f32
@@ -396,7 +439,8 @@ def w4a16_matmul_stacked(x: jax.Array,        # [B, K] bf16/f32
     assert K8 * 8 == K, (K8, K)
     gs = group_size
     G = K // gs
-    precise = corr.dtype == jnp.bfloat16
+    gd = sb.dtype == jnp.float32                 # group-dot schedule
+    precise = not gd and corr.dtype == jnp.bfloat16
     assert sb.shape == (L, G, N) and corr.shape == (L, G, N)
     assert K % (4 * gs) == 0, (K, gs)     # caller falls back to dense
     if not block_n:
@@ -436,9 +480,13 @@ def w4a16_matmul_stacked(x: jax.Array,        # [B, K] bf16/f32
         ],
         out_specs=pl.BlockSpec((Bp, bn), lambda m, n, li: (m, n)),
     )
-    kernel = functools.partial(_w4a16_kernel_stacked,
-                               group_rows=gs, groups_per_plane=Gq,
-                               precise=precise)
+    if gd:
+        kernel = functools.partial(_w4a16_kernel_stacked_gd,
+                                   group_rows=gs, groups_per_plane=Gq)
+    else:
+        kernel = functools.partial(_w4a16_kernel_stacked,
+                                   group_rows=gs, groups_per_plane=Gq,
+                                   precise=precise)
     y = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

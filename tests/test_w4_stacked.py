@@ -23,25 +23,25 @@ def interpret_mode():
         yield
 
 
-def _make_stack(rng, L, K, N, gs, precise):
+def _make_stack(rng, L, K, N, gs, mode):
     packs, sbs, ccs, refs = [], [], [], []
     for _ in range(L):
         w = jnp.asarray(rng.randn(K, N).astype(np.float32) * 0.02,
                         jnp.bfloat16)
         p, s, z = quantize_w4(w, gs)
-        sb, cc = prep_w4(s, z, precise)
+        sb, cc = prep_w4(s, z, mode=mode)
         packs.append(p), sbs.append(sb), ccs.append(cc)
         refs.append((p, s, z))
     return (jnp.stack(packs), jnp.stack(sbs), jnp.stack(ccs)), refs
 
 
-@pytest.mark.parametrize('precise', [True, False])
-def test_dequant_szc_matches_f32_reference(precise):
+@pytest.mark.parametrize('mode', ['precise', 'fast', 'gd'])
+def test_dequant_szc_matches_f32_reference(mode):
     rng = np.random.RandomState(0)
     K, N, gs = 512, 128, 128
     w = jnp.asarray(rng.randn(K, N).astype(np.float32) * 0.02, jnp.bfloat16)
     p, s, z = quantize_w4(w, gs)
-    sb, cc = prep_w4(s, z, precise)
+    sb, cc = prep_w4(s, z, mode=mode)
     w_ref = np.asarray(dequant_w4(p, s, z, gs), np.float32)
     w_szc = np.asarray(dequant_w4_szc(p, sb, cc, gs), np.float32)
     # only the bf16 rounding of the scales separates the two
@@ -49,12 +49,12 @@ def test_dequant_szc_matches_f32_reference(precise):
     assert np.abs(w_szc - w_ref).max() <= step * 0.1
 
 
-@pytest.mark.parametrize('precise', [True, False])
+@pytest.mark.parametrize('mode', ['precise', 'fast', 'gd'])
 @pytest.mark.parametrize('B,K,N,gs', [(8, 512, 128, 128), (64, 1024, 256, 128)])
-def test_stacked_kernel_matches_reference(precise, B, K, N, gs):
+def test_stacked_kernel_matches_reference(mode, B, K, N, gs):
     rng = np.random.RandomState(1)
     L = 3
-    (packed, sb, cc), refs = _make_stack(rng, L, K, N, gs, precise)
+    (packed, sb, cc), refs = _make_stack(rng, L, K, N, gs, mode)
     x = jnp.asarray(rng.randn(B, K).astype(np.float32), jnp.bfloat16)
     for li in range(L):
         y = np.asarray(
@@ -64,20 +64,19 @@ def test_stacked_kernel_matches_reference(precise, B, K, N, gs):
                                    preferred_element_type=jnp.float32))
         denom = np.abs(y_ref).mean() + 1e-6
         rel = np.abs(y - y_ref).mean() / denom
-        # precise mode: bf16-dequant rounding class; fast mode folds the
-        # decode bias into the correction dot and tolerates a larger
-        # (still sub-quant-noise) rounding
-        assert rel < (0.01 if precise else 0.12), rel
+        # precise: bf16-dequant rounding class; gd: no per-weight rounding
+        # at all (tightest); fast: per-weight (128+q)*s bf16 rounding
+        assert rel < (0.12 if mode == 'fast' else 0.01), rel
 
 
-@pytest.mark.parametrize('precise', [True, False])
-def test_linear_dispatch_prepped_leaf(precise):
+@pytest.mark.parametrize('mode', ['precise', 'fast', 'gd'])
+def test_linear_dispatch_prepped_leaf(mode):
     """linear() on a prepared stacked leaf with a traced layer index matches
     the old {'packed','scales','zeros'} leaf per layer (CPU dense path)."""
     from lmdeploy_tpu.nn.linear import linear
     rng = np.random.RandomState(2)
     L, K, N, gs = 3, 256, 64, 128
-    (packed, sb, cc), refs = _make_stack(rng, L, K, N, gs, precise)
+    (packed, sb, cc), refs = _make_stack(rng, L, K, N, gs, mode)
     x = jnp.asarray(rng.randn(4, K).astype(np.float32), jnp.bfloat16)
     for li in range(L):
         y = linear(x, {'packed': packed, 'sb': sb, 'corr': cc,
@@ -87,8 +86,8 @@ def test_linear_dispatch_prepped_leaf(precise):
         # fast mode carries the kernel's per-weight bf16 product rounding
         # even on the CPU dense path (numerics-matched fallback)
         # (fast error scales ~0.15*s*sqrt(K) across the reduction)
-        tol = float(np.asarray(s).max()) * (1.0 if precise
-                                            else 1.5 * np.sqrt(K))
+        tol = float(np.asarray(s).max()) * (1.5 * np.sqrt(K)
+                                            if mode == 'fast' else 1.0)
         np.testing.assert_allclose(np.asarray(y, np.float32),
                                    np.asarray(y_old, np.float32),
                                    rtol=0, atol=tol)
