@@ -114,9 +114,12 @@ def _probe(attempts_log):
 def _run_phase(name, attempts_log):
     """Run one child phase; on failure, re-probe and retry once."""
     cmd = [sys.executable, os.path.abspath(__file__), '--child', name]
+    # the rps phase sweeps the widest dispatch-bucket spectrum; on a cold
+    # compile cache its warmup alone can exceed the default phase budget
+    budget = PHASE_TIMEOUT * (2 if name == 'rps' else 1)
     for attempt in (1, 2):
         t0 = time.monotonic()
-        rc, out = _run_killable(cmd, PHASE_TIMEOUT)
+        rc, out = _run_killable(cmd, budget)
         dt = time.monotonic() - t0
         print(f'[bench] phase {name} attempt {attempt}: rc={rc} {dt:.0f}s',
               file=sys.stderr, flush=True)
@@ -539,6 +542,18 @@ async def rps_child():
 
     n_req = int(os.environ.get('BENCH_RPS_REQUESTS', '128'))
     eng = build_engine('w4a16', kv_policy=4)
+    # AOT-compile the decode-run lattice this workload walks: full-length
+    # runs at every batch bucket (churn shrinks the batch 64 -> 1) plus the
+    # k spectrum for the straggler tail.  These populate the persistent
+    # compile cache without device execution; left to chance, each cold
+    # (k, B) pair compiles INSIDE the measured window (~10-60 s apiece on
+    # the tunnel).
+    ma = eng.model_agent
+    full_k = [ma.decode_run_steps]
+    ma.warmup(batch_sizes=[b for b in (1, 2, 4, 8, 16, 32, 64)
+                           if b <= ma.max_batch], decode_ks=full_k)
+    ma.warmup(batch_sizes=[1, 2, 4])
+    print('# rps AOT decode lattice warmed', file=sys.stderr, flush=True)
     rng = np.random.RandomState(13)
     in_lens = np.clip(rng.lognormal(4.5, 1.1, n_req).astype(int), 4, 1536)
     out_lens = np.clip(rng.lognormal(5.0, 0.9, n_req).astype(int), 4, 512)
@@ -563,9 +578,28 @@ async def rps_child():
         for ln in (16, 64, 256, 1024, 1536):
             await asyncio.wait_for(one(9000 + ln, ilen=ln, olen=8, base=0),
                                    warmup_timeout)
+            print(f'# rps warmup len={ln} done', file=sys.stderr, flush=True)
         await asyncio.wait_for(
             asyncio.gather(*[one(i, base=8000) for i in range(16)]),
             warmup_timeout)
+        print('# rps warmup burst done', file=sys.stderr, flush=True)
+        # long-prompt burst: covers the WIDE overlap-prefill buckets
+        # (max_prefill_batch rows x 8192-token chunks) that the length
+        # distribution otherwise hits mid-measure — on a cold compile cache
+        # one such bucket cost 175 s inside the measured window
+        await asyncio.wait_for(
+            asyncio.gather(*[one(i, ilen=1400, olen=8, base=7000)
+                             for i in range(16)]),
+            warmup_timeout)
+        print('# rps warmup long burst done', file=sys.stderr, flush=True)
+        # throwaway pass of the FULL workload (short outputs): whatever
+        # residual (batch, chunk, k) shapes the distribution walks compile
+        # here, not inside the measured pass
+        await asyncio.wait_for(
+            asyncio.gather(*[one(i, olen=min(24, int(out_lens[i])),
+                                 base=5000) for i in range(n_req)]),
+            warmup_timeout)
+        print('# rps warmup dry pass done', file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         counts = await asyncio.wait_for(
             asyncio.gather(*[one(i) for i in range(n_req)]),

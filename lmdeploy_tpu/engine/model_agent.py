@@ -1250,8 +1250,13 @@ class ModelAgent:
         for bsz in (batch_sizes or [self.max_batch]):
             B = bucketize(bsz, self.batch_buckets)
             for k in decode_ks:
-                self._get_run_fn(k, B).lower(
-                    params_s, cos_s, sin_s, kv_s, state_s).compile()
+                # both sampling variants: the greedy fast path (simple=True)
+                # is a SEPARATE leaner executable — all-greedy traffic hits
+                # it, and warming only the sampled variant leaves the greedy
+                # one to compile mid-serving
+                for smp in (True, False):
+                    self._get_run_fn(k, B, smp).lower(
+                        params_s, cos_s, sin_s, kv_s, state_s).compile()
         # prefill buckets: fresh-prefill step at the requested chunk sizes
         import jax.numpy as jnp
         counts_s = jax.ShapeDtypeStruct(self.token_counts.shape,

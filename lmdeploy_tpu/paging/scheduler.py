@@ -243,12 +243,28 @@ class Scheduler:
                    if not getattr(s, 'host_blocks', None)]
         return self._schedule_prefill_pass(ordered, allow_preempt=False)
 
+    # ceiling on (padded executable area) / (real tokens) for one prefill
+    # batch.  The agent lowers a [B_bucket, T_bucket] step per shape, where
+    # T is the LONGEST chunk in the batch — mixing one long chunk with many
+    # short ones inflates the padded area (16 rows x 2048 for 1511 real
+    # tokens = 21x waste) AND walks a huge (B, T) executable lattice, each
+    # novel shape paying a multi-second XLA compile mid-serving.  Closing
+    # the batch when the ratio blows keeps dispatches near the efficient
+    # diagonal; deferred chunks are FIFO-next so nothing starves.
+    PREFILL_PAD_CAP = 2.5
+
     def _schedule_prefill_pass(self, candidates,
                                allow_preempt: bool = True) -> SchedulerOutput:
         token_budget = self.scheduler_config.max_prefill_token_num
         max_batch = self.scheduler_config.max_prefill_batch
         running_count = len(self.running)
         chunks: List[PrefillChunk] = []
+        from ..config import bucketize, make_buckets
+        bb = make_buckets(self.scheduler_config.max_batch_size)
+        cb = make_buckets(self.scheduler_config.max_prefill_token_num,
+                          minimum=16)
+        batch_tokens = 0
+        batch_max_len = 0
         import time as _time
         for seq in candidates:
             if len(chunks) >= max_batch or token_budget <= 0:
@@ -278,6 +294,11 @@ class Scheduler:
                 num_new = self._ssm_align_chunk(seq, num_new)
             if num_new <= 0:
                 continue
+            if chunks:
+                pad_area = (bucketize(len(chunks) + 1, bb)
+                            * bucketize(max(batch_max_len, num_new), cb))
+                if pad_area > self.PREFILL_PAD_CAP * (batch_tokens + num_new):
+                    break            # close the batch at the efficiency cap
             if not self.block_manager.allocate_for_seq(seq, num_new):
                 if not allow_preempt:
                     # overlap mode: trie eviction only (frees unreferenced
@@ -295,6 +316,8 @@ class Scheduler:
             chunks.append(PrefillChunk(seq=seq, start=seq.num_computed_tokens,
                                        length=num_new, is_last=is_last))
             token_budget -= num_new
+            batch_tokens += num_new
+            batch_max_len = max(batch_max_len, num_new)
             if not seq.metrics.first_scheduled_time:
                 seq.metrics.first_scheduled_time = _time.time()
         return SchedulerOutput(is_prefill=True, prefill_chunks=chunks)
