@@ -84,12 +84,24 @@ def cmd_lite(args):
         auto_awq(args.model, work_dir=args.work_dir, w_bits=args.w_bits,
                  w_group_size=args.w_group_size, calib_samples=args.calib_samples,
                  calib_seqlen=args.calib_seqlen)
+    elif args.lite_cmd == 'auto_gptq':
+        from ..lite.gptq import auto_gptq
+        auto_gptq(args.model, work_dir=args.work_dir, w_bits=args.w_bits,
+                  w_group_size=args.w_group_size, calib_samples=args.calib_samples,
+                  calib_seqlen=args.calib_seqlen)
     elif args.lite_cmd == 'smooth_quant':
         from ..lite.smooth_quant import smooth_quant
         smooth_quant(args.model, work_dir=args.work_dir,
                      calib_samples=args.calib_samples, calib_seqlen=args.calib_seqlen)
     else:
         raise SystemExit(f'unknown lite command {args.lite_cmd}')
+
+
+def cmd_proxy(args):
+    from ..serve.proxy import proxy
+    proxy(server_name=args.server_name, server_port=args.server_port,
+          routing_strategy=args.routing_strategy,
+          serving_strategy=args.serving_strategy)
 
 
 def cmd_launch_server(args):
@@ -141,9 +153,21 @@ def build_parser():
                         help='node 0 proxy URL (required on worker nodes)')
     launch.set_defaults(func=cmd_launch_server)
 
+    # standalone cluster proxy (reference: lmdeploy serve proxy)
+    prox = serve_sub.add_parser('proxy', help='cluster router/proxy server')
+    prox.add_argument('--server-name', default='0.0.0.0')
+    prox.add_argument('--server-port', type=int, default=8000)
+    prox.add_argument('--routing-strategy', default='min_expected_latency',
+                      choices=['random', 'min_expected_latency',
+                               'min_observed_latency'])
+    prox.add_argument('--serving-strategy', default='hybrid',
+                      choices=['hybrid', 'distserve'],
+                      help='hybrid: any node serves; distserve: PD-disaggregated')
+    prox.set_defaults(func=cmd_proxy)
+
     lite = sub.add_parser('lite', help='offline quantization toolkit')
     lite_sub = lite.add_subparsers(dest='lite_cmd', required=True)
-    for name in ('auto_awq', 'smooth_quant'):
+    for name in ('auto_awq', 'auto_gptq', 'smooth_quant'):
         p = lite_sub.add_parser(name)
         p.add_argument('model')
         p.add_argument('--work-dir', default='./work_dir')
