@@ -743,9 +743,8 @@ class Engine:
         # drain.  The chain never preempts, never swaps, and breaks for new
         # arrivals so TTFT is unaffected.  Reference analog: the prefetch
         # pipeline in lmdeploy/pytorch/engine/engine_loop.py.
-        has_guided = any(s.guided is not None for s in survivors)
         runs = 1
-        while (self._pipeline and overlap is None and not has_guided
+        while (self._pipeline and overlap is None
                and not self.scheduler.has_waiting()
                and self._can_pipeline_next(survivors, k)):
             next_step = await loop.run_in_executor(
@@ -756,6 +755,11 @@ class Engine:
             stopped = await self._drain_run(step, survivors, loop)
             step = next_step
             if stopped:
+                break
+            # a grammar rejection means that row's chained tokens are stale
+            # garbage from here on (discarded by the drain); break so the
+            # masked recovery step runs promptly instead of after the chain
+            if any(getattr(s, '_guided_recover', False) for s in survivors):
                 break
         t1 = time.perf_counter()
         stopped_slots = await self._drain_run(step, survivors, loop)
@@ -1066,6 +1070,12 @@ class Engine:
         req = self._requests.get(seq.seq_id)
         n_out = len(seq.output_ids)
         guide = seq.guided
+        if guide is not None and getattr(seq, '_guided_recover', False):
+            # a pipelined run chained past this row's grammar rejection: its
+            # device state is stale, so every token of this run is garbage —
+            # discard without touching the PDA (the masked recovery step in
+            # _host_driven re-derives the next legal token)
+            return
         if guide is not None:
             # speculative grammar acceptance: accept the longest PDA-legal
             # prefix of this run's tokens; a rejection flags the row for one

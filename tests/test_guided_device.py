@@ -90,8 +90,12 @@ def test_guided_device_throughput(tiny_model_dir):
     fmt = {'type': 'regex_schema', 'regex_schema': '(.|\n)*'}
     eng, tok = _engine(tiny_model_dir)
     try:
-        _run(eng, tok, 1, 8, fmt)      # warm guided executables + masks
-        _run(eng, tok, 1, 8, None)     # warm plain executables
+        # warm at the MEASURED shapes (prefill n=4 bucket, decode rows 4/8,
+        # k=16 runs): the engine compiles buckets lazily, so a smaller warmup
+        # left the first measured path eating multi-hundred-ms XLA compiles —
+        # which measured compile placement, not guided overhead
+        _run(eng, tok, 8, 32, fmt)     # warm guided executables + masks
+        _run(eng, tok, 8, 32, None)    # warm plain executables
         _, t_guided = _run(eng, tok, 8, 32, fmt)
         _, t_plain = _run(eng, tok, 8, 32, None)
     finally:
